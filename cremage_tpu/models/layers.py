@@ -1,0 +1,150 @@
+"""Shared Flax building blocks for the diffusion model graphs.
+
+Conventions:
+- activations are NHWC (TPU-native conv layout); checkpoint conv kernels
+  (torch OIHW) are transposed to HWIO at load time (io/checkpoint.py).
+- module names flatten to the torch checkpoint key strings (dots ->
+  underscores), so weight loading is a mechanical string transform; see
+  io/checkpoint.py `normalize_key`.
+- GroupNorm/LayerNorm statistics run in float32 even under bf16 compute.
+"""
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax.lax as lax
+import jax.numpy as jnp
+
+
+def timestep_embedding(
+    t: jnp.ndarray, dim: int, max_period: float = 10000.0
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, CompVis convention
+    (semantics of ldm/modules/diffusionmodules/util.py timestep_embedding:
+    half-dim exp-decayed freqs, [cos, sin] order)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm with fp32 statistics; matches torch GroupNorm semantics."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        c = x.shape[-1]
+        scale = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        spatial = x.shape[1:-1]
+        g = self.num_groups
+        xg = x.reshape(x.shape[0], -1, g, c // g)
+        mean = xg.mean(axis=(1, 3), keepdims=True)
+        var = xg.var(axis=(1, 3), keepdims=True)
+        xg = (xg - mean) / jnp.sqrt(var + self.epsilon)
+        x = xg.reshape(x.shape[0], *spatial, c)
+        x = x * scale + bias
+        return x.astype(orig_dtype)
+
+
+class Conv(nn.Module):
+    """Conv2D with torch-compatible param names (weight/bias), NHWC/HWIO."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "weight",
+            nn.initializers.lecun_normal(),
+            (k, k, in_ch, self.features),
+            self.param_dtype,
+        )
+        pad = [(self.padding, self.padding)] * 2
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Dense(nn.Module):
+    """Linear with torch-compatible param names; kernel stored (in, out)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "weight",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        y = jnp.dot(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class LayerNorm(nn.Module):
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        x = x.astype(jnp.float32)
+        c = x.shape[-1]
+        scale = self.param("weight", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        mean = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        x = (x - mean) / jnp.sqrt(var + self.epsilon)
+        return (x * scale + bias).astype(orig)
+
+
+def silu(x):
+    return nn.silu(x)
+
+
+def quick_gelu(x):
+    """OpenAI CLIP activation: x * sigmoid(1.702 x)."""
+    return x * nn.sigmoid(1.702 * x)

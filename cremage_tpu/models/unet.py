@@ -1,0 +1,379 @@
+"""Stable Diffusion UNet (SD1.5 / SD2 / SDXL base+refiner / inpaint / ControlNet
+host) as a Flax module, NHWC, bf16 compute / fp32 norms.
+
+Architecture contract follows the CompVis/sgm `UNetModel`
+(reference `modules/ldm/modules/diffusionmodules/openaimodel.py` and
+`modules/sdxl/sgm/modules/diffusionmodules/openaimodel.py`; configs
+`configs/ldm/configs/stable-diffusion/v1-inference.yaml` and
+`modules/sdxl/configs/inference/sd_xl_base.yaml`) — re-implemented
+TPU-first: NHWC convs, fp32-softmax attention behind ops/attention.py
+(Pallas flash path), no CPU-offload staging, LoRA/IPA as load-time
+weight transforms instead of module surgery.
+
+Module names flatten (joined with "_") to the torch checkpoint key
+strings, e.g. params["input_blocks_1_0"]["in_layers_0"]["weight"] <->
+ckpt "model.diffusion_model.input_blocks.1.0.in_layers.0.weight", making
+weight loading a mechanical string transform (io/checkpoint.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cremage_tpu.models.layers import (
+    Conv, Dense, GroupNorm, LayerNorm, silu, timestep_embedding,
+)
+from cremage_tpu.ops.attention import attention
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (4, 2, 1)
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_heads: int = 8                 # used when num_head_channels == -1
+    num_head_channels: int = -1
+    transformer_depth: Tuple[int, ...] = (1, 1, 1, 1)  # per level
+    transformer_depth_middle: int = 1
+    context_dim: int = 768
+    adm_in_channels: int = 0           # 0 = no vector conditioning
+    use_linear_in_transformer: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    # IP-Adapter-FaceID extra-attention branch (set when FaceID active)
+    ipa_num_tokens: int = 0
+    ipa_scale: float = 0.0
+
+
+def sd15_unet_config(in_channels: int = 4, **kw) -> UNetConfig:
+    """v1-inference.yaml / inpainting.yaml (in_channels=9)."""
+    return UNetConfig(in_channels=in_channels, **kw)
+
+
+def sdxl_base_unet_config(**kw) -> UNetConfig:
+    """sd_xl_base.yaml network_config."""
+    return UNetConfig(
+        in_channels=4,
+        out_channels=4,
+        model_channels=320,
+        attention_resolutions=(4, 2),
+        channel_mult=(1, 2, 4),
+        num_head_channels=64,
+        num_heads=-1,
+        transformer_depth=(1, 2, 10),
+        transformer_depth_middle=10,
+        context_dim=2048,
+        adm_in_channels=2816,
+        use_linear_in_transformer=True,
+        **kw,
+    )
+
+
+def sdxl_refiner_unet_config(**kw) -> UNetConfig:
+    """sd_xl_refiner.yaml network_config."""
+    return UNetConfig(
+        in_channels=4,
+        out_channels=4,
+        model_channels=384,
+        attention_resolutions=(4, 2),
+        channel_mult=(1, 2, 4, 4),
+        num_head_channels=64,
+        num_heads=-1,
+        transformer_depth=(4, 4, 4, 4),
+        transformer_depth_middle=4,
+        context_dim=1280,
+        adm_in_channels=2560,
+        use_linear_in_transformer=True,
+        **kw,
+    )
+
+
+class CrossAttention(nn.Module):
+    """Self/cross attention; optional IP-Adapter extra-kv branch
+    (reference `modules/ldm/modules/attention.py:265-356` CrossAttention
+    with to_k_ipa/to_v_ipa; LoRA deltas are merged into weights at load)."""
+
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    ipa_num_tokens: int = 0
+    ipa_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.heads * self.dim_head
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        is_self = context is None
+        ctx = x if is_self else context
+
+        ipa_ctx = None
+        if (not is_self) and self.ipa_num_tokens > 0:
+            # context layout: [text tokens ..., ipa tokens] appended by the
+            # pipeline (reference sd/image_generator.py:810-814)
+            ipa_ctx = ctx[:, -self.ipa_num_tokens:, :]
+            ctx = ctx[:, : ctx.shape[1] - self.ipa_num_tokens, :]
+
+        q = Dense(inner, use_bias=False, name="to_q", **dd)(x)
+        k = Dense(inner, use_bias=False, name="to_k", **dd)(ctx)
+        v = Dense(inner, use_bias=False, name="to_v", **dd)(ctx)
+
+        b, n, _ = q.shape
+        m = k.shape[1]
+        q = q.reshape(b, n, self.heads, self.dim_head)
+        k = k.reshape(b, m, self.heads, self.dim_head)
+        v = v.reshape(b, m, self.heads, self.dim_head)
+        out = attention(q, k, v)
+
+        if ipa_ctx is not None:
+            k_ipa = Dense(inner, use_bias=False, name="to_k_ipa", **dd)(ipa_ctx)
+            v_ipa = Dense(inner, use_bias=False, name="to_v_ipa", **dd)(ipa_ctx)
+            k_ipa = k_ipa.reshape(b, self.ipa_num_tokens, self.heads, self.dim_head)
+            v_ipa = v_ipa.reshape(b, self.ipa_num_tokens, self.heads, self.dim_head)
+            out = out + self.ipa_scale * attention(q, k_ipa, v_ipa)
+
+        out = out.reshape(b, n, inner)
+        return Dense(x.shape[-1], name="to_out_0", **dd)(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (attention.py GEGLU + FeedForward semantics)."""
+
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    mult: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = Dense(inner * 2, name="net_0_proj", **dd)(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return Dense(dim, name="net_2", **dd)(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    dim_head: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    ipa_num_tokens: int = 0
+    ipa_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, context):
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = x + CrossAttention(self.heads, self.dim_head, name="attn1", **dd)(
+            LayerNorm(name="norm1")(x)
+        )
+        x = x + CrossAttention(
+            self.heads, self.dim_head, name="attn2",
+            ipa_num_tokens=self.ipa_num_tokens, ipa_scale=self.ipa_scale, **dd
+        )(LayerNorm(name="norm2")(x), context)
+        x = x + FeedForward(name="ff", **dd)(LayerNorm(name="norm3")(x))
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    heads: int
+    dim_head: int
+    depth: int = 1
+    use_linear: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    ipa_num_tokens: int = 0
+    ipa_scale: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        residual = x
+        x = GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
+        if self.use_linear:
+            x = x.reshape(b, h * w, c)
+            x = Dense(c, name="proj_in", **dd)(x)
+        else:
+            x = Conv(c, kernel_size=1, padding=0, name="proj_in", **dd)(x)
+            x = x.reshape(b, h * w, c)
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                self.heads, self.dim_head, name=f"transformer_blocks_{d}",
+                ipa_num_tokens=self.ipa_num_tokens, ipa_scale=self.ipa_scale, **dd
+            )(x, context)
+        if self.use_linear:
+            x = Dense(c, name="proj_out", **dd)(x)
+            x = x.reshape(b, h, w, c)
+        else:
+            x = x.reshape(b, h, w, c)
+            x = Conv(c, kernel_size=1, padding=0, name="proj_out", **dd)(x)
+        return x + residual
+
+
+class ResBlock(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = GroupNorm(num_groups=32, name="in_layers_0")(x)
+        h = silu(h)
+        h = Conv(self.out_channels, name="in_layers_2", **dd)(h)
+        emb_out = Dense(self.out_channels, name="emb_layers_1", **dd)(silu(emb))
+        h = h + emb_out[:, None, None, :]
+        h = GroupNorm(num_groups=32, name="out_layers_0")(h)
+        h = silu(h)
+        h = Conv(self.out_channels, name="out_layers_3", **dd)(h)
+        if x.shape[-1] != self.out_channels:
+            x = Conv(self.out_channels, kernel_size=1, padding=0,
+                     name="skip_connection", **dd)(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return Conv(self.channels, stride=2, name="op",
+                    dtype=self.dtype, param_dtype=self.param_dtype)(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)  # nearest 2x
+        return Conv(self.channels, name="conv",
+                    dtype=self.dtype, param_dtype=self.param_dtype)(x)
+
+
+def _heads_for(ch: int, cfg: UNetConfig) -> Tuple[int, int]:
+    if cfg.num_head_channels == -1:
+        return cfg.num_heads, ch // cfg.num_heads
+    return ch // cfg.num_head_channels, cfg.num_head_channels
+
+
+class UNetModel(nn.Module):
+    """The denoising UNet. forward(x NHWC, t (B,), context (B,L,D), y, control)."""
+
+    cfg: UNetConfig
+
+    @nn.compact
+    def __call__(self, x, timesteps, context, y=None, control=None):
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        mc = cfg.model_channels
+        time_embed_dim = mc * 4
+
+        t_emb = timestep_embedding(timesteps, mc).astype(cfg.dtype)
+        emb = Dense(time_embed_dim, name="time_embed_0", **dd)(t_emb)
+        emb = Dense(time_embed_dim, name="time_embed_2", **dd)(silu(emb))
+
+        if cfg.adm_in_channels:
+            assert y is not None, "this UNet expects vector conditioning y"
+            y_emb = Dense(time_embed_dim, name="label_emb_0_0", **dd)(
+                y.astype(cfg.dtype)
+            )
+            y_emb = Dense(time_embed_dim, name="label_emb_0_2", **dd)(silu(y_emb))
+            emb = emb + y_emb
+
+        x = x.astype(cfg.dtype)
+        context = context.astype(cfg.dtype) if context is not None else None
+
+        depths = cfg.transformer_depth
+        if isinstance(depths, int):
+            depths = (depths,) * len(cfg.channel_mult)
+
+        # ---- input blocks ----
+        hs = []
+        h = Conv(mc, name="input_blocks_0_0", **dd)(x)
+        hs.append(h)
+        block_idx = 1
+        ds = 1
+        ch = mc
+        for level, mult in enumerate(cfg.channel_mult):
+            out_ch = mc * mult
+            for _ in range(cfg.num_res_blocks):
+                h = ResBlock(out_ch, name=f"input_blocks_{block_idx}_0", **dd)(h, emb)
+                ch = out_ch
+                if ds in cfg.attention_resolutions:
+                    heads, dim_head = _heads_for(ch, cfg)
+                    h = SpatialTransformer(
+                        heads, dim_head, depth=depths[level],
+                        use_linear=cfg.use_linear_in_transformer,
+                        name=f"input_blocks_{block_idx}_1",
+                        ipa_num_tokens=cfg.ipa_num_tokens, ipa_scale=cfg.ipa_scale,
+                        **dd,
+                    )(h, context)
+                hs.append(h)
+                block_idx += 1
+            if level != len(cfg.channel_mult) - 1:
+                h = Downsample(ch, name=f"input_blocks_{block_idx}_0", **dd)(h)
+                hs.append(h)
+                block_idx += 1
+                ds *= 2
+
+        # ---- middle ----
+        heads, dim_head = _heads_for(ch, cfg)
+        h = ResBlock(ch, name="middle_block_0", **dd)(h, emb)
+        h = SpatialTransformer(
+            heads, dim_head, depth=cfg.transformer_depth_middle,
+            use_linear=cfg.use_linear_in_transformer, name="middle_block_1",
+            ipa_num_tokens=cfg.ipa_num_tokens, ipa_scale=cfg.ipa_scale, **dd,
+        )(h, context)
+        h = ResBlock(ch, name="middle_block_2", **dd)(h, emb)
+
+        if control is not None:
+            input_res, middle_res = control
+            h = h + middle_res.astype(h.dtype)
+            hs = [
+                hi + ri.astype(hi.dtype) for hi, ri in zip(hs, input_res)
+            ]
+
+        # ---- output blocks ----
+        block_idx = 0
+        for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+            out_ch = mc * mult
+            for i in range(cfg.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
+                h = ResBlock(out_ch, name=f"output_blocks_{block_idx}_0", **dd)(h, emb)
+                ch = out_ch
+                sub = 1
+                if ds in cfg.attention_resolutions:
+                    heads, dim_head = _heads_for(ch, cfg)
+                    h = SpatialTransformer(
+                        heads, dim_head, depth=depths[level],
+                        use_linear=cfg.use_linear_in_transformer,
+                        name=f"output_blocks_{block_idx}_1",
+                        ipa_num_tokens=cfg.ipa_num_tokens, ipa_scale=cfg.ipa_scale,
+                        **dd,
+                    )(h, context)
+                    sub = 2
+                if level > 0 and i == cfg.num_res_blocks:
+                    h = Upsample(ch, name=f"output_blocks_{block_idx}_{sub}", **dd)(h)
+                    ds //= 2
+                block_idx += 1
+
+        h = GroupNorm(num_groups=32, name="out_0")(h)
+        h = silu(h)
+        h = Conv(cfg.out_channels, name="out_2", **dd)(h)
+        return h

@@ -1,0 +1,210 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cremage_tpu.models import clip as C
+from cremage_tpu.models import unet as U
+from cremage_tpu.models import vae as V
+
+
+def count_params(tree) -> int:
+    return int(sum(np.prod(l.shape) for l in jax.tree.leaves(tree)))
+
+
+def tiny_unet_cfg(**kw):
+    base = dict(
+        in_channels=4, out_channels=4, model_channels=32,
+        num_res_blocks=1, attention_resolutions=(2, 1),
+        channel_mult=(1, 2), num_heads=4, transformer_depth=(1, 1),
+        transformer_depth_middle=1, context_dim=64,
+        dtype=jnp.float32,
+    )
+    base.update(kw)
+    return U.UNetConfig(**base)
+
+
+def test_sd15_unet_param_count_golden():
+    """SD1.5 UNet must have exactly 859,520,964 params (public number)."""
+    model = U.UNetModel(U.sd15_unet_config())
+    shapes = jax.eval_shape(
+        model.init,
+        jax.random.key(0),
+        jnp.zeros((1, 64, 64, 4)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 77, 768)),
+    )
+    assert count_params(shapes) == 859_520_964
+
+
+def test_sd15_inpaint_unet_param_count():
+    """9-channel inpaint UNet differs only in conv_in: +5*3*3*320 weights."""
+    model = U.UNetModel(U.sd15_unet_config(in_channels=9))
+    shapes = jax.eval_shape(
+        model.init,
+        jax.random.key(0),
+        jnp.zeros((1, 64, 64, 9)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 77, 768)),
+    )
+    assert count_params(shapes) == 859_520_964 + 5 * 3 * 3 * 320
+
+
+def test_sdxl_unet_param_count_golden():
+    """SDXL base UNet public param count: 2,567,463,684."""
+    model = U.UNetModel(U.sdxl_base_unet_config())
+    shapes = jax.eval_shape(
+        model.init,
+        jax.random.key(0),
+        jnp.zeros((1, 128, 128, 4)),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 77, 2048)),
+        jnp.zeros((1, 2816)),
+    )
+    assert count_params(shapes) == 2_567_463_684
+
+
+def test_vae_param_count_golden():
+    """SD KL-VAE public param count: 83,653,863."""
+    model = V.AutoencoderKL(V.VAEConfig(dtype=jnp.float32))
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 64, 64, 3))
+    )
+    assert count_params(shapes) == 83_653_863
+
+
+def test_clip_text_param_count_golden():
+    """CLIP ViT-L text tower: 123,060,480 params."""
+    model = C.CLIPTextModel(C.CLIPTextConfig(dtype=jnp.float32))
+    shapes = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 77), jnp.int32)
+    )
+    assert count_params(shapes) == 123_060_480
+
+
+def test_tiny_unet_forward_shapes():
+    cfg = tiny_unet_cfg()
+    model = U.UNetModel(cfg)
+    x = jnp.zeros((2, 16, 16, 4))
+    t = jnp.zeros((2,))
+    ctx = jnp.zeros((2, 77, 64))
+    params = model.init(jax.random.key(0), x, t, ctx)
+    out = model.apply(params, x, t, ctx)
+    assert out.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_tiny_unet_vector_conditioning():
+    cfg = tiny_unet_cfg(adm_in_channels=16)
+    model = U.UNetModel(cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 77, 64))
+    y = jnp.ones((1, 16))
+    params = model.init(jax.random.key(0), x, t, ctx, y)
+    out = model.apply(params, x, t, ctx, y)
+    assert out.shape == (1, 16, 16, 4)
+
+
+def test_tiny_unet_control_residuals():
+    cfg = tiny_unet_cfg()
+    model = U.UNetModel(cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.zeros((1,))
+    ctx = jnp.zeros((1, 77, 64))
+    params = model.init(jax.random.key(0), x, t, ctx)
+
+    # capture per-block shapes by running without control; control adds
+    # zeros so outputs must be identical
+    out_ref = model.apply(params, x, t, ctx)
+    # number of input blocks: 1 conv + levels*blocks + downsamples
+    n_in = 1 + 2 * 1 + 1  # conv_in + 2 levels x 1 resblock + 1 downsample
+    input_res = [jnp.zeros((1, 16, 16, 32)), jnp.zeros((1, 16, 16, 32)),
+                 jnp.zeros((1, 8, 8, 32)), jnp.zeros((1, 8, 8, 64))]
+    middle = jnp.zeros((1, 8, 8, 64))
+    out_ctl = model.apply(params, x, t, ctx, None, (input_res, middle))
+    np.testing.assert_allclose(
+        np.asarray(out_ref, np.float32), np.asarray(out_ctl, np.float32)
+    )
+
+
+def test_tiny_unet_ipa_tokens():
+    cfg = tiny_unet_cfg(ipa_num_tokens=4, ipa_scale=0.0)
+    model = U.UNetModel(cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    t = jnp.zeros((1,))
+    ctx = jnp.ones((1, 81, 64))  # 77 text + 4 ipa
+    params = model.init(jax.random.key(0), x, t, ctx)
+    # to_k_ipa/to_v_ipa params must exist in cross-attention
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = {"/".join(str(p) for p in path) for path, _ in flat}
+    assert any("to_k_ipa" in n for n in names)
+    out = model.apply(params, x, t, ctx)
+    assert out.shape == (1, 16, 16, 4)
+
+
+def test_vae_roundtrip_shapes():
+    cfg = V.VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1, dtype=jnp.float32)
+    model = V.AutoencoderKL(cfg)
+    x = jnp.ones((1, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)
+    mean, logvar = model.apply(params, x, method=V.AutoencoderKL.encode)
+    assert mean.shape == (1, 16, 16, 4)
+    dec = model.apply(params, mean, method=V.AutoencoderKL.decode)
+    assert dec.shape == (1, 32, 32, 3)
+    z = V.encode_to_latent(model, params, x)
+    out = V.decode_from_latent(model, params, z)
+    assert out.shape == x.shape
+
+
+def test_clip_hidden_states_and_skip():
+    cfg = C.CLIPTextConfig(
+        vocab_size=100, hidden_size=32, num_layers=3, num_heads=4,
+        intermediate_size=64, dtype=jnp.float32,
+    )
+    model = C.CLIPTextModel(cfg)
+    ids = jnp.array([[C.CLIP_BOS % 100, 5, 7, C.CLIP_EOS % 100]], jnp.int32)
+    params = model.init(jax.random.key(0), ids)
+    last, hidden, pooled = model.apply(params, ids)
+    assert len(hidden) == cfg.num_layers + 1
+    assert last.shape == (1, 4, 32)
+    # clip_skip=1 -> hidden[-1] (raw last layer, no final LN)
+    z1 = C.hidden_state_for_clip_skip(hidden, 1)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(hidden[3]))
+    z2 = C.hidden_state_for_clip_skip(hidden, 2)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(hidden[2]))
+
+
+def test_clip_inputs_embeds_path():
+    cfg = C.CLIPTextConfig(
+        vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, dtype=jnp.float32,
+    )
+    model = C.CLIPTextModel(cfg)
+    ids = jnp.array([[1, 5, 7, 2]], jnp.int32)
+    params = model.init(jax.random.key(0), ids)
+    emb = model.apply(params, ids, method=C.CLIPTextModel.embed_tokens)
+    assert emb.shape == (1, 4, 32)
+    last_a, _, _ = model.apply(params, ids)
+    last_b, _, _ = model.apply(params, inputs_embeds=emb)
+    np.testing.assert_allclose(
+        np.asarray(last_a), np.asarray(last_b), atol=1e-6
+    )
+
+
+def test_causal_mask_effect():
+    """Changing a later token must not affect earlier positions."""
+    cfg = C.CLIPTextConfig(
+        vocab_size=100, hidden_size=32, num_layers=2, num_heads=4,
+        intermediate_size=64, dtype=jnp.float32,
+    )
+    model = C.CLIPTextModel(cfg)
+    ids1 = jnp.array([[1, 5, 7, 2]], jnp.int32)
+    ids2 = jnp.array([[1, 5, 9, 3]], jnp.int32)
+    params = model.init(jax.random.key(0), ids1)
+    a, _, _ = model.apply(params, ids1)
+    b, _, _ = model.apply(params, ids2)
+    np.testing.assert_allclose(
+        np.asarray(a[:, :2]), np.asarray(b[:, :2]), atol=1e-6
+    )
+    assert not np.allclose(np.asarray(a[:, 2:]), np.asarray(b[:, 2:]))
