@@ -1,0 +1,210 @@
+"""Checkpoint -> Flax pytree loading.
+
+Replaces the reference's module-surgery loading
+(`modules/cremage/utils/ml_utils.py:333 load_model`,
+`modules/sd/image_generator.py:250-494` overlay chain) with functional
+pytree construction:
+
+- `load_state_dict(path)` reads .safetensors or torch .ckpt/.pt, with the
+  reference's A1111 flat-dict tolerance (image_generator.py:264-271: use
+  the top-level dict when there is no 'state_dict' key);
+- `build_flax_params(template, sd, prefix)` maps torch keys onto a Flax
+  param template by a *mechanical* normalized-name match (module names in
+  cremage_tpu.models flatten to the torch key strings), transposing
+  conv OIHW->HWIO and linear (out,in)->(in,out);
+- `overlay(sd_base, sd_extra)` implements the reference overlay order
+  base -> controlnet -> custom -> vae -> lora -> faceid
+  (image_generator.py:330-485) as plain dict updates.
+"""
+from __future__ import annotations
+
+import io as _io
+import logging
+import os
+import zipfile
+from typing import Any, Dict, Iterable, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# keys whose rank-2 tensors are (num, dim) tables, not linear layers
+_NO_TRANSPOSE_MARKERS = (
+    "token_embedding",
+    "position_embedding",
+    "positional_embedding",
+    "pos_embed",
+    "text_projection",   # stored (d, d) already in (in, out) by open_clip
+    "logit_scale",
+)
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def save_safetensors(path: str, tensors: Mapping[str, np.ndarray],
+                     metadata: Optional[Dict[str, str]] = None) -> None:
+    from safetensors.numpy import save_file
+
+    save_file(dict(tensors), path, metadata=metadata)
+
+
+def load_torch_ckpt(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch-pickle checkpoint to numpy (torch cpu is available)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "numpy"):
+            out[k] = v.to(torch.float32).numpy() if v.dtype in (
+                torch.float16, torch.bfloat16
+            ) else v.numpy()
+        else:
+            logger.debug("skipping non-tensor key %s", k)
+    return out
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Unified ckpt/safetensors reader (ml_utils.py:333 semantics)."""
+    if path.endswith(".safetensors"):
+        sd = load_safetensors(path)
+    else:
+        sd = load_torch_ckpt(path)
+    # A1111 flat-dict tolerance: some checkpoints nest under state_dict
+    if "state_dict" in sd and not any(k.startswith("model.") for k in sd):
+        sd = sd["state_dict"]  # pragma: no cover - rare container format
+    return sd
+
+
+def normalize_key(key: str) -> str:
+    """torch dotted key -> flattened underscore name."""
+    return key.replace(".", "_")
+
+
+def _flatten_params(tree, path=()) -> Iterable[Tuple[Tuple[str, ...], Any]]:
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            yield from _flatten_params(v, path + (str(k),))
+    else:
+        yield path, tree
+
+
+def _set_in(tree: dict, path: Tuple[str, ...], value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def convert_tensor(
+    t: np.ndarray, target_shape: Tuple[int, ...], key: str
+) -> np.ndarray:
+    """Shape-directed torch->flax tensor conversion."""
+    t = np.asarray(t)
+    if t.shape == tuple(target_shape) and not (
+        t.ndim == 2
+        and t.shape[0] == t.shape[1]
+        and not any(m in key for m in _NO_TRANSPOSE_MARKERS)
+    ):
+        return t
+    if t.ndim == 4:
+        t2 = t.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        if t2.shape == tuple(target_shape):
+            return t2
+    if t.ndim == 2:
+        if any(m in key for m in _NO_TRANSPOSE_MARKERS):
+            if t.shape == tuple(target_shape):
+                return t
+        t2 = t.T
+        if t2.shape == tuple(target_shape):
+            return t2
+    if t.shape == tuple(target_shape):
+        return t
+    raise ValueError(
+        f"cannot convert {key}: ckpt shape {t.shape} -> target {target_shape}"
+    )
+
+
+def build_flax_params(
+    template,
+    state_dict: Mapping[str, np.ndarray],
+    prefix: str = "",
+    dtype=None,
+    strict: bool = True,
+) -> Tuple[dict, list, list]:
+    """Fill a Flax param template ('params' subtree) from a torch state
+    dict. Returns (params, missing_keys, unused_ckpt_keys)."""
+    flat = dict(_flatten_params(template))
+    want = {"_".join(path): path for path, _ in flat.items()}
+
+    available = {}
+    for k, v in state_dict.items():
+        if prefix and not k.startswith(prefix):
+            continue
+        available[normalize_key(k[len(prefix):])] = (k, v)
+
+    out: dict = {}
+    missing = []
+    used = set()
+    for norm, path in want.items():
+        target = flat[path]
+        if norm in available:
+            orig_key, tensor = available[norm]
+            arr = convert_tensor(tensor, tuple(target.shape), orig_key)
+            if dtype is not None:
+                arr = arr.astype(dtype)
+            else:
+                arr = arr.astype(np.dtype(target.dtype))
+            _set_in(out, path, jnp.asarray(arr))
+            used.add(norm)
+        else:
+            missing.append("_".join(path))
+
+    unused = [available[k][0] for k in available if k not in used]
+    if strict and missing:
+        raise KeyError(
+            f"missing {len(missing)} params (first 10): {missing[:10]}"
+        )
+    return out, missing, unused
+
+
+def overlay(
+    base: Dict[str, np.ndarray], extra: Mapping[str, np.ndarray],
+    key_filter: Optional[str] = None,
+) -> Dict[str, np.ndarray]:
+    """Overlay extra weights onto base (reference overlay chain;
+    e.g. VAE override filters 'first_stage_model.' keys)."""
+    out = dict(base)
+    for k, v in extra.items():
+        if key_filter is None or k.startswith(key_filter):
+            out[k] = v
+    return out
+
+
+# Standard SD checkpoint prefixes for our model components.
+PREFIX_UNET = "model.diffusion_model."
+PREFIX_VAE = "first_stage_model."
+PREFIX_CLIP_SD15 = "cond_stage_model.transformer.text_model."
+PREFIX_CLIP_SDXL = "conditioner.embedders.0.transformer.text_model."
+PREFIX_OPENCLIP_SDXL = "conditioner.embedders.1.model."
+
+
+def vae_state_dict_from_standalone(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Standalone VAE checkpoints store keys without the first_stage_model
+    prefix; normalize to prefixed form for overlay."""
+    if any(k.startswith(PREFIX_VAE) for k in sd):
+        return {k: v for k, v in sd.items() if k.startswith(PREFIX_VAE)}
+    return {PREFIX_VAE + k: v for k, v in sd.items()
+            if k.startswith(("encoder.", "decoder.", "quant_conv", "post_quant_conv"))}
