@@ -3,20 +3,32 @@
 Prints one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline anchor (BASELINE.md): the reference's only published latency
-numbers are FLUX on a 4090 (~0.125 img/s best case); the driver metric is
-SD1.5/SDXL images/sec/chip. We report SD1.5 512^2 20-step Euler-a
-images/sec on one chip; vs_baseline is computed against 0.125 img/s (the
-reference's best published single-image rate) until a measured CUDA
-reference number is available.
+Baseline anchor (BASELINE.md): the reference publishes no SD1.5/SDXL
+throughput numbers; its best published single-image rate is FLUX on a
+4090 at ~0.125 img/s. The driver metric is images/sec/chip; vs_baseline
+is computed against 0.125 img/s until a measured CUDA reference lands.
+
+Notes for the axon-tunneled chip: compiles are slow (~30-70s each) and
+block_until_ready does not reliably block, so params are built host-side
+(no init compile) and timing forces device->host transfers.
 """
 import json
+import os
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 BASELINE_IMG_PER_S = 0.125
+
+
+def zeros_params(model, *example_args):
+    shapes = jax.eval_shape(model.init, jax.random.key(0), *example_args)
+    return jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes,
+    )
 
 
 def main():
@@ -26,44 +38,48 @@ def main():
     from cremage_tpu.samplers import schedules as S
     from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
 
-    batch = 4
-    steps = 20
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
     h = w = 64  # 512/8
 
     unet = UNetModel(sd15_unet_config())
-    x = jnp.zeros((batch, h, w, 4), jnp.float32)
-    t = jnp.zeros((batch,), jnp.float32)
-    ctx = jnp.zeros((batch, 77, 768), jnp.bfloat16)
-    params = unet.init(jax.random.key(0), x[:1], t[:1], ctx[:1])
+    x1 = jnp.zeros((1, h, w, 4), jnp.bfloat16)
+    t1 = jnp.zeros((1,), jnp.float32)
+    c1 = jnp.zeros((1, 77, 768), jnp.bfloat16)
+    params = zeros_params(unet, x1, t1, c1)
 
     vae = AutoencoderKL(VAEConfig())
-    vae_params = vae.init(jax.random.key(1), jnp.zeros((1, 8 * h, 8 * w, 3)))
+    vae_params = zeros_params(vae, jnp.zeros((1, 64, 64, 3), jnp.bfloat16))
 
     sched = S.default_sd_schedule()
     sigmas = sched.get_sigmas(steps)
 
-    def eps_model(xx, tt, cc):
-        return unet.apply(params, xx, tt, cc)
-
-    denoise = EpsDenoiser(eps_model, sched)
     c = jax.random.normal(jax.random.key(2), (batch, 77, 768), jnp.bfloat16)
     uc = jnp.zeros_like(c)
-    cfg_fn = cfg_denoiser(denoise, c, uc, scale=7.5)
 
+    # params are jit ARGUMENTS — closing over them would embed ~3.6GB of
+    # HLO constants and stall compilation through the device tunnel
     @jax.jit
-    def generate(key):
+    def generate(params, vae_params, c, uc, key):
+        def eps_model(xx, tt, cc):
+            return unet.apply(params, xx, tt, cc)
+
+        denoise = EpsDenoiser(eps_model, sched)
+        cfg_fn = cfg_denoiser(denoise, c, uc, scale=7.5)
         x0 = jax.random.normal(key, (batch, h, w, 4), jnp.float32) * float(sigmas[0])
         lat = K.sample_euler_ancestral(cfg_fn, x0, sigmas, key=key)
         img = decode_from_latent(vae, vae_params, lat.astype(jnp.bfloat16))
         return img
 
-    # warmup/compile
-    generate(jax.random.key(0)).block_until_ready()
+    # warmup/compile (force full execution via host transfer)
+    t0 = time.perf_counter()
+    np.asarray(generate(params, vae_params, c, uc, jax.random.key(0)))
+    compile_s = time.perf_counter() - t0
 
-    n_rounds = 3
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     t0 = time.perf_counter()
     for i in range(n_rounds):
-        generate(jax.random.key(i)).block_until_ready()
+        out = np.asarray(generate(params, vae_params, c, uc, jax.random.key(i + 1)))
     dt = time.perf_counter() - t0
 
     imgs_per_s = batch * n_rounds / dt
@@ -73,6 +89,8 @@ def main():
         "unit": "images/s",
         "vs_baseline": round(imgs_per_s / BASELINE_IMG_PER_S, 2),
     }))
+    # extra context on stderr-ish (still stdout but second line is ignored
+    # by the driver, which reads the first JSON line)
 
 
 if __name__ == "__main__":

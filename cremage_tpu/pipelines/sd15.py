@@ -1,0 +1,382 @@
+"""SD1.5 generation pipeline: txt2img / img2img / inpaint.
+
+Behavior contract: reference `modules/sd/image_generator.py:569 generate`
+call stack (SURVEY.md §3.2) — prompt weighting + chunking + filler-pad,
+clip_skip, sampler menu dispatch (DDIM + 11 k-diffusion), CFG, hires fix,
+batch loop with per-image seed = seed+i, wildcards re-resolved per batch,
+safety filter, watermark, PNG `generation_data` metadata. Inpainting uses
+the 9-channel UNet with [mask, masked-latent] concat conditioning
+(`modules/sd/inpaint.py:45-120` make_batch_sd + generate).
+
+TPU-first design: the whole denoising loop is one jitted lax.scan program
+per (batch, H, W, sampler, steps, cfg-on) bucket, cached; conditioning is
+precomputed host-side; models never move between devices (no low_vram
+staging); batch-axis sharding over a ('data','model') mesh happens by
+placing inputs with data_sharding before calling the jitted program.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cremage_tpu.core.config import (
+    GenerationOptions, MODE_IMAGE_TO_IMAGE, MODE_INPAINTING, MODE_TEXT_TO_IMAGE,
+)
+from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
+from cremage_tpu.models.unet import UNetModel
+from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_latent
+from cremage_tpu.pipelines.conditioning import TextEncoder, tile_batch
+from cremage_tpu.samplers import ddim as DDIM
+from cremage_tpu.samplers import kdiffusion as K
+from cremage_tpu.samplers import schedules as S
+from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
+from cremage_tpu.core.registry import SAMPLERS
+from cremage_tpu.prompt.wildcards import resolve_wildcards
+from cremage_tpu.services.safety import ImageSafetyChecker
+from cremage_tpu.services.watermark import embed_watermark
+
+logger = logging.getLogger(__name__)
+
+StatusCb = Callable[[str], None]
+
+
+@dataclasses.dataclass
+class SD15Bundle:
+    """All loaded model state for one (ckpt, vae, loras, ...) combination."""
+
+    unet: UNetModel
+    unet_params: Any
+    text: TextEncoder
+    vae: AutoencoderKL
+    vae_params: Any
+    schedule: S.DiscreteSchedule
+    controlnet: Optional[Tuple[Any, Any]] = None  # (model, params)
+    inpaint: bool = False
+
+    @property
+    def latent_channels(self) -> int:
+        return 4
+
+
+def _noop_status(msg: str) -> None:
+    pass
+
+
+class SD15Pipeline:
+    def __init__(
+        self,
+        bundle: SD15Bundle,
+        safety: Optional[ImageSafetyChecker] = None,
+        face_fixer: Optional[Callable] = None,
+    ):
+        self.bundle = bundle
+        self.safety = safety or ImageSafetyChecker()
+        self.face_fixer = face_fixer
+        self._gen_cache: Dict[Tuple, Callable] = {}
+
+    # ---------------- conditioning ----------------
+
+    def _conditioning(self, opts: GenerationOptions, batch: int):
+        c, uc = self.bundle.text.encode_pair(
+            opts.prompt, opts.negative_prompt, opts.clip_skip
+        )
+        return tile_batch(c, batch), tile_batch(uc, batch)
+
+    # ---------------- model fns ----------------
+
+    def _eps_model(self, params, extra_channels: Optional[jnp.ndarray] = None,
+                   control=None):
+        unet = self.bundle.unet
+
+        def eps(x, t, cond):
+            if extra_channels is not None:
+                ec = extra_channels
+                if ec.shape[0] != x.shape[0]:
+                    reps = x.shape[0] // ec.shape[0]
+                    ec = jnp.concatenate([ec] * reps, axis=0)
+                x = jnp.concatenate([x, ec.astype(x.dtype)], axis=-1)
+            return unet.apply(params, x, t, cond, None, control)
+
+        return eps
+
+    # ---------------- sampling ----------------
+    #
+    # NOTE on jit structure: the whole sampler run is one jitted program
+    # with the 860M-param pytree passed as an *argument*. Closing over
+    # device arrays would embed them as multi-GB HLO constants (XLA
+    # lowering captures closed-over arrays by value), which makes compiles
+    # through the TPU tunnel pathologically slow. Runner programs are
+    # cached per (sampler, steps, shapes, scale-on, ...) bucket.
+
+    def _runner(self, bucket, build):
+        fn = self._gen_cache.get(bucket)
+        if fn is None:
+            fn = jax.jit(build())
+            self._gen_cache[bucket] = fn
+        return fn
+
+    def _sample(
+        self,
+        opts: GenerationOptions,
+        x_init: Optional[jnp.ndarray],
+        c: jnp.ndarray,
+        uc: jnp.ndarray,
+        key: jax.Array,
+        steps: int,
+        t_enc: Optional[int] = None,
+        init_latent: Optional[jnp.ndarray] = None,
+        extra_channels: Optional[jnp.ndarray] = None,
+        status_cb: StatusCb = _noop_status,
+    ) -> jnp.ndarray:
+        """Run the selected sampler as one cached jitted program. If
+        t_enc is given, does partial denoising from init_latent (img2img)."""
+        name = opts.sampler
+        total = t_enc if t_enc is not None else steps
+        scale = float(opts.scale)
+        has_extra = extra_channels is not None
+        shape = (x_init if x_init is not None else init_latent).shape
+
+        # indirection so cached jitted programs always call the *current*
+        # job's status callback, not the one captured at compile time
+        self._current_status = status_cb
+
+        def progress(i):
+            self._current_status(f"{int(i) + 1} / {total}")
+
+        churn = (opts.sampler_s_churn, opts.sampler_s_tmin,
+                 opts.sampler_s_tmax, opts.sampler_s_noise)
+        bucket = (name, steps, t_enc, tuple(shape), tuple(c.shape), scale,
+                  has_extra, float(opts.ddim_eta), churn)
+
+        if name == "DDIM":
+            # recover the model's alphas_cumprod from its sigma table
+            # (sigma = sqrt((1-a)/a)  =>  a = 1/(1+sigma^2))
+            acp = 1.0 / (1.0 + self.bundle.schedule.sigmas**2)
+            sched = DDIM.make_ddim_schedule(acp, steps, eta=opts.ddim_eta)
+
+            def build():
+                def run(params, x, c, uc, key, extra):
+                    eps = self._eps_model(params, extra)
+                    eps_cfg = cfg_denoiser(eps, c, uc, scale)
+                    if t_enc is not None:
+                        noise = noise_like(key, x.shape)
+                        xt = DDIM.stochastic_encode(x, sched, t_enc - 1, noise)
+                        return DDIM.decode(eps_cfg, xt, sched, t_enc, key=key,
+                                           progress_cb=progress)
+                    return DDIM.sample(eps_cfg, x, sched, key=key,
+                                       progress_cb=progress)
+                return run
+
+            fn = self._runner(bucket, build)
+            x = init_latent if t_enc is not None else x_init
+            return fn(self.bundle.unet_params, x, c, uc, key, extra_channels)
+
+        if name not in SAMPLERS:
+            raise ValueError(f"Unsupported sampler: {name}")
+        kind = K.SAMPLER_SCHEDULE[name]
+        if kind == "model":
+            sigmas = self.bundle.schedule.get_sigmas(steps)
+        else:
+            sigmas = S.get_sigmas_karras(
+                steps, self.bundle.schedule.sigma_min, self.bundle.schedule.sigma_max
+            )
+        if t_enc is not None:
+            sigmas = S.truncate_for_img2img(sigmas, t_enc)
+        sampler_fn = SAMPLERS.get(name)
+        kwargs = {}
+        if name in ("Euler", "Heun", "DPM2"):
+            kwargs = dict(
+                s_churn=opts.sampler_s_churn, s_tmin=opts.sampler_s_tmin,
+                s_tmax=opts.sampler_s_tmax, s_noise=opts.sampler_s_noise,
+            )
+
+        def build():
+            def run(params, x, c, uc, key, extra):
+                eps = self._eps_model(params, extra)
+                denoise = EpsDenoiser(eps, self.bundle.schedule)
+                den_cfg = cfg_denoiser(denoise, c, uc, scale)
+                if t_enc is not None:
+                    x0 = x.astype(jnp.float32) + noise_like(
+                        key, x.shape
+                    ) * float(sigmas[0])
+                else:
+                    x0 = x
+                return sampler_fn(den_cfg, x0, sigmas, key=key,
+                                  progress_cb=progress, **kwargs)
+            return run
+
+        fn = self._runner(bucket, build)
+        x = init_latent if t_enc is not None else x_init
+        return fn(self.bundle.unet_params, x, c, uc, key, extra_channels)
+
+    # ---------------- high-level modes ----------------
+
+    def txt2img_latents(self, opts, c, uc, key, status_cb=_noop_status):
+        h, w = opts.H // opts.f, opts.W // opts.f
+        b = c.shape[0]
+        if opts.sampler == "DDIM":
+            x = noise_like(key, (b, h, w, self.bundle.latent_channels))
+        else:
+            kind = K.SAMPLER_SCHEDULE.get(opts.sampler, "model")
+            if kind == "model":
+                sigma0 = self.bundle.schedule.get_sigmas(opts.sampling_steps)[0]
+            else:
+                sigma0 = self.bundle.schedule.sigma_max
+            x = noise_like(key, (b, h, w, self.bundle.latent_channels)) * float(sigma0)
+        lat = self._sample(opts, x, c, uc, key, opts.sampling_steps,
+                           status_cb=status_cb)
+        if opts.use_hires_fix and opts.hires_fix_scale_factor > 1.0:
+            lat = self._hires_fix(opts, lat, c, uc, key, status_cb)
+        return lat
+
+    def _hires_fix(self, opts, lat, c, uc, key, status_cb):
+        """Latent or pixel upscale + img2img (reference
+        image_generator.py:889-999 'Latent'/'Lanczos' paths)."""
+        f = opts.hires_fix_scale_factor
+        b, h, w, ch = lat.shape
+        nh, nw = int(h * f) // 8 * 8 or 8, int(w * f) // 8 * 8 or 8
+        # keep latent dims multiple of 8 so decoded image is multiple of 64
+        nh, nw = max(nh, 8), max(nw, 8)
+        if opts.hires_fix_upscaler.lower() == "lanczos":
+            img = decode_from_latent(self.bundle.vae, self.bundle.vae_params, lat)
+            img = jax.image.resize(img, (b, nh * 8, nw * 8, 3), "lanczos3")
+            up = encode_to_latent(self.bundle.vae, self.bundle.vae_params,
+                                  img.astype(jnp.bfloat16))
+        else:  # "Latent"
+            up = jax.image.resize(lat, (b, nh, nw, ch), "nearest")
+        t_enc = max(1, int(opts.strength * opts.sampling_steps))
+        key2 = jax.random.fold_in(key, 1)
+        return self._sample(opts, None, c, uc, key2, opts.sampling_steps,
+                            t_enc=t_enc, init_latent=up, status_cb=status_cb)
+
+    def img2img_latents(self, opts, init_image: np.ndarray, c, uc, key,
+                        status_cb=_noop_status):
+        """init_image: (H,W,3) float [-1,1]."""
+        b = c.shape[0]
+        img = jnp.asarray(init_image)[None].astype(jnp.bfloat16)
+        lat = encode_to_latent(self.bundle.vae, self.bundle.vae_params, img,
+                               key=jax.random.fold_in(key, 7), sample=True)
+        lat = jnp.broadcast_to(lat, (b,) + lat.shape[1:]).astype(jnp.float32)
+        t_enc = max(1, int(opts.strength * opts.sampling_steps))
+        return self._sample(opts, None, c, uc, key, opts.sampling_steps,
+                            t_enc=t_enc, init_latent=lat, status_cb=status_cb)
+
+    def inpaint_latents(self, opts, init_image: np.ndarray, mask: np.ndarray,
+                        c, uc, key, status_cb=_noop_status):
+        """9-channel inpaint: UNet sees [x, mask_lat, masked_img_latent].
+
+        init_image (H,W,3) [-1,1]; mask (H,W) float — 1 where to inpaint
+        (reference make_batch_sd binarizes at 0.5)."""
+        assert self.bundle.inpaint, "bundle was not built with the inpaint UNet"
+        b = c.shape[0]
+        mask_b = (np.asarray(mask) >= 0.5).astype(np.float32)
+        masked = np.asarray(init_image) * (1.0 - mask_b[..., None])
+        img = jnp.asarray(masked)[None].astype(jnp.bfloat16)
+        masked_lat = encode_to_latent(self.bundle.vae, self.bundle.vae_params, img)
+        h8, w8 = masked_lat.shape[1:3]
+        mask_lat = jax.image.resize(
+            jnp.asarray(mask_b)[None, :, :, None], (1, h8, w8, 1), "nearest"
+        )
+        extra = jnp.concatenate(
+            [mask_lat.astype(jnp.float32), masked_lat.astype(jnp.float32)], axis=-1
+        )
+        extra = jnp.broadcast_to(extra, (b,) + extra.shape[1:])
+        x = noise_like(key, (b, h8, w8, self.bundle.latent_channels))
+        kind = K.SAMPLER_SCHEDULE.get(opts.sampler, "model")
+        if opts.sampler != "DDIM":
+            sigma0 = (self.bundle.schedule.get_sigmas(opts.sampling_steps)[0]
+                      if kind == "model" else self.bundle.schedule.sigma_max)
+            x = x * float(sigma0)
+        lat = self._sample(opts, x, c, uc, key, opts.sampling_steps,
+                           extra_channels=extra, status_cb=status_cb)
+        return lat, mask_b
+
+    # ---------------- full generate() ----------------
+
+    def generate(
+        self,
+        opts: GenerationOptions,
+        status_cb: StatusCb = _noop_status,
+        result_cb: Optional[Callable[[np.ndarray, Dict[str, Any]], None]] = None,
+        init_image: Optional[np.ndarray] = None,
+        mask_image: Optional[np.ndarray] = None,
+    ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
+        """Run the full job: n_iter batches x n_samples images.
+
+        Returns [(image_01 (H,W,3) float, generation_parameters dict)].
+        The reference behaviors preserved: per-image seed = seed + index,
+        wildcards re-resolved per batch, safety + watermark + metadata.
+        """
+        base_seed = resolve_seed(opts.seed)
+        results = []
+        img_index = 0
+        for it in range(opts.n_iter):
+            job = dataclasses.replace(opts)
+            if opts.wildcards_path and os.path.isdir(opts.wildcards_path):
+                job.prompt = resolve_wildcards(
+                    opts.prompt, opts.wildcards_path, rng=base_seed + img_index
+                )
+                job.negative_prompt = resolve_wildcards(
+                    opts.negative_prompt, opts.wildcards_path,
+                    rng=base_seed + img_index + 1,
+                )
+            b = opts.n_samples
+            status_cb(f"batch {it + 1}/{opts.n_iter}: encoding prompt")
+            c, uc = self._conditioning(job, b)
+            key = key_for_image(base_seed, img_index)
+
+            t0 = time.perf_counter()
+            if job.mode == MODE_TEXT_TO_IMAGE:
+                lat = self.txt2img_latents(job, c, uc, key, status_cb)
+                mask_b = None
+            elif job.mode == MODE_IMAGE_TO_IMAGE:
+                assert init_image is not None
+                lat = self.img2img_latents(job, init_image, c, uc, key, status_cb)
+                mask_b = None
+            elif job.mode == MODE_INPAINTING:
+                assert init_image is not None and mask_image is not None
+                lat, mask_b = self.inpaint_latents(
+                    job, init_image, mask_image, c, uc, key, status_cb
+                )
+            else:
+                raise ValueError(f"unknown mode {job.mode}")
+
+            status_cb("decoding")
+            imgs = decode_from_latent(
+                self.bundle.vae, self.bundle.vae_params, lat.astype(jnp.bfloat16)
+            )
+            imgs = np.asarray(imgs, np.float32)
+            imgs = np.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
+            if mask_b is not None and init_image is not None:
+                # composite inpainted region over the original
+                init01 = (np.asarray(init_image, np.float32) + 1.0) / 2.0
+                m = mask_b[None, :, :, None]
+                imgs = imgs * m + init01[None] * (1.0 - m)
+            logger.info("sampling+decode took %.2fs", time.perf_counter() - t0)
+
+            if job.safety_check:
+                imgs, flags = self.safety.check(imgs)
+
+            if self.face_fixer is not None and job.auto_face_fix:
+                imgs = np.stack([self.face_fixer(im, job) for im in imgs])
+
+            for i in range(b):
+                img = imgs[i]
+                if job.watermark:
+                    img = embed_watermark(img)
+                meta = dataclasses.asdict(job)
+                meta["seed"] = base_seed + img_index
+                meta.pop("extra", None)
+                results.append((img, meta))
+                if result_cb is not None:
+                    result_cb(img, meta)
+                img_index += 1
+        return results
