@@ -1,0 +1,159 @@
+"""CLI mirroring the reference's per-backend option namespaces
+(`modules/sd/options.py` flags; `modules/sdxl/sdxl_pipeline/options.py`
+EDM extras). Entry point:
+
+    python -m cremage_tpu.app.cli --prompt "a cat" --ckpt model.safetensors
+
+Modes: txt2img by default, img2img with --init_img, inpaint with
+--init_img + --mask_img (+ --inpaint_ckpt).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("cremage-tpu", description=__doc__)
+    # reference sd/options.py flags (names preserved)
+    p.add_argument("--prompt", type=str, default="")
+    p.add_argument("--negative_prompt", type=str, default="")
+    p.add_argument("--embedding_path", type=str, default="")
+    p.add_argument("--wildcards_path", type=str, default="")
+    p.add_argument("--clip_skip", type=int, default=1)
+    p.add_argument("--outdir", type=str, default="outputs")
+    p.add_argument("--skip_save", action="store_true")
+    p.add_argument("--sampler", type=str, default="DDIM")
+    p.add_argument("--sampling_steps", type=int, default=50)
+    p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--n_iter", type=int, default=1)
+    p.add_argument("--H", type=int, default=512)
+    p.add_argument("--W", type=int, default=512)
+    p.add_argument("--C", type=int, default=4)
+    p.add_argument("--f", type=int, default=8)
+    p.add_argument("--n_samples", type=int, default=1)
+    p.add_argument("--scale", type=float, default=7.5)
+    p.add_argument("--strength", type=float, default=0.75)
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--inpaint_ckpt", type=str, default="")
+    p.add_argument("--vae_ckpt", type=str, default="")
+    p.add_argument("--lora_models", type=str, default="")
+    p.add_argument("--lora_weights", type=str, default="")
+    p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--safety_check", action="store_true", default=False)
+    p.add_argument("--watermark", action="store_true", default=False)
+    p.add_argument("--hires_fix_upscaler", type=str, default="None")
+    p.add_argument("--hires_fix_scale_factor", type=float, default=1.5)
+    p.add_argument("--auto_face_fix", action="store_true")
+    p.add_argument("--auto_face_fix_strength", type=float, default=0.3)
+    p.add_argument("--auto_face_fix_prompt", type=str, default="")
+    p.add_argument("--auto_face_fix_face_detection_method", type=str,
+                   default="InsightFace")
+    # mode inputs
+    p.add_argument("--init_img", type=str, default="")
+    p.add_argument("--mask_img", type=str, default="")
+    # sdxl/EDM extras (options.py)
+    p.add_argument("--sampler_s_churn", type=float, default=0.0)
+    p.add_argument("--sampler_s_tmin", type=float, default=0.0)
+    p.add_argument("--sampler_s_tmax", type=float, default=999.0)
+    p.add_argument("--sampler_s_noise", type=float, default=1.0)
+    p.add_argument("--sampler_eta", type=float, default=1.0)
+    p.add_argument("--sampler_order", type=int, default=4)
+    p.add_argument("--discretization", type=str,
+                   default="LegacyDDPMDiscretization")
+    p.add_argument("--guider", type=str, default="VanillaCFG")
+    p.add_argument("--refiner_sdxl_ckpt", type=str, default="")
+    p.add_argument("--refiner_strength", type=float, default=0.0)
+    p.add_argument("--generator_model_type", type=str, default="SD 1.5")
+    return p
+
+
+def main(argv=None) -> int:
+    from cremage_tpu.core.config import (
+        GenerationOptions, MODE_IMAGE_TO_IMAGE, MODE_INPAINTING,
+        MODE_TEXT_TO_IMAGE,
+    )
+    from cremage_tpu.io.lora import parse_lora_option_string
+    from cremage_tpu.io.metadata import (
+        array_from_image, image_from_array, save_png_with_metadata,
+    )
+    from cremage_tpu.pipelines.loader import load_sd15_bundle
+    from cremage_tpu.pipelines.sd15 import SD15Pipeline
+    from PIL import Image
+
+    args = build_parser().parse_args(argv)
+    mode = MODE_TEXT_TO_IMAGE
+    init_image = mask_image = None
+    if args.init_img:
+        init_image = array_from_image(Image.open(args.init_img))
+        mode = MODE_IMAGE_TO_IMAGE
+    if args.mask_img:
+        from PIL import Image as _I
+        import numpy as np
+
+        mask_image = (
+            np.asarray(Image.open(args.mask_img).convert("L"), dtype="float32")
+            / 255.0
+        )
+        mode = MODE_INPAINTING
+
+    opts = GenerationOptions(
+        prompt=args.prompt, negative_prompt=args.negative_prompt,
+        H=args.H, W=args.W, C=args.C, f=args.f,
+        sampling_steps=args.sampling_steps, sampler=args.sampler,
+        scale=args.scale, ddim_eta=args.ddim_eta,
+        n_samples=args.n_samples, n_iter=args.n_iter, seed=args.seed,
+        clip_skip=args.clip_skip, ckpt=args.ckpt, vae_ckpt=args.vae_ckpt,
+        lora_models=args.lora_models, lora_weights=args.lora_weights,
+        embedding_path=args.embedding_path, mode=mode,
+        strength=args.strength, safety_check=args.safety_check,
+        watermark=args.watermark,
+        use_hires_fix=args.hires_fix_upscaler not in ("", "None"),
+        hires_fix_upscaler=args.hires_fix_upscaler,
+        hires_fix_scale_factor=args.hires_fix_scale_factor,
+        auto_face_fix=args.auto_face_fix,
+        auto_face_fix_strength=args.auto_face_fix_strength,
+        auto_face_fix_prompt=args.auto_face_fix_prompt,
+        outdir=args.outdir, wildcards_path=args.wildcards_path,
+        sampler_s_churn=args.sampler_s_churn,
+        sampler_s_tmin=args.sampler_s_tmin,
+        sampler_s_tmax=args.sampler_s_tmax,
+        sampler_s_noise=args.sampler_s_noise,
+        sampler_eta=args.sampler_eta, sampler_order=args.sampler_order,
+    )
+
+    ckpt = args.inpaint_ckpt if mode == MODE_INPAINTING and args.inpaint_ckpt \
+        else args.ckpt
+    bundle = load_sd15_bundle(
+        ckpt,
+        vae_ckpt=args.vae_ckpt or None,
+        loras=parse_lora_option_string(args.lora_models, args.lora_weights),
+        embedding_dir=args.embedding_path or None,
+        inpainting=(mode == MODE_INPAINTING),
+    )
+    pipe = SD15Pipeline(bundle)
+
+    os.makedirs(args.outdir, exist_ok=True)
+    t0 = time.perf_counter()
+    results = pipe.generate(
+        opts, status_cb=lambda m: print(m, file=sys.stderr),
+        init_image=init_image, mask_image=mask_image,
+    )
+    dt = time.perf_counter() - t0
+    print(f"{len(results)} images in {dt:.1f}s "
+          f"({len(results)/dt:.3f} img/s)", file=sys.stderr)
+
+    if not args.skip_save:
+        base = int(time.time())
+        for i, (img, meta) in enumerate(results):
+            path = os.path.join(args.outdir, f"{base}_{i:05}.png")
+            save_png_with_metadata(image_from_array(img), path, meta)
+            print(path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

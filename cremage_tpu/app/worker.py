@@ -1,0 +1,119 @@
+"""Job queue + engine worker — the L4 equivalent of the reference's
+UI<->ML process bridge (`modules/cremage/mp/mp.py`).
+
+Same message protocol:
+- jobs are dicts {"type": "inference", "generator_model_type": <GMT_*>,
+  "mode": <text_to_image|image_to_image|inpainting>, "parameters": {...}}
+  (mp.py:46-121 dispatch);
+- the status channel carries str progress messages and
+  {"image": png_bytes, "generation_parameters": json_str} results
+  (image_generator.py:1231-1238).
+
+TPU-native design difference: one process, a worker *thread* — a TPU
+device can't be shared across forked processes, and all heavy work runs
+on device anyway. Improvements over the reference (SURVEY.md §5 "failure
+detection"): every job produces a structured terminal message
+{"job_done": {"ok": bool, "error": str|None}} instead of dying silently,
+and backends are registered lazily per model family like the reference's
+lazy imports.
+"""
+from __future__ import annotations
+
+import io
+import json
+import logging
+import queue
+import threading
+import traceback
+from typing import Any, Callable, Dict, Optional
+
+logger = logging.getLogger(__name__)
+
+MP_MESSAGE_TYPE_EXIT = "exit"
+MP_MESSAGE_TYPE_INFERENCE = "inference"
+
+
+class EngineWorker:
+    """Single worker thread draining a job queue into pipeline backends.
+
+    `backends` maps generator_model_type -> factory() -> callable
+    generate(parameters: dict, status_cb, result_cb). Factories run
+    lazily on first use (model load happens in the worker thread)."""
+
+    def __init__(self):
+        self.job_queue: "queue.Queue[dict]" = queue.Queue()
+        self.status_queue: "queue.Queue[Any]" = queue.Queue()
+        self._factories: Dict[str, Callable[[], Callable]] = {}
+        self._backends: Dict[str, Callable] = {}
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+
+    def register_backend(self, model_type: str,
+                         factory: Callable[[], Callable]) -> None:
+        self._factories[model_type] = factory
+
+    def start(self) -> None:
+        if self._thread is not None:
+            return
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="cremage-tpu-worker")
+        self._thread.start()
+
+    def stop(self, join: bool = True) -> None:
+        self.job_queue.put({"type": MP_MESSAGE_TYPE_EXIT})
+        if join and self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def submit(self, job: dict) -> None:
+        self.job_queue.put(job)
+
+    # -------------------------------------------------------------
+
+    def _backend_for(self, model_type: str) -> Callable:
+        if model_type not in self._backends:
+            if model_type not in self._factories:
+                raise KeyError(f"no backend registered for {model_type!r}")
+            self._backends[model_type] = self._factories[model_type]()
+        return self._backends[model_type]
+
+    def _loop(self) -> None:
+        while self._running:
+            job = self.job_queue.get()
+            if job.get("type") == MP_MESSAGE_TYPE_EXIT:
+                self._running = False
+                break
+            if job.get("type") != MP_MESSAGE_TYPE_INFERENCE:
+                logger.warning("unknown job type %r", job.get("type"))
+                continue
+            ok, err = True, None
+            try:
+                backend = self._backend_for(job["generator_model_type"])
+                backend(
+                    job.get("parameters", {}),
+                    self.status_queue.put,
+                    lambda img, meta: self.status_queue.put(
+                        make_result_message(img, meta)
+                    ),
+                )
+            except Exception as e:  # structured failure, keep worker alive
+                logger.exception("job failed")
+                ok, err = False, f"{type(e).__name__}: {e}"
+            self.status_queue.put({"job_done": {"ok": ok, "error": err}})
+
+
+def make_result_message(img, meta: Dict[str, Any]) -> Dict[str, Any]:
+    """Encode an image result exactly like the reference's status payload:
+    PNG bytes + generation_parameters JSON (with metadata embedded in the
+    PNG as well)."""
+    from cremage_tpu.io.metadata import image_from_array, GENERATION_DATA_KEY
+    from PIL.PngImagePlugin import PngInfo
+
+    pil = image_from_array(img)
+    meta_json = json.dumps(meta)
+    info = PngInfo()
+    info.add_text(GENERATION_DATA_KEY, meta_json)
+    buf = io.BytesIO()
+    pil.save(buf, format="PNG", pnginfo=info)
+    return {"image": buf.getvalue(), "generation_parameters": meta_json}
