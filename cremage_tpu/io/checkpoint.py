@@ -201,6 +201,59 @@ PREFIX_CLIP_SDXL = "conditioner.embedders.0.transformer.text_model."
 PREFIX_OPENCLIP_SDXL = "conditioner.embedders.1.model."
 
 
+def clip_text_subdict(
+    sd: Mapping[str, np.ndarray], prefix: str = PREFIX_CLIP_SD15
+) -> Dict[str, np.ndarray]:
+    """HF CLIPTextModel keys -> our module naming (token/position
+    embeddings are bare params; encoder. level dropped)."""
+    out = {}
+    for k, v in sd.items():
+        if not k.startswith(prefix):
+            continue
+        k2 = k[len(prefix):]
+        k2 = k2.replace("embeddings.token_embedding.weight", "token_embedding")
+        k2 = k2.replace("embeddings.position_embedding.weight",
+                        "position_embedding")
+        if k2.startswith("encoder.layers."):
+            k2 = k2[len("encoder."):]
+        if k2 == "embeddings.position_ids":
+            continue
+        out[k2] = v
+    return out
+
+
+def openclip_text_subdict(
+    sd: Mapping[str, np.ndarray], prefix: str = PREFIX_OPENCLIP_SDXL
+) -> Dict[str, np.ndarray]:
+    """OpenCLIP text-tower keys -> our module naming: fused
+    attn.in_proj_{weight,bias} split into q/k/v (row order [q;k;v]),
+    token_embedding.weight -> bare param; logit_scale/attn_mask dropped."""
+    out = {}
+    for k, v in sd.items():
+        if not k.startswith(prefix):
+            continue
+        k2 = k[len(prefix):]
+        if k2 in ("logit_scale", "attn_mask") or k2.startswith("visual."):
+            continue
+        if k2.endswith("attn.in_proj_weight"):
+            base = k2[: -len("in_proj_weight")]
+            q, kk, vv = np.split(np.asarray(v), 3, axis=0)
+            out[base + "q_proj.weight"] = q
+            out[base + "k_proj.weight"] = kk
+            out[base + "v_proj.weight"] = vv
+            continue
+        if k2.endswith("attn.in_proj_bias"):
+            base = k2[: -len("in_proj_bias")]
+            q, kk, vv = np.split(np.asarray(v), 3, axis=0)
+            out[base + "q_proj.bias"] = q
+            out[base + "k_proj.bias"] = kk
+            out[base + "v_proj.bias"] = vv
+            continue
+        k2 = k2.replace("token_embedding.weight", "token_embedding")
+        out[k2] = v
+    return out
+
+
 def vae_state_dict_from_standalone(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Standalone VAE checkpoints store keys without the first_stage_model
     prefix; normalize to prefixed form for overlay."""

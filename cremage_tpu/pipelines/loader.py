@@ -68,8 +68,9 @@ def load_sd15_bundle(
 
     clip = CLIPTextModel(CLIPTextConfig(**dd))
     clip_tmpl = _template(clip, jnp.zeros((1, 77), jnp.int32))
+    clip_sd = CK.clip_text_subdict(sd, CK.PREFIX_CLIP_SD15)
     clip_params, _, _ = CK.build_flax_params(
-        clip_tmpl, sd, CK.PREFIX_CLIP_SD15, dtype=policy.param_dtype,
+        clip_tmpl, clip_sd, prefix="", dtype=policy.param_dtype,
         strict=False,
     )
 
@@ -93,5 +94,109 @@ def load_sd15_bundle(
     )
     if use_cache:
         _bundle_cache.clear()  # hold one combination, like the reference
+        _bundle_cache[cache_key] = bundle
+    return bundle
+
+
+def load_sdxl_bundle(
+    ckpt: str,
+    vae_ckpt: Optional[str] = None,
+    refiner_ckpt: Optional[str] = None,
+    loras: Sequence[Tuple[str, float]] = (),
+    embedding_dir: Optional[str] = None,
+    policy: DTypePolicy = DEFAULT_POLICY,
+    use_cache: bool = True,
+):
+    """SDXL base (+ optional refiner) bundle; overlay + LoRA merge as in
+    `sdxl_image_generator.py:438-477` / `init_st`."""
+    from cremage_tpu.models.open_clip import OpenCLIPTextModel, openclip_bigg_config
+    from cremage_tpu.models.unet import sdxl_base_unet_config, sdxl_refiner_unet_config
+    from cremage_tpu.models.vae import sdxl_vae_config
+    from cremage_tpu.pipelines.sdxl import SDXLBundle, SDXLConditioner
+
+    cache_key = ("sdxl", ckpt, vae_ckpt, refiner_ckpt, tuple(loras),
+                 embedding_dir, str(policy.param_dtype))
+    if use_cache and cache_key in _bundle_cache:
+        return _bundle_cache[cache_key]
+
+    sd = CK.load_state_dict(ckpt)
+    if vae_ckpt:
+        vae_sd = CK.vae_state_dict_from_standalone(CK.load_state_dict(vae_ckpt))
+        sd = CK.overlay(sd, vae_sd, key_filter=CK.PREFIX_VAE)
+
+    dd = dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
+    unet_cfg = sdxl_base_unet_config(**dd)
+    unet = UNetModel(unet_cfg)
+    unet_tmpl = _template(
+        unet, jnp.zeros((1, 8, 8, 4), policy.compute_dtype), jnp.zeros((1,)),
+        jnp.zeros((1, 77, 2048)), jnp.zeros((1, 2816)),
+    )
+    unet_params, _, _ = CK.build_flax_params(
+        unet_tmpl, sd, CK.PREFIX_UNET, dtype=policy.param_dtype
+    )
+
+    vae = AutoencoderKL(sdxl_vae_config(**dd))
+    vae_tmpl = _template(vae, jnp.zeros((1, 64, 64, 3), policy.compute_dtype))
+    vae_params, _, _ = CK.build_flax_params(
+        vae_tmpl, sd, CK.PREFIX_VAE, dtype=policy.param_dtype
+    )
+
+    clip = CLIPTextModel(CLIPTextConfig(**dd))
+    clip_tmpl = _template(clip, jnp.zeros((1, 77), jnp.int32))
+    clip_params, _, _ = CK.build_flax_params(
+        clip_tmpl, CK.clip_text_subdict(sd, CK.PREFIX_CLIP_SDXL), prefix="",
+        dtype=policy.param_dtype, strict=False,
+    )
+
+    oc = OpenCLIPTextModel(openclip_bigg_config(**dd))
+    oc_tmpl = _template(oc, jnp.zeros((1, 77), jnp.int32))
+    oc_params, _, _ = CK.build_flax_params(
+        oc_tmpl, CK.openclip_text_subdict(sd, CK.PREFIX_OPENCLIP_SDXL),
+        prefix="", dtype=policy.param_dtype, strict=False,
+    )
+
+    for path, weight in loras:
+        lora_sd = CK.load_state_dict(path)
+        merged, skipped = merge_lora(unet_params, clip_params, lora_sd,
+                                     weight, unet_cfg)
+        logger.info("LoRA %s: merged %d, skipped %d", path, merged, skipped)
+
+    tok = default_tokenizer()
+    conditioner = SDXLConditioner(
+        (clip, {"params": clip_params}), (oc, {"params": oc_params}), tok,
+        embedding_dir,
+    )
+
+    refiner_unet = refiner_params = refiner_cond = None
+    if refiner_ckpt:
+        rsd = CK.load_state_dict(refiner_ckpt)
+        r_cfg = sdxl_refiner_unet_config(**dd)
+        refiner_unet = UNetModel(r_cfg)
+        r_tmpl = _template(
+            refiner_unet, jnp.zeros((1, 8, 8, 4), policy.compute_dtype),
+            jnp.zeros((1,)), jnp.zeros((1, 77, 1280)), jnp.zeros((1, 2560)),
+        )
+        rp, _, _ = CK.build_flax_params(r_tmpl, rsd, CK.PREFIX_UNET,
+                                        dtype=policy.param_dtype)
+        refiner_params = {"params": rp}
+        roc = OpenCLIPTextModel(openclip_bigg_config(**dd))
+        roc_params, _, _ = CK.build_flax_params(
+            oc_tmpl, CK.openclip_text_subdict(
+                rsd, "conditioner.embedders.0.model."),
+            prefix="", dtype=policy.param_dtype, strict=False,
+        )
+        refiner_cond = SDXLConditioner(
+            None, (roc, {"params": roc_params}), tok, embedding_dir,
+            refiner_mode=True,
+        )
+
+    bundle = SDXLBundle(
+        unet=unet, unet_params={"params": unet_params},
+        conditioner=conditioner, vae=vae, vae_params={"params": vae_params},
+        refiner_unet=refiner_unet, refiner_params=refiner_params,
+        refiner_conditioner=refiner_cond,
+    )
+    if use_cache:
+        _bundle_cache.clear()
         _bundle_cache[cache_key] = bundle
     return bundle

@@ -1,0 +1,377 @@
+"""SDXL generation pipeline: base txt2img/img2img + refiner.
+
+Behavior contract (reference `modules/sdxl/sdxl_pipeline/
+sdxl_image_generator.py` + `sdxl_image_generator_utils.py`, SURVEY.md
+§3.3):
+- GeneralConditioner: crossattn = concat(CLIP-L hidden_states[11] chunks,
+  OpenCLIP-bigG penultimate chunks) -> (B, 77n, 2048); vector = concat(
+  bigG pooled (mean over 77-token chunks, EOS-position, ln_final +
+  text_projection), 256-d Fourier embeddings of original_size (H,W),
+  crop_coords (top,left), target_size (H,W)) -> (B, 2816); the refiner
+  conditioner swaps target_size for aesthetic_score -> (B, 2560);
+- EDM sampler menu (EulerEDM/HeunEDM/EulerAncestral/DPMPP2SAncestral/
+  DPMPP2M/LinearMultistep), guiders (VanillaCFG/Identity/Linear/Triangle),
+  discretizations (LegacyDDPM/EDM), s_churn/s_tmin/s_tmax/s_noise/eta/
+  order options;
+- refiner: second DiffusionEngine applied img2img-style on the base
+  latents with `sdxl_refiner_strength` leftover noise
+  (`apply_refiner` sdxl_image_generator.py:307, do_img2img);
+- sgm input scaling x0 = N(0,1)*sqrt(1+sigma0^2).
+
+Same jit discipline as SD1.5: one cached scanned program per bucket with
+params passed as arguments.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cremage_tpu.core.config import GenerationOptions
+from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
+from cremage_tpu.io.ti import load_embedding
+from cremage_tpu.models.clip import CLIPTextModel
+from cremage_tpu.models.layers import timestep_embedding
+from cremage_tpu.models.open_clip import OpenCLIPTextModel
+from cremage_tpu.models.unet import UNetModel
+from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_latent
+from cremage_tpu.prompt.chunking import generate_weighted_chunks, make_ti_fetch
+from cremage_tpu.prompt.parser import compute_prompt_score
+from cremage_tpu.prompt.tokenizer import CLIPTokenizer
+from cremage_tpu.samplers import edm as EDM
+from cremage_tpu.samplers import schedules as S
+from cremage_tpu.core.registry import GUIDERS
+from cremage_tpu.services.safety import ImageSafetyChecker
+from cremage_tpu.services.watermark import embed_watermark
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# conditioner
+# ---------------------------------------------------------------------------
+
+def fourier_vector_embedding(values: np.ndarray, outdim: int = 256) -> np.ndarray:
+    """ConcatTimestepEmbedderND semantics: each scalar -> timestep_embedding
+    (outdim), flattened (sgm encoders ConcatTimestepEmbedderND)."""
+    vals = np.asarray(values, np.float32).reshape(-1)
+    emb = timestep_embedding(jnp.asarray(vals), outdim)
+    return np.asarray(emb, np.float32).reshape(-1)
+
+
+class SDXLConditioner:
+    """Dual text tower + size/crop vector conditioning."""
+
+    def __init__(
+        self,
+        clip_l: Optional[Tuple[CLIPTextModel, Any]],
+        open_clip: Tuple[OpenCLIPTextModel, Any],
+        tokenizer: CLIPTokenizer,
+        embedding_dir: Optional[str] = None,
+        refiner_mode: bool = False,
+    ):
+        self.clip_l = clip_l
+        self.open_clip = open_clip
+        self.tokenizer = tokenizer
+        self.embedding_dir = embedding_dir
+        self.refiner_mode = refiner_mode
+
+    # --- per-tower embedding helpers ---
+
+    def _embed_l(self, ids):
+        model, params = self.clip_l
+        return np.asarray(model.apply(
+            params, jnp.asarray(np.asarray(ids, np.int32)),
+            method=CLIPTextModel.embed_tokens), np.float32)
+
+    def _embed_g(self, ids):
+        model, params = self.open_clip
+        return np.asarray(model.apply(
+            params, jnp.asarray(np.asarray(ids, np.int32)),
+            method=OpenCLIPTextModel.embed_tokens), np.float32)
+
+    def _chunks(self, prompt: str, tower: str):
+        pairs = compute_prompt_score(prompt)
+        ti = make_ti_fetch(self.embedding_dir, load_embedding,
+                           tower_key="clip_l" if tower == "l" else "clip_g")
+        embed = self._embed_l if tower == "l" else self._embed_g
+        return generate_weighted_chunks(self.tokenizer, embed, pairs, ti_fetch=ti)
+
+    def _encode_l(self, prompt: str) -> np.ndarray:
+        """CLIP-L penultimate hidden state per chunk (reference config
+        layer='hidden', layer_idx=11 == num_layers-1 for ViT-L)."""
+        model, params = self.clip_l
+        chunks, _ = self._chunks(prompt, "l")
+        outs = []
+        idx = model.cfg.num_layers - 1
+        for ch in chunks:
+            _, hidden, _ = model.apply(params, inputs_embeds=jnp.asarray(ch[None]))
+            outs.append(np.asarray(hidden[idx][0], np.float32))
+        return np.concatenate(outs, axis=0)
+
+    def _encode_g(self, prompt: str) -> Tuple[np.ndarray, np.ndarray]:
+        """bigG penultimate chunks + mean pooled (ln_final[eos] @ proj)."""
+        model, params = self.open_clip
+        chunks, eos_list = self._chunks(prompt, "g")
+        outs, pooled = [], []
+        for ch, eos in zip(chunks, eos_list):
+            hidden, final = model.apply(params, inputs_embeds=jnp.asarray(ch[None]))
+            outs.append(np.asarray(hidden[model.cfg.num_layers - 1][0], np.float32))
+            p = model.apply(params, final, jnp.asarray([eos]),
+                            method=OpenCLIPTextModel.project_pooled)
+            pooled.append(np.asarray(p[0], np.float32))
+        return np.concatenate(outs, axis=0), np.stack(pooled).mean(axis=0)
+
+    def encode_cond(
+        self,
+        prompt: str,
+        *,
+        orig_size: Tuple[int, int],
+        crop_coords: Tuple[int, int] = (0, 0),
+        target_size: Optional[Tuple[int, int]] = None,
+        aesthetic_score: float = 6.0,
+        zero_text: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        g_cross, pooled = self._encode_g(prompt)
+        if self.refiner_mode:
+            cross = g_cross
+        else:
+            l_cross = self._encode_l(prompt)
+            # align chunk counts (long prompts tokenize differently per
+            # tower); pad the shorter with its own empty-prompt chunk
+            while l_cross.shape[0] < g_cross.shape[0]:
+                l_cross = np.concatenate([l_cross, self._encode_l("")], axis=0)
+            while g_cross.shape[0] < l_cross.shape[0]:
+                g_pad, _ = self._encode_g("")
+                g_cross = np.concatenate([g_cross, g_pad], axis=0)
+            cross = np.concatenate([l_cross, g_cross], axis=-1)
+        if zero_text:
+            cross = np.zeros_like(cross)
+            pooled = np.zeros_like(pooled)
+
+        vec_parts = [pooled,
+                     fourier_vector_embedding(orig_size),
+                     fourier_vector_embedding(crop_coords)]
+        if self.refiner_mode:
+            vec_parts.append(fourier_vector_embedding([aesthetic_score]))
+        else:
+            vec_parts.append(fourier_vector_embedding(target_size or orig_size))
+        vector = np.concatenate(vec_parts, axis=0)
+        return {"crossattn": cross, "vector": vector}
+
+    def encode_pair(
+        self, opts: GenerationOptions, batch: int,
+        aesthetic_pos: float = 6.0, aesthetic_neg: float = 2.5,
+        force_uc_zero: bool = False,
+    ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+        size = (opts.H, opts.W)
+        c = self.encode_cond(opts.prompt, orig_size=size,
+                             aesthetic_score=aesthetic_pos)
+        uc = self.encode_cond(opts.negative_prompt, orig_size=size,
+                              aesthetic_score=aesthetic_neg,
+                              zero_text=force_uc_zero)
+        # filler-pad crossattn to equal multiple-of-77 length
+        # (reference sdxl_image_generator_utils.py:621-650)
+        while c["crossattn"].shape[0] < uc["crossattn"].shape[0]:
+            c["crossattn"] = np.concatenate(
+                [c["crossattn"],
+                 self.encode_cond("", orig_size=size)["crossattn"]], axis=0)
+        while uc["crossattn"].shape[0] < c["crossattn"].shape[0]:
+            uc["crossattn"] = np.concatenate(
+                [uc["crossattn"],
+                 self.encode_cond("", orig_size=size)["crossattn"]], axis=0)
+
+        def tile(d):
+            return {
+                "crossattn": jnp.asarray(
+                    np.broadcast_to(d["crossattn"][None],
+                                    (batch,) + d["crossattn"].shape)),
+                "vector": jnp.asarray(
+                    np.broadcast_to(d["vector"][None],
+                                    (batch,) + d["vector"].shape)),
+            }
+
+        return tile(c), tile(uc)
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SDXLBundle:
+    unet: UNetModel
+    unet_params: Any
+    conditioner: SDXLConditioner
+    vae: AutoencoderKL
+    vae_params: Any
+    refiner_unet: Optional[UNetModel] = None
+    refiner_params: Any = None
+    refiner_conditioner: Optional[SDXLConditioner] = None
+
+
+def _noop_status(msg: str) -> None:
+    pass
+
+
+class SDXLPipeline:
+    def __init__(self, bundle: SDXLBundle,
+                 safety: Optional[ImageSafetyChecker] = None,
+                 face_fixer: Optional[Callable] = None):
+        self.bundle = bundle
+        self.safety = safety or ImageSafetyChecker()
+        self.face_fixer = face_fixer
+        self._cache: Dict[Tuple, Callable] = {}
+        self._current_status: Callable = _noop_status
+
+    def _sampler_program(
+        self, unet: UNetModel, opts: GenerationOptions, shape, cond_shape,
+        t_enc: Optional[int], num_frames: int = 1,
+    ):
+        steps = opts.sampling_steps
+        disc = EDM.make_discretization(
+            opts.discretization,
+            sigma_min=opts.discretization_sigma_min,
+            sigma_max=opts.discretization_sigma_max,
+            rho=opts.discretization_rho,
+        )
+        sigmas = disc(steps)
+        if t_enc is not None:
+            sigmas = S.truncate_for_img2img(sigmas, t_enc)
+        guider_kwargs = dict(
+            scale=opts.scale,
+            min_scale=opts.linear_prediction_guider_min_scale,
+            max_scale=(opts.linear_prediction_guider_max_scale
+                       if opts.guider == "LinearPredictionGuider"
+                       else opts.triangle_prediction_guider_max_scale),
+            num_frames=num_frames,
+        )
+        guider = GUIDERS.get(opts.guider)
+        sampler_name = opts.sampler
+
+        def progress(i):
+            total = len(sigmas) - 1
+            self._current_status(f"Sampling {int(i) + 1} / {total}")
+
+        def run(params, x, c, uc, key):
+            def network(xx, tt, cond):
+                return unet.apply(params, xx, tt,
+                                  cond["crossattn"], cond["vector"])
+
+            denoiser = EDM.DiscreteDenoiserSGM(
+                network,
+                EDM.LegacyDDPMDiscretization()(1000, do_append_zero=False),
+            )
+            denoise = guider(denoiser, c, uc, **guider_kwargs)
+            return EDM.run_sgm_sampler(
+                sampler_name, denoise, x, sigmas, key=key,
+                s_churn=opts.sampler_s_churn, s_tmin=opts.sampler_s_tmin,
+                s_tmax=opts.sampler_s_tmax, s_noise=opts.sampler_s_noise,
+                eta=opts.sampler_eta, order=opts.sampler_order,
+                scale_input=(t_enc is None), progress_cb=progress,
+            )
+
+        bucket = ("sdxl", id(unet), sampler_name, steps, t_enc, tuple(shape),
+                  tuple(cond_shape), float(opts.scale), opts.guider,
+                  opts.discretization, float(opts.sampler_eta),
+                  float(opts.sampler_s_churn), num_frames)
+        fn = self._cache.get(bucket)
+        if fn is None:
+            fn = jax.jit(run)
+            self._cache[bucket] = fn
+        return fn, sigmas
+
+    def txt2img_latents(self, opts, c, uc, key, status_cb=_noop_status):
+        self._current_status = status_cb
+        b = c["crossattn"].shape[0]
+        h, w = opts.H // 8, opts.W // 8
+        x = noise_like(key, (b, h, w, 4))
+        fn, _ = self._sampler_program(
+            self.bundle.unet, opts, x.shape, c["crossattn"].shape, None
+        )
+        return fn(self.bundle.unet_params, x, c, uc, key)
+
+    def refine_latents(self, opts, lat, key, status_cb=_noop_status):
+        """Refiner pass (apply_refiner): img2img on base latents with
+        refiner_strength leftover noise."""
+        self._current_status = status_cb
+        rcond = self.bundle.refiner_conditioner
+        assert rcond is not None and self.bundle.refiner_unet is not None
+        b = lat.shape[0]
+        ropts = dataclasses.replace(opts)
+        c, uc = rcond.encode_pair(ropts, b)
+        t_enc = max(1, int(opts.refiner_strength * opts.sampling_steps))
+        fn, sigmas = self._sampler_program(
+            self.bundle.refiner_unet, ropts, lat.shape, c["crossattn"].shape,
+            t_enc,
+        )
+        noisy = lat.astype(jnp.float32) + noise_like(key, lat.shape) * float(
+            sigmas[0]
+        )
+        return fn(self.bundle.refiner_params, noisy, c, uc, key)
+
+    def generate(
+        self,
+        opts: GenerationOptions,
+        status_cb=_noop_status,
+        result_cb=None,
+        init_image: Optional[np.ndarray] = None,
+    ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
+        base_seed = resolve_seed(opts.seed)
+        results = []
+        img_index = 0
+        for it in range(opts.n_iter):
+            b = opts.n_samples
+            status_cb(f"batch {it + 1}/{opts.n_iter}: encoding prompt")
+            c, uc = self.bundle.conditioner.encode_pair(opts, b)
+            key = key_for_image(base_seed, img_index)
+
+            if init_image is not None:
+                img = jnp.asarray(init_image)[None].astype(jnp.bfloat16)
+                lat0 = encode_to_latent(self.bundle.vae, self.bundle.vae_params,
+                                        img)
+                lat0 = jnp.broadcast_to(lat0, (b,) + lat0.shape[1:])
+                t_enc = max(1, int(opts.strength * opts.sampling_steps))
+                fn, sigmas = self._sampler_program(
+                    self.bundle.unet, opts, lat0.shape, c["crossattn"].shape,
+                    t_enc,
+                )
+                self._current_status = status_cb
+                noisy = lat0.astype(jnp.float32) + noise_like(
+                    key, lat0.shape) * float(sigmas[0])
+                lat = fn(self.bundle.unet_params, noisy, c, uc, key)
+            else:
+                lat = self.txt2img_latents(opts, c, uc, key, status_cb)
+
+            if opts.refiner_strength > 0 and self.bundle.refiner_unet is not None:
+                status_cb("refining")
+                lat = self.refine_latents(opts, lat,
+                                          jax.random.fold_in(key, 99), status_cb)
+
+            status_cb("decoding")
+            imgs = decode_from_latent(
+                self.bundle.vae, self.bundle.vae_params, lat.astype(jnp.bfloat16)
+            )
+            imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
+
+            if opts.safety_check:
+                imgs, _ = self.safety.check(imgs)
+            if self.face_fixer is not None and opts.auto_face_fix:
+                imgs = np.stack([self.face_fixer(im, opts) for im in imgs])
+
+            for i in range(b):
+                img = imgs[i]
+                if opts.watermark:
+                    img = embed_watermark(img)  # payload "Cremage"
+                meta = dataclasses.asdict(opts)
+                meta["seed"] = base_seed + img_index
+                meta.pop("extra", None)
+                results.append((img, meta))
+                if result_cb is not None:
+                    result_cb(img, meta)
+                img_index += 1
+        return results
