@@ -1,23 +1,164 @@
-"""Pallas flash attention for TPU (placeholder dispatch for now).
+"""Pallas TPU flash attention (forward, inference).
 
-The real blockwise kernel lands in the kernels milestone; this module
-keeps the dispatch seam stable: `flash_attention_or_fallback` routes to
-the XLA einsum path until the Pallas kernel is enabled, then becomes the
-fast path for long latent-token sequences (SDXL 1024^2 => 4096 tokens).
+The hot kernel of UNet/DiT self-attention at large latent sizes: SDXL
+1024^2 => 4096 tokens, hires 2048^2 => 16384 tokens. Blockwise online
+softmax keeps the N x N score matrix out of HBM entirely:
+
+- grid (B*H, Nq/bq, Nk/bk), innermost k-axis sequential on a TPU core;
+- running row-max m and denominator l live in VMEM scratch across the
+  k sweep (fp32, lane-replicated), output accumulator in fp32;
+- logits/softmax in fp32 on the MXU (preferred_element_type), inputs
+  bf16;
+- head_dim padded to a lane multiple (128); padded key rows are masked
+  with -inf, padded q rows are sliced off on return.
+
+Dispatch policy (`flash_attention_or_fallback`): the Pallas kernel runs
+on TPU for self-attention-scale problems (Nk >= 1024); small/cross
+attention (77-token text context) stays on the XLA einsum path where it
+is already optimal. On CPU the kernel runs in interpret mode only when
+forced (tests); otherwise XLA.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
 
 
 def _is_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
-    except Exception:
+    except Exception:  # pragma: no cover
         return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref,
+    m_scratch, l_scratch, acc_scratch,
+    *, scale: float, bk: int, nk_valid: int, nk_blocks: int,
+):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    q = q_ref[0]                      # (bq, d)
+    k = k_ref[0]                      # (bk, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                          # (bq, bk) fp32
+
+    # mask padded key rows
+    if nk_valid % bk != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
+        s = jnp.where(col < nk_valid, s, NEG_INF)
+
+    m_prev = m_scratch[...]            # (bq, 128) lane-replicated
+    l_prev = l_scratch[...]
+    m_cur = jnp.max(s, axis=1, keepdims=True)          # (bq, 1)
+    m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+    alpha = jnp.exp(m_prev - m_new)                    # (bq, 128)
+    p = jnp.exp(s - m_new[:, :1])                      # (bq, bk)
+    l_new = alpha * l_prev + jnp.broadcast_to(
+        jnp.sum(p, axis=1, keepdims=True), l_prev.shape
+    )
+    m_scratch[...] = m_new
+    l_scratch[...] = l_new
+
+    pv = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                   # (bq, d) fp32
+    acc_scratch[...] = acc_scratch[...] * alpha[:, :1] + pv
+
+    @pl.when(j == nk_blocks - 1)
+    def _finalize():
+        o_ref[0] = (acc_scratch[...] / l_scratch[..., :1]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "bq", "bk", "interpret"))
+def _flash_bhnd(q, k, v, scale: float, bq: int = 256, bk: int = 512,
+                interpret: bool = False):
+    """q: (BH, Nq, d); k,v: (BH, Nk, d); d already lane-aligned."""
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    nq_pad = _round_up(nq, bq)
+    nk_pad = _round_up(nk, bk)
+    if nq_pad != nq:
+        q = jnp.pad(q, ((0, 0), (0, nq_pad - nq), (0, 0)))
+    if nk_pad != nk:
+        k = jnp.pad(k, ((0, 0), (0, nk_pad - nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, nk_pad - nk), (0, 0)))
+    nq_blocks = nq_pad // bq
+    nk_blocks = nk_pad // bk
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, bk=bk, nk_valid=nk, nk_blocks=nk_blocks
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, nq_blocks, nk_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :nq]
+
+
+def flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    *, scale: Optional[float] = None, bq: int = 256, bk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """q,k,v: (B, N, H, D) -> (B, Nq, H, D)."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    if scale is None:
+        scale = d**-0.5
+    d_pad = _round_up(d, 128)
+
+    def to_bhnd(x, n):
+        x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)
+        if d_pad != d:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, d_pad - d)))
+        return x
+
+    qf = to_bhnd(q, nq)
+    kf = to_bhnd(k, nk)
+    vf = to_bhnd(v, nk)
+    of = _flash_bhnd(qf, kf, vf, float(scale), bq=bq, bk=bk,
+                     interpret=interpret)
+    of = of[:, :, :d].reshape(b, h, nq, d)
+    return jnp.swapaxes(of, 1, 2).astype(q.dtype)
+
+
+# Nk threshold above which the blockwise kernel beats plain einsum on TPU
+FLASH_MIN_KV = 1024
 
 
 def flash_attention_or_fallback(
@@ -30,4 +171,9 @@ def flash_attention_or_fallback(
 ) -> jnp.ndarray:
     from cremage_tpu.ops.attention import dot_product_attention_xla
 
+    nk = k.shape[1]
+    if force:
+        return flash_attention(q, k, v, scale=scale, interpret=not _is_tpu())
+    if _is_tpu() and nk >= FLASH_MIN_KV and q.shape[1] >= FLASH_MIN_KV:
+        return flash_attention(q, k, v, scale=scale)
     return dot_product_attention_xla(q, k, v, scale=scale)

@@ -37,11 +37,12 @@ def load_sd15_bundle(
     loras: Sequence[Tuple[str, float]] = (),
     embedding_dir: Optional[str] = None,
     inpainting: bool = False,
+    control_ckpt: Optional[str] = None,
     policy: DTypePolicy = DEFAULT_POLICY,
     use_cache: bool = True,
 ) -> SD15Bundle:
     cache_key = (ckpt, vae_ckpt, tuple(loras), embedding_dir, inpainting,
-                 str(policy.param_dtype))
+                 control_ckpt, str(policy.param_dtype))
     if use_cache and cache_key in _bundle_cache:
         logger.info("bundle cache hit for %s", ckpt)
         return _bundle_cache[cache_key]
@@ -81,6 +82,22 @@ def load_sd15_bundle(
                                      weight, unet_cfg)
         logger.info("LoRA %s: merged %d modules, skipped %d", path, merged, skipped)
 
+    controlnet = None
+    if control_ckpt:
+        from cremage_tpu.models.controlnet import ControlNet, PREFIX_CONTROLNET
+
+        cn_sd = CK.load_state_dict(control_ckpt)
+        cn = ControlNet(unet_cfg)
+        cn_tmpl = _template(
+            cn, jnp.zeros((1, 8, 8, 4), policy.compute_dtype),
+            jnp.zeros((1, 64, 64, 3), policy.compute_dtype),
+            jnp.zeros((1,)), jnp.zeros((1, 77, 768)),
+        )
+        cn_params, _, _ = CK.build_flax_params(
+            cn_tmpl, cn_sd, PREFIX_CONTROLNET, dtype=policy.param_dtype
+        )
+        controlnet = (cn, {"params": cn_params})
+
     text = TextEncoder(clip, {"params": clip_params}, default_tokenizer(),
                        embedding_dir)
     bundle = SD15Bundle(
@@ -90,6 +107,7 @@ def load_sd15_bundle(
         vae=vae,
         vae_params={"params": vae_params},
         schedule=S.default_sd_schedule(),
+        controlnet=controlnet,
         inpaint=inpainting,
     )
     if use_cache:

@@ -93,15 +93,26 @@ class SD15Pipeline:
     # ---------------- model fns ----------------
 
     def _eps_model(self, params, extra_channels: Optional[jnp.ndarray] = None,
-                   control=None):
+                   cn_params=None, hint: Optional[jnp.ndarray] = None,
+                   control_weight: float = 1.0):
         unet = self.bundle.unet
+        cn_model = self.bundle.controlnet[0] if self.bundle.controlnet else None
+
+        def _tile(arr, b):
+            if arr.shape[0] != b:
+                reps = b // arr.shape[0]
+                arr = jnp.concatenate([arr] * reps, axis=0)
+            return arr
 
         def eps(x, t, cond):
+            control = None
+            if cn_model is not None and hint is not None:
+                h = _tile(hint, x.shape[0])
+                res_in, res_mid = cn_model.apply(cn_params, x, h, t, cond)
+                control = ([r * control_weight for r in res_in],
+                           res_mid * control_weight)
             if extra_channels is not None:
-                ec = extra_channels
-                if ec.shape[0] != x.shape[0]:
-                    reps = x.shape[0] // ec.shape[0]
-                    ec = jnp.concatenate([ec] * reps, axis=0)
+                ec = _tile(extra_channels, x.shape[0])
                 x = jnp.concatenate([x, ec.astype(x.dtype)], axis=-1)
             return unet.apply(params, x, t, cond, None, control)
 
@@ -134,6 +145,8 @@ class SD15Pipeline:
         t_enc: Optional[int] = None,
         init_latent: Optional[jnp.ndarray] = None,
         extra_channels: Optional[jnp.ndarray] = None,
+        hint: Optional[jnp.ndarray] = None,
+        control_weight: float = 1.0,
         status_cb: StatusCb = _noop_status,
     ) -> jnp.ndarray:
         """Run the selected sampler as one cached jitted program. If
@@ -154,7 +167,8 @@ class SD15Pipeline:
         churn = (opts.sampler_s_churn, opts.sampler_s_tmin,
                  opts.sampler_s_tmax, opts.sampler_s_noise)
         bucket = (name, steps, t_enc, tuple(shape), tuple(c.shape), scale,
-                  has_extra, float(opts.ddim_eta), churn)
+                  has_extra, float(opts.ddim_eta), churn,
+                  hint is not None, float(control_weight))
 
         if name == "DDIM":
             # recover the model's alphas_cumprod from its sigma table
@@ -163,8 +177,9 @@ class SD15Pipeline:
             sched = DDIM.make_ddim_schedule(acp, steps, eta=opts.ddim_eta)
 
             def build():
-                def run(params, x, c, uc, key, extra):
-                    eps = self._eps_model(params, extra)
+                def run(params, x, c, uc, key, extra, cn_params, hint_arr):
+                    eps = self._eps_model(params, extra, cn_params, hint_arr,
+                                          control_weight)
                     eps_cfg = cfg_denoiser(eps, c, uc, scale)
                     if t_enc is not None:
                         noise = noise_like(key, x.shape)
@@ -177,7 +192,9 @@ class SD15Pipeline:
 
             fn = self._runner(bucket, build)
             x = init_latent if t_enc is not None else x_init
-            return fn(self.bundle.unet_params, x, c, uc, key, extra_channels)
+            cn_params = self.bundle.controlnet[1] if self.bundle.controlnet else None
+            return fn(self.bundle.unet_params, x, c, uc, key, extra_channels,
+                      cn_params, hint)
 
         if name not in SAMPLERS:
             raise ValueError(f"Unsupported sampler: {name}")
@@ -199,8 +216,9 @@ class SD15Pipeline:
             )
 
         def build():
-            def run(params, x, c, uc, key, extra):
-                eps = self._eps_model(params, extra)
+            def run(params, x, c, uc, key, extra, cn_params, hint_arr):
+                eps = self._eps_model(params, extra, cn_params, hint_arr,
+                                      control_weight)
                 denoise = EpsDenoiser(eps, self.bundle.schedule)
                 den_cfg = cfg_denoiser(denoise, c, uc, scale)
                 if t_enc is not None:
@@ -215,11 +233,14 @@ class SD15Pipeline:
 
         fn = self._runner(bucket, build)
         x = init_latent if t_enc is not None else x_init
-        return fn(self.bundle.unet_params, x, c, uc, key, extra_channels)
+        cn_params = self.bundle.controlnet[1] if self.bundle.controlnet else None
+        return fn(self.bundle.unet_params, x, c, uc, key, extra_channels,
+                  cn_params, hint)
 
     # ---------------- high-level modes ----------------
 
-    def txt2img_latents(self, opts, c, uc, key, status_cb=_noop_status):
+    def txt2img_latents(self, opts, c, uc, key, status_cb=_noop_status,
+                        hint=None, control_weight=1.0):
         h, w = opts.H // opts.f, opts.W // opts.f
         b = c.shape[0]
         if opts.sampler == "DDIM":
@@ -232,6 +253,7 @@ class SD15Pipeline:
                 sigma0 = self.bundle.schedule.sigma_max
             x = noise_like(key, (b, h, w, self.bundle.latent_channels)) * float(sigma0)
         lat = self._sample(opts, x, c, uc, key, opts.sampling_steps,
+                           hint=hint, control_weight=control_weight,
                            status_cb=status_cb)
         if opts.use_hires_fix and opts.hires_fix_scale_factor > 1.0:
             lat = self._hires_fix(opts, lat, c, uc, key, status_cb)
@@ -308,6 +330,8 @@ class SD15Pipeline:
         result_cb: Optional[Callable[[np.ndarray, Dict[str, Any]], None]] = None,
         init_image: Optional[np.ndarray] = None,
         mask_image: Optional[np.ndarray] = None,
+        control_image: Optional[np.ndarray] = None,
+        control_weight: float = 1.0,
     ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
         """Run the full job: n_iter batches x n_samples images.
 
@@ -333,9 +357,18 @@ class SD15Pipeline:
             c, uc = self._conditioning(job, b)
             key = key_for_image(base_seed, img_index)
 
+            hint = None
+            if control_image is not None and self.bundle.controlnet is not None:
+                # control image in [0,1], NHWC (reference cldm hint range)
+                hint = jnp.asarray(control_image, jnp.float32)
+                if hint.ndim == 3:
+                    hint = hint[None]
+
             t0 = time.perf_counter()
             if job.mode == MODE_TEXT_TO_IMAGE:
-                lat = self.txt2img_latents(job, c, uc, key, status_cb)
+                lat = self.txt2img_latents(job, c, uc, key, status_cb,
+                                           hint=hint,
+                                           control_weight=control_weight)
                 mask_b = None
             elif job.mode == MODE_IMAGE_TO_IMAGE:
                 assert init_image is not None
