@@ -38,11 +38,14 @@ def load_sd15_bundle(
     embedding_dir: Optional[str] = None,
     inpainting: bool = False,
     control_ckpt: Optional[str] = None,
+    faceid_ckpt: Optional[str] = None,
+    face_strength: float = 1.0,
     policy: DTypePolicy = DEFAULT_POLICY,
     use_cache: bool = True,
 ) -> SD15Bundle:
     cache_key = (ckpt, vae_ckpt, tuple(loras), embedding_dir, inpainting,
-                 control_ckpt, str(policy.param_dtype))
+                 control_ckpt, faceid_ckpt, face_strength,
+                 str(policy.param_dtype))
     if use_cache and cache_key in _bundle_cache:
         logger.info("bundle cache hit for %s", ckpt)
         return _bundle_cache[cache_key]
@@ -53,12 +56,18 @@ def load_sd15_bundle(
         sd = CK.overlay(sd, vae_sd, key_filter=CK.PREFIX_VAE)
 
     dd = dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
-    unet_cfg = sd15_unet_config(in_channels=9 if inpainting else 4, **dd)
+    num_ipa = 4 if faceid_ckpt else 0
+    unet_cfg = sd15_unet_config(
+        in_channels=9 if inpainting else 4,
+        ipa_num_tokens=num_ipa, ipa_scale=1.0 if faceid_ckpt else 0.0, **dd,
+    )
     unet = UNetModel(unet_cfg)
     x = jnp.zeros((1, 8, 8, unet_cfg.in_channels), policy.compute_dtype)
-    unet_tmpl = _template(unet, x, jnp.zeros((1,)), jnp.zeros((1, 77, 768)))
+    unet_tmpl = _template(unet, x, jnp.zeros((1,)),
+                          jnp.zeros((1, 77 + num_ipa, 768)))
     unet_params, miss, _ = CK.build_flax_params(
-        unet_tmpl, sd, CK.PREFIX_UNET, dtype=policy.param_dtype
+        unet_tmpl, sd, CK.PREFIX_UNET, dtype=policy.param_dtype,
+        strict=not faceid_ckpt,  # to_k_ipa/to_v_ipa come from the FaceID ckpt
     )
 
     vae = AutoencoderKL(VAEConfig(**dd))
@@ -81,6 +90,23 @@ def load_sd15_bundle(
         merged, skipped = merge_lora(unet_params, clip_params, lora_sd,
                                      weight, unet_cfg)
         logger.info("LoRA %s: merged %d modules, skipped %d", path, merged, skipped)
+
+    faceid_proj = None
+    if faceid_ckpt:
+        from cremage_tpu.io.faceid import load_faceid_checkpoint, merge_faceid
+        from cremage_tpu.models.faceid import FaceIDProjConfig, MLPProjModel
+
+        proj_sd, ip_sd = load_faceid_checkpoint(faceid_ckpt)
+        merged, installed = merge_faceid(unet_params, ip_sd, unet_cfg,
+                                         weight=face_strength)
+        logger.info("FaceID: merged %d lora layers, %d ipa projections",
+                    merged, installed)
+        proj = MLPProjModel(FaceIDProjConfig())
+        proj_tmpl = _template(proj, jnp.zeros((1, 512)))
+        proj_params, _, _ = CK.build_flax_params(
+            proj_tmpl, proj_sd, prefix="", dtype=policy.param_dtype
+        )
+        faceid_proj = (proj, {"params": proj_params})
 
     controlnet = None
     if control_ckpt:
@@ -109,6 +135,8 @@ def load_sd15_bundle(
         schedule=S.default_sd_schedule(),
         controlnet=controlnet,
         inpaint=inpainting,
+        faceid_proj=faceid_proj,
+        faceid_num_tokens=num_ipa,
     )
     if use_cache:
         _bundle_cache.clear()  # hold one combination, like the reference

@@ -60,6 +60,8 @@ class SD15Bundle:
     schedule: S.DiscreteSchedule
     controlnet: Optional[Tuple[Any, Any]] = None  # (model, params)
     inpaint: bool = False
+    faceid_proj: Optional[Tuple[Any, Any]] = None  # (MLPProjModel, params)
+    faceid_num_tokens: int = 0
 
     @property
     def latent_channels(self) -> int:
@@ -84,10 +86,24 @@ class SD15Pipeline:
 
     # ---------------- conditioning ----------------
 
-    def _conditioning(self, opts: GenerationOptions, batch: int):
+    def _conditioning(self, opts: GenerationOptions, batch: int,
+                      face_embedding: Optional[np.ndarray] = None):
         c, uc = self.bundle.text.encode_pair(
             opts.prompt, opts.negative_prompt, opts.clip_skip
         )
+        if self.bundle.faceid_proj is not None and face_embedding is not None:
+            # 4 FaceID tokens appended after the 77n text tokens; uncond
+            # side gets tokens from a zero id-embedding (reference
+            # ip_adapter get_image_embeds + image_generator.py:810-814)
+            proj, proj_params = self.bundle.faceid_proj
+            emb = np.asarray(face_embedding, np.float32).reshape(1, -1)
+            tok_c = np.asarray(proj.apply(proj_params, jnp.asarray(emb)),
+                               np.float32)[0]
+            tok_uc = np.asarray(
+                proj.apply(proj_params, jnp.zeros_like(jnp.asarray(emb))),
+                np.float32)[0]
+            c = np.concatenate([c, tok_c], axis=0)
+            uc = np.concatenate([uc, tok_uc], axis=0)
         return tile_batch(c, batch), tile_batch(uc, batch)
 
     # ---------------- model fns ----------------
@@ -332,6 +348,7 @@ class SD15Pipeline:
         mask_image: Optional[np.ndarray] = None,
         control_image: Optional[np.ndarray] = None,
         control_weight: float = 1.0,
+        face_embedding: Optional[np.ndarray] = None,
     ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
         """Run the full job: n_iter batches x n_samples images.
 
@@ -354,7 +371,7 @@ class SD15Pipeline:
                 )
             b = opts.n_samples
             status_cb(f"batch {it + 1}/{opts.n_iter}: encoding prompt")
-            c, uc = self._conditioning(job, b)
+            c, uc = self._conditioning(job, b, face_embedding)
             key = key_for_image(base_seed, img_index)
 
             hint = None
