@@ -33,12 +33,24 @@ class VAEConfig:
     in_channels: int = 3
     out_ch: int = 3
     scale_factor: float = 0.18215
+    shift_factor: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
 
 def sdxl_vae_config(**kw) -> VAEConfig:
     return VAEConfig(scale_factor=0.13025, **kw)
+
+
+def sd3_vae_config(**kw) -> VAEConfig:
+    """16-channel VAE (SD3): z=(x-shift)*scale."""
+    return VAEConfig(z_channels=16, embed_dim=16, scale_factor=1.5305,
+                     shift_factor=0.0609, **kw)
+
+
+def flux_vae_config(**kw) -> VAEConfig:
+    return VAEConfig(z_channels=16, embed_dim=16, scale_factor=0.3611,
+                     shift_factor=0.1159, **kw)
 
 
 class ResnetBlock(nn.Module):
@@ -194,7 +206,7 @@ class AutoencoderKL(nn.Module):
 
 
 def encode_to_latent(vae: AutoencoderKL, params, x, key=None, sample=False):
-    """Image [-1,1] NHWC -> scaled latent (z * scale_factor)."""
+    """Image [-1,1] NHWC -> scaled latent z = (mean - shift) * scale."""
     mean, logvar = vae.apply(params, x, method=AutoencoderKL.encode)
     if sample and key is not None:
         z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
@@ -202,10 +214,11 @@ def encode_to_latent(vae: AutoencoderKL, params, x, key=None, sample=False):
         ).astype(mean.dtype)
     else:
         z = mean
-    return z * vae.cfg.scale_factor
+    return (z - vae.cfg.shift_factor) * vae.cfg.scale_factor
 
 
 def decode_from_latent(vae: AutoencoderKL, params, z):
     """Scaled latent -> image [-1,1] NHWC (reference decode_first_stage
-    divides by scale_factor: ddpm.py decode_first_stage)."""
-    return vae.apply(params, z / vae.cfg.scale_factor, method=AutoencoderKL.decode)
+    divides by scale_factor; SD3/FLUX add the shift back)."""
+    z = z / vae.cfg.scale_factor + vae.cfg.shift_factor
+    return vae.apply(params, z, method=AutoencoderKL.decode)

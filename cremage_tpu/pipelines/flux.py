@@ -1,0 +1,164 @@
+"""FLUX.1 txt2img pipeline (packed-latent flow transformer).
+
+Behavior contract: reference `modules/flux/txt2img.py` — FLUX.1-schnell
+assembled from CLIP (pooled only) + T5 + transformer + VAE, txt2img, 4
+default steps, no CFG for schnell (guidance_scale embedded for dev);
+low_mem/keep_instance are CUDA memory knobs that do not apply on TPU
+(the whole model stays resident).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cremage_tpu.core.config import GenerationOptions
+from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
+from cremage_tpu.models.clip import CLIPTextModel
+from cremage_tpu.models.flux import (
+    FluxModel, make_position_ids, pack_latents, unpack_latents,
+)
+from cremage_tpu.models.t5 import T5Encoder
+from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.prompt.tokenizer import CLIPTokenizer
+from cremage_tpu.samplers import flow as F
+from cremage_tpu.services.safety import ImageSafetyChecker
+from cremage_tpu.services.watermark import embed_watermark
+
+logger = logging.getLogger(__name__)
+
+
+class FluxConditioner:
+    """CLIP pooled (768) + T5 context tokens."""
+
+    def __init__(
+        self,
+        clip_l: Tuple[CLIPTextModel, Any],
+        tokenizer: CLIPTokenizer,
+        t5: Optional[Tuple[T5Encoder, Any]] = None,
+        t5_tokenize: Optional[Callable[[str], np.ndarray]] = None,
+        t5_len: int = 256,
+    ):
+        self.clip_l = clip_l
+        self.tokenizer = tokenizer
+        self.t5 = t5
+        self.t5_tokenize = t5_tokenize
+        self.t5_len = t5_len
+
+    def encode(self, prompt: str) -> Dict[str, np.ndarray]:
+        model, params = self.clip_l
+        ids = self.tokenizer.encode_with_specials(prompt)
+        last, _, pooled = model.apply(params, jnp.asarray([ids], jnp.int32))
+        pooled = np.asarray(pooled[0], np.float32)
+        t5_dim = self.t5[0].cfg.d_model if self.t5 else 4096
+        if self.t5 is not None and self.t5_tokenize is not None:
+            tids = np.asarray(self.t5_tokenize(prompt), np.int64)[: self.t5_len]
+            tids = np.pad(tids, (0, self.t5_len - len(tids)))
+            txt = np.asarray(self.t5[0].apply(
+                self.t5[1], jnp.asarray(tids[None])), np.float32)[0]
+        else:
+            txt = np.zeros((self.t5_len, t5_dim), np.float32)
+        return {"txt": txt, "vec": pooled}
+
+
+@dataclasses.dataclass
+class FluxBundle:
+    model: FluxModel
+    params: Any
+    conditioner: FluxConditioner
+    vae: AutoencoderKL
+    vae_params: Any
+
+
+def _noop(msg):
+    pass
+
+
+class FluxPipeline:
+    def __init__(self, bundle: FluxBundle,
+                 safety: Optional[ImageSafetyChecker] = None):
+        self.bundle = bundle
+        self.safety = safety or ImageSafetyChecker()
+        self._cache: Dict[Tuple, Callable] = {}
+        self._current_status: Callable = _noop
+
+    def _program(self, opts, hp, wp, txt_len, b):
+        model = self.bundle.model
+        steps = opts.sampling_steps
+        seq_len = hp * wp
+        if model.cfg.guidance_embed:
+            mu = F.flux_mu(seq_len)
+            sigmas = F.flow_sigmas(steps, mu=mu)
+        else:
+            sigmas = F.flow_sigmas(steps)
+        txt_ids, img_ids = make_position_ids(hp, wp, txt_len)
+        guidance_scale = float(opts.scale)
+
+        def progress(i):
+            self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
+
+        def run(params, x_tokens, txt, vec, key):
+            def v_fn(xx, sigma):
+                bsz = xx.shape[0]
+                t = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (bsz,))
+                guidance = (
+                    jnp.full((bsz,), guidance_scale, jnp.float32)
+                    if model.cfg.guidance_embed else None
+                )
+                return model.apply(params, xx, txt, t, vec, img_ids, txt_ids,
+                                   guidance)
+
+            return F.sample_flow_euler(v_fn, x_tokens, sigmas, key=key,
+                                       progress_cb=progress)
+
+        bucket = ("flux", steps, hp, wp, txt_len, b, guidance_scale)
+        fn = self._cache.get(bucket)
+        if fn is None:
+            fn = jax.jit(run)
+            self._cache[bucket] = fn
+        return fn
+
+    def generate(self, opts: GenerationOptions, status_cb=_noop,
+                 result_cb=None) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
+        base_seed = resolve_seed(opts.seed)
+        self._current_status = status_cb
+        results = []
+        img_index = 0
+        for it in range(opts.n_iter):
+            b = opts.n_samples
+            status_cb("encoding prompt")
+            cond = self.bundle.conditioner.encode(opts.prompt)
+            txt = jnp.asarray(np.broadcast_to(
+                cond["txt"][None], (b,) + cond["txt"].shape))
+            vec = jnp.asarray(np.broadcast_to(
+                cond["vec"][None], (b,) + cond["vec"].shape))
+            key = key_for_image(base_seed, img_index)
+            h, w = opts.H // 8, opts.W // 8
+            hp, wp = h // 2, w // 2
+            lat = noise_like(key, (b, h, w, 16))
+            x_tokens = pack_latents(lat)
+            fn = self._program(opts, hp, wp, txt.shape[1], b)
+            out_tokens = fn(self.bundle.params, x_tokens, txt, vec, key)
+            lat = unpack_latents(out_tokens, h, w)
+            status_cb("decoding")
+            imgs = decode_from_latent(self.bundle.vae, self.bundle.vae_params,
+                                      lat.astype(jnp.bfloat16))
+            imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
+            if opts.safety_check:
+                imgs, _ = self.safety.check(imgs)
+            for i in range(b):
+                img = imgs[i]
+                if opts.watermark:
+                    img = embed_watermark(img)
+                meta = dataclasses.asdict(opts)
+                meta["seed"] = base_seed + img_index
+                meta.pop("extra", None)
+                results.append((img, meta))
+                if result_cb:
+                    result_cb(img, meta)
+                img_index += 1
+        return results

@@ -1,0 +1,210 @@
+"""SD3 txt2img pipeline (MMDiT + rectified flow).
+
+Behavior contract: reference `modules/sd3/txt2img.py` — diffusers
+StableDiffusion3Pipeline from a single-file checkpoint, txt2img only,
+optional T5 (the reference exposes quantize_t5; here T5 is optional and
+its context slots are zeros when absent, diffusers' no-T5 mode).
+
+Conditioning (SD3 contract):
+- crossattn = [concat(CLIP-L penultimate (77,768), bigG penultimate
+  (77,1280)) zero-padded to 4096 ; T5 tokens (77, 4096)] -> (154, 4096);
+- pooled = concat(CLIP-L pooled (768), bigG pooled (1280)) -> (2048);
+- CFG over velocity; FlowEuler with shift=3 sigmas.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cremage_tpu.core.config import GenerationOptions
+from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
+from cremage_tpu.io.ti import load_embedding
+from cremage_tpu.models.clip import CLIPTextModel
+from cremage_tpu.models.mmdit import MMDiT
+from cremage_tpu.models.open_clip import OpenCLIPTextModel
+from cremage_tpu.models.t5 import T5Encoder
+from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.prompt.chunking import generate_weighted_chunks, make_ti_fetch
+from cremage_tpu.prompt.parser import compute_prompt_score
+from cremage_tpu.prompt.tokenizer import CLIPTokenizer
+from cremage_tpu.samplers import flow as F
+from cremage_tpu.services.safety import ImageSafetyChecker
+from cremage_tpu.services.watermark import embed_watermark
+
+logger = logging.getLogger(__name__)
+
+
+class SD3Conditioner:
+    """CLIP-L + bigG (+ optional T5) -> (crossattn (L,4096), pooled (2048))."""
+
+    def __init__(
+        self,
+        clip_l: Tuple[CLIPTextModel, Any],
+        open_clip: Tuple[OpenCLIPTextModel, Any],
+        tokenizer: CLIPTokenizer,
+        t5: Optional[Tuple[T5Encoder, Any]] = None,
+        t5_tokenize: Optional[Callable[[str], np.ndarray]] = None,
+        t5_len: int = 77,
+        t5_dim: int = 4096,
+        embedding_dir: Optional[str] = None,
+    ):
+        self.clip_l = clip_l
+        self.open_clip = open_clip
+        self.tokenizer = tokenizer
+        self.t5 = t5
+        self.t5_tokenize = t5_tokenize
+        self.t5_len = t5_len
+        self.t5_dim = t5[0].cfg.d_model if t5 else t5_dim
+        self.embedding_dir = embedding_dir
+
+    def _clip_parts(self, prompt: str):
+        model_l, params_l = self.clip_l
+        model_g, params_g = self.open_clip
+        pairs = compute_prompt_score(prompt)
+        ti_l = make_ti_fetch(self.embedding_dir, load_embedding, "clip_l")
+        ti_g = make_ti_fetch(self.embedding_dir, load_embedding, "clip_g")
+
+        def embed_l(ids):
+            return np.asarray(model_l.apply(
+                params_l, jnp.asarray(np.asarray(ids, np.int32)),
+                method=CLIPTextModel.embed_tokens), np.float32)
+
+        def embed_g(ids):
+            return np.asarray(model_g.apply(
+                params_g, jnp.asarray(np.asarray(ids, np.int32)),
+                method=OpenCLIPTextModel.embed_tokens), np.float32)
+
+        cl, el = generate_weighted_chunks(self.tokenizer, embed_l, pairs, ti_l)
+        cg, eg = generate_weighted_chunks(self.tokenizer, embed_g, pairs, ti_g)
+        # first chunk only (SD3 uses 77 tokens per tower)
+        last_l, hid_l, _ = model_l.apply(
+            params_l, inputs_embeds=jnp.asarray(cl[0][None]))
+        zl = np.asarray(hid_l[model_l.cfg.num_layers - 1][0], np.float32)
+        # CLIP-L pooled: final-LN state at the EOS position
+        pooled_l = np.asarray(last_l[0], np.float32)[el[0]]
+
+        hid_g, final_g = model_g.apply(params_g, inputs_embeds=jnp.asarray(cg[0][None]))
+        zg = np.asarray(hid_g[model_g.cfg.num_layers - 1][0], np.float32)
+        pooled_g = np.asarray(model_g.apply(
+            params_g, final_g, jnp.asarray([eg[0]]),
+            method=OpenCLIPTextModel.project_pooled)[0], np.float32)
+        return zl, pooled_l, zg, pooled_g
+
+    def encode(self, prompt: str) -> Dict[str, np.ndarray]:
+        zl, pooled_l, zg, pooled_g = self._clip_parts(prompt)
+        clip_cross = np.concatenate([zl, zg], axis=-1)  # (77, 2048)
+        t5_dim = self.t5_dim
+        clip_cross = np.pad(
+            clip_cross, ((0, 0), (0, t5_dim - clip_cross.shape[-1]))
+        )
+        if self.t5 is not None and self.t5_tokenize is not None:
+            ids = np.asarray(self.t5_tokenize(prompt), np.int64)[: self.t5_len]
+            ids = np.pad(ids, (0, self.t5_len - len(ids)))
+            t5_out = np.asarray(self.t5[0].apply(
+                self.t5[1], jnp.asarray(ids[None])), np.float32)[0]
+        else:
+            t5_out = np.zeros((self.t5_len, t5_dim), np.float32)
+        cross = np.concatenate([clip_cross, t5_out], axis=0)
+        pooled = np.concatenate([pooled_l, pooled_g], axis=0)
+        return {"crossattn": cross, "pooled": pooled}
+
+    def encode_pair(self, opts: GenerationOptions, batch: int):
+        c = self.encode(opts.prompt)
+        uc = self.encode(opts.negative_prompt)
+
+        def tile(d):
+            return {
+                k: jnp.asarray(np.broadcast_to(v[None], (batch,) + v.shape))
+                for k, v in d.items()
+            }
+
+        return tile(c), tile(uc)
+
+
+@dataclasses.dataclass
+class SD3Bundle:
+    mmdit: MMDiT
+    mmdit_params: Any
+    conditioner: SD3Conditioner
+    vae: AutoencoderKL
+    vae_params: Any
+    shift: float = 3.0
+
+
+def _noop(msg):
+    pass
+
+
+class SD3Pipeline:
+    def __init__(self, bundle: SD3Bundle,
+                 safety: Optional[ImageSafetyChecker] = None):
+        self.bundle = bundle
+        self.safety = safety or ImageSafetyChecker()
+        self._cache: Dict[Tuple, Callable] = {}
+        self._current_status: Callable = _noop
+
+    def _program(self, opts: GenerationOptions, shape, cond_shapes):
+        sigmas = F.sd3_sigmas(opts.sampling_steps, self.bundle.shift)
+        scale = float(opts.scale)
+        mmdit = self.bundle.mmdit
+
+        def progress(i):
+            self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
+
+        def run(params, x, c, uc, key):
+            def v_model(xx, tt, cond):
+                return mmdit.apply(params, xx, tt * 1000.0,
+                                   cond["crossattn"], cond["pooled"])
+
+            v = F.cfg_velocity(v_model, c, uc, scale)
+            return F.sample_flow_euler(v, x, sigmas, key=key,
+                                       progress_cb=progress)
+
+        bucket = ("sd3", opts.sampling_steps, tuple(shape), cond_shapes, scale)
+        fn = self._cache.get(bucket)
+        if fn is None:
+            fn = jax.jit(run)
+            self._cache[bucket] = fn
+        return fn
+
+    def generate(self, opts: GenerationOptions, status_cb=_noop,
+                 result_cb=None) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
+        base_seed = resolve_seed(opts.seed)
+        self._current_status = status_cb
+        results = []
+        img_index = 0
+        for it in range(opts.n_iter):
+            b = opts.n_samples
+            status_cb("encoding prompt")
+            c, uc = self.bundle.conditioner.encode_pair(opts, b)
+            key = key_for_image(base_seed, img_index)
+            h, w = opts.H // 8, opts.W // 8
+            x = noise_like(key, (b, h, w, 16))
+            fn = self._program(
+                opts, x.shape,
+                (tuple(c["crossattn"].shape), tuple(c["pooled"].shape)),
+            )
+            lat = fn(self.bundle.mmdit_params, x, c, uc, key)
+            status_cb("decoding")
+            imgs = decode_from_latent(self.bundle.vae, self.bundle.vae_params,
+                                      lat.astype(jnp.bfloat16))
+            imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
+            if opts.safety_check:
+                imgs, _ = self.safety.check(imgs)
+            for i in range(b):
+                img = imgs[i]
+                if opts.watermark:
+                    img = embed_watermark(img)
+                meta = dataclasses.asdict(opts)
+                meta["seed"] = base_seed + img_index
+                meta.pop("extra", None)
+                results.append((img, meta))
+                if result_cb:
+                    result_cb(img, meta)
+                img_index += 1
+        return results

@@ -1,0 +1,111 @@
+"""Rectified-flow (flow matching) sampling for SD3 / FLUX.
+
+x_sigma = (1 - sigma) * x0 + sigma * noise; the model predicts velocity
+v = noise - x0; Euler integration x += (sigma_next - sigma) * v.
+
+Schedules:
+- SD3: sigmas = shifted linspace with shift=3.0
+  (sigma' = shift*s / (1 + (shift-1)*s));
+- FLUX-dev: resolution-dependent "mu" time shift
+  (sigma' = exp(mu) / (exp(mu) + (1/s - 1)));
+- FLUX-schnell: unshifted.
+
+The reference reaches these through diffusers
+FlowMatchEulerDiscreteScheduler (`modules/sd3/txt2img.py`,
+`modules/flux/txt2img.py`); here they are host-precomputed arrays driving
+one lax.scan like every other sampler in samplers/.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cremage_tpu.core.registry import SAMPLERS
+from cremage_tpu.samplers.kdiffusion import _report
+
+
+def shift_sigmas(sigmas: np.ndarray, shift: float) -> np.ndarray:
+    return shift * sigmas / (1 + (shift - 1) * sigmas)
+
+
+def time_shift_mu(sigmas: np.ndarray, mu: float) -> np.ndarray:
+    return math.exp(mu) / (math.exp(mu) + (1 / np.maximum(sigmas, 1e-9) - 1))
+
+
+def flux_mu(image_seq_len: int, base_len: int = 256, max_len: int = 4096,
+            base_shift: float = 0.5, max_shift: float = 1.15) -> float:
+    m = (max_shift - base_shift) / (max_len - base_len)
+    b = base_shift - m * base_len
+    return image_seq_len * m + b
+
+
+def flow_sigmas(
+    steps: int, shift: float = 1.0, mu: Optional[float] = None
+) -> np.ndarray:
+    """Descending sigmas in (0,1], trailing 0 appended."""
+    sigmas = np.linspace(1.0, 1.0 / steps, steps, dtype=np.float64)
+    if mu is not None:
+        sigmas = time_shift_mu(sigmas, mu)
+    elif shift != 1.0:
+        sigmas = shift_sigmas(sigmas, shift)
+    return np.concatenate([sigmas, [0.0]])
+
+
+def sd3_sigmas(steps: int, shift: float = 3.0) -> np.ndarray:
+    return flow_sigmas(steps, shift=shift)
+
+
+@SAMPLERS.register("FlowEuler")
+def sample_flow_euler(
+    v_fn: Callable,           # v_fn(x, sigma_scalar) -> velocity
+    x: jnp.ndarray,
+    sigmas,
+    *,
+    key=None,
+    progress_cb=None,
+) -> jnp.ndarray:
+    sig = np.asarray(sigmas, np.float64)
+    n = len(sig) - 1
+    x = x.astype(jnp.float32)
+
+    def body(xi, per):
+        s_i, dt, i = per
+        v = v_fn(xi, s_i).astype(jnp.float32)
+        _report(progress_cb, i)
+        return xi + dt * v, None
+
+    xs = (
+        jnp.asarray(sig[:-1], jnp.float32),
+        jnp.asarray(np.diff(sig), jnp.float32),
+        jnp.arange(n),
+    )
+    x, _ = jax.lax.scan(body, x, xs)
+    return x
+
+
+def cfg_velocity(v_fn: Callable, c, uc, scale: float) -> Callable:
+    """CFG for velocity models: batched [uc, c] like the eps samplers."""
+    if uc is None or scale == 1.0:
+        def fn_nocfg(x, sigma):
+            return v_fn(x, sigma, c)
+        return fn_nocfg
+
+    def _cat(u, cc):
+        if isinstance(u, dict):
+            return {k: _cat(u[k], cc[k]) for k in cc}
+        return jnp.concatenate([u, cc], axis=0)
+
+    cond = _cat(uc, c)
+
+    def fn(x, sigma):
+        b = x.shape[0]
+        sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (2 * b,))
+        v = v_fn(jnp.concatenate([x, x], axis=0), sigma_b, cond)
+        vu, vc = v[:b], v[b:]
+        return vu + scale * (vc - vu)
+
+    return fn
