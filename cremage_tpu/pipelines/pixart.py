@@ -1,0 +1,142 @@
+"""PixArt-Σ txt2img pipeline.
+
+Behavior contract: reference `modules/pixart_sigma/txt2img.py` —
+diffusers PixArtSigmaPipeline, txt2img only, selectable model ids. T5
+conditioning; eps-prediction DiT on the SD VAE with a true-linear DDPM
+schedule; sampler: any k-diffusion entry (reference default DPM-solver
+class) driven through the shared EpsDenoiser."""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cremage_tpu.core.config import GenerationOptions
+from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
+from cremage_tpu.models.pixart import PixArt
+from cremage_tpu.models.t5 import T5Encoder
+from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.samplers import kdiffusion as K
+from cremage_tpu.samplers import schedules as S
+from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
+from cremage_tpu.core.registry import SAMPLERS
+from cremage_tpu.services.safety import ImageSafetyChecker
+from cremage_tpu.services.watermark import embed_watermark
+
+logger = logging.getLogger(__name__)
+
+
+def pixart_schedule() -> S.DiscreteSchedule:
+    """PixArt trains on the true-linear (0.0001, 0.02) DDPM table."""
+    acp = S.alphas_cumprod_from_betas(S.make_betas_plain_linear())
+    return S.DiscreteSchedule(S.sigmas_from_alphas_cumprod(acp))
+
+
+@dataclasses.dataclass
+class PixArtBundle:
+    dit: PixArt
+    dit_params: Any
+    t5: Optional[Tuple[T5Encoder, Any]]
+    t5_tokenize: Optional[Callable[[str], np.ndarray]]
+    t5_len: int
+    vae: AutoencoderKL
+    vae_params: Any
+    schedule: S.DiscreteSchedule = dataclasses.field(
+        default_factory=pixart_schedule)
+    t5_dim: int = 4096
+
+
+def _noop(msg):
+    pass
+
+
+class PixArtPipeline:
+    def __init__(self, bundle: PixArtBundle,
+                 safety: Optional[ImageSafetyChecker] = None):
+        self.bundle = bundle
+        self.safety = safety or ImageSafetyChecker()
+        self._cache: Dict[Tuple, Callable] = {}
+        self._current_status: Callable = _noop
+
+    def _encode_text(self, prompt: str) -> np.ndarray:
+        b = self.bundle
+        if b.t5 is not None and b.t5_tokenize is not None:
+            ids = np.asarray(b.t5_tokenize(prompt), np.int64)[: b.t5_len]
+            ids = np.pad(ids, (0, b.t5_len - len(ids)))
+            return np.asarray(b.t5[0].apply(b.t5[1], jnp.asarray(ids[None])),
+                              np.float32)[0]
+        return np.zeros((b.t5_len, b.t5_dim), np.float32)
+
+    def _program(self, opts, shape, cond_shape):
+        steps = opts.sampling_steps
+        name = opts.sampler if opts.sampler in K.SAMPLER_SCHEDULE else "DPM++ 2M"
+        kind = K.SAMPLER_SCHEDULE[name]
+        sched = self.bundle.schedule
+        sigmas = (sched.get_sigmas(steps) if kind == "model"
+                  else S.get_sigmas_karras(steps, sched.sigma_min,
+                                           sched.sigma_max))
+        scale = float(opts.scale)
+        dit = self.bundle.dit
+        sampler_fn = SAMPLERS.get(name)
+
+        def progress(i):
+            self._current_status(f"{int(i) + 1} / {steps}")
+
+        def run(params, x, c, uc, key):
+            def eps_model(xx, tt, cond):
+                out = dit.apply(params, xx, tt, cond)
+                return out[..., : xx.shape[-1]]  # learned-sigma half dropped
+
+            denoise = EpsDenoiser(eps_model, sched)
+            den_cfg = cfg_denoiser(denoise, c, uc, scale)
+            return sampler_fn(den_cfg, x, sigmas, key=key,
+                              progress_cb=progress)
+
+        bucket = ("pixart", name, steps, tuple(shape), tuple(cond_shape), scale)
+        fn = self._cache.get(bucket)
+        if fn is None:
+            fn = jax.jit(run)
+            self._cache[bucket] = fn
+        return fn, sigmas
+
+    def generate(self, opts: GenerationOptions, status_cb=_noop,
+                 result_cb=None) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
+        base_seed = resolve_seed(opts.seed)
+        self._current_status = status_cb
+        results = []
+        img_index = 0
+        for it in range(opts.n_iter):
+            b = opts.n_samples
+            status_cb("encoding prompt")
+            c = self._encode_text(opts.prompt)
+            uc = self._encode_text(opts.negative_prompt)
+            c_b = jnp.asarray(np.broadcast_to(c[None], (b,) + c.shape))
+            uc_b = jnp.asarray(np.broadcast_to(uc[None], (b,) + uc.shape))
+            key = key_for_image(base_seed, img_index)
+            h, w = opts.H // 8, opts.W // 8
+            fn, sigmas = self._program(opts, (b, h, w, 4),
+                                       c_b.shape)
+            x = noise_like(key, (b, h, w, 4)) * float(sigmas[0])
+            lat = fn(self.bundle.dit_params, x, c_b, uc_b, key)
+            status_cb("decoding")
+            imgs = decode_from_latent(self.bundle.vae, self.bundle.vae_params,
+                                      lat.astype(jnp.bfloat16))
+            imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
+            if opts.safety_check:
+                imgs, _ = self.safety.check(imgs)
+            for i in range(b):
+                img = imgs[i]
+                if opts.watermark:
+                    img = embed_watermark(img)
+                meta = dataclasses.asdict(opts)
+                meta["seed"] = base_seed + img_index
+                meta.pop("extra", None)
+                results.append((img, meta))
+                if result_cb:
+                    result_cb(img, meta)
+                img_index += 1
+        return results

@@ -44,6 +44,26 @@ def make_betas_linear(
     )
 
 
+def make_betas_plain_linear(
+    n: int = DDPM_NUM_TIMESTEPS,
+    beta_start: float = 0.0001,
+    beta_end: float = 0.02,
+) -> np.ndarray:
+    """True-linear beta schedule (diffusers 'linear'; PixArt/Kandinsky)."""
+    return np.linspace(beta_start, beta_end, n, dtype=np.float64)
+
+
+def make_betas_squaredcos(n: int = DDPM_NUM_TIMESTEPS,
+                          max_beta: float = 0.999) -> np.ndarray:
+    """squaredcos_cap_v2 (diffusers; Kandinsky decoder)."""
+    def abar(t):
+        return np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+
+    t1 = np.arange(n, dtype=np.float64) / n
+    t2 = (np.arange(n, dtype=np.float64) + 1) / n
+    return np.minimum(1 - abar(t2) / abar(t1), max_beta)
+
+
 def alphas_cumprod_from_betas(betas: np.ndarray) -> np.ndarray:
     return np.cumprod(1.0 - betas, axis=0)
 
