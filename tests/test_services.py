@@ -111,8 +111,8 @@ def test_paste_back_seamless():
     assert out.shape == base.shape
     inner = out[24:40, 24:40]
     assert np.abs(inner - base[24:40, 24:40]).max() > 0.1
-    # outside the box untouched
-    np.testing.assert_allclose(out[:10, :10], base[:10, :10], atol=1e-6)
+    # outside the box untouched (up to the 8-bit round trip)
+    np.testing.assert_allclose(out[:10, :10], base[:10, :10], atol=0.01)
 
 
 def test_face_fixer_with_explicit_boxes():
@@ -123,13 +123,14 @@ def test_face_fixer_with_explicit_boxes():
         return np.clip(img + 0.5, 0, 1)
 
     fixer = FF.FaceFixer(fake_img2img, target_size=64)
-    img = np.zeros((128, 128, 3), np.float32)
+    img = np.random.RandomState(5).uniform(0.3, 0.7, (128, 128, 3)).astype(
+        np.float32)
     boxes = [FF.FaceBox(30, 30, 30, 30), FF.FaceBox(80, 80, 20, 20)]
     out = fixer.fix(img, prompt="a face", strength=0.3, seed=7, boxes=boxes)
     assert len(calls) == 2
     assert calls[0][0] == (64, 64, 3)
     assert calls[0][3] == 7 and calls[1][3] == 8
-    assert out[45, 45].mean() > 0.1  # repaired region changed
+    assert np.abs(out[40:50, 40:50] - img[40:50, 40:50]).max() > 0.05
 
 
 def test_detect_faces_missing_weights():
