@@ -1,0 +1,199 @@
+"""SVD img2vid pipeline.
+
+Behavior contract: reference `modules/sdxl/sdxl_pipeline/
+svd_video_generator.py` (SURVEY.md §3.4): input image -> 14/25 latent
+frames via the temporal VideoUNet, EulerEDM sampling (EDM sigmas
+sigma_max=700) with LinearPredictionGuider (min 1.0 / max 2.5 across
+frames), conditioning =
+- crossattn: CLIP-H image embedding of the (resized 224^2) input frame,
+  one token, replicated per frame;
+- vector: Fourier embeddings of fps_id, motion_bucket_id, cond_aug;
+- concat: VAE-encoded (image + cond_aug * noise), replicated per frame
+  (channels 4 -> UNet in_channels 8);
+frames decoded per-frame through the VAE and written as PNGs (the
+reference writes ~/.cremage/tmp/svd/frames then runs FILM; see
+services/film.py).
+
+v-prediction denoiser with EDM c_noise = 0.25 log sigma
+(sgm VScalingWithEDMcNoise + plain Denoiser).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
+from cremage_tpu.models.clip_vision import CLIPVisionModel
+from cremage_tpu.models.unet import UNetConfig
+from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.models.video_unet import VideoUNet
+from cremage_tpu.pipelines.sdxl import fourier_vector_embedding
+from cremage_tpu.samplers import edm as EDM
+from cremage_tpu.samplers import kdiffusion as K
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SVDOptions:
+    """Mirrors the reference tool's parameters (video_generator.py)."""
+
+    num_frames: int = 14
+    num_steps: int = 25
+    fps_id: int = 6
+    motion_bucket_id: int = 127
+    cond_aug: float = 0.02
+    min_guidance_scale: float = 1.0
+    max_guidance_scale: float = 2.5
+    sigma_min: float = 0.002
+    sigma_max: float = 700.0
+    rho: float = 7.0
+    seed: int = -1
+    decoding_t: int = 1   # frames decoded per VAE call
+
+
+@dataclasses.dataclass
+class SVDBundle:
+    unet: VideoUNet
+    unet_params: Any
+    vae: AutoencoderKL
+    vae_params: Any
+    clip_vision: Optional[Tuple[CLIPVisionModel, Any]] = None
+
+
+def _noop(msg):
+    pass
+
+
+class SVDPipeline:
+    def __init__(self, bundle: SVDBundle):
+        self.bundle = bundle
+        self._cache: Dict[Tuple, Callable] = {}
+        self._current_status: Callable = _noop
+
+    def _image_embedding(self, image01: np.ndarray) -> np.ndarray:
+        """(H,W,3) [0,1] -> (1, 1024) CLIP-H embedding (or zeros when the
+        vision tower isn't loaded — conditioning still exercises the
+        crossattn path)."""
+        if self.bundle.clip_vision is None:
+            dim = self.bundle.unet.cfg.context_dim
+            return np.zeros((1, dim), np.float32)
+        model, params = self.bundle.clip_vision
+        import cv2
+
+        img = cv2.resize(np.asarray(image01, np.float32),
+                         (model.cfg.image_size, model.cfg.image_size),
+                         interpolation=cv2.INTER_AREA)
+        emb = model.apply(params, jnp.asarray(img[None]))
+        return np.asarray(emb, np.float32)
+
+    def _program(self, opts: SVDOptions, shape, ctx_dim):
+        t_frames = opts.num_frames
+        unet = self.bundle.unet
+        sigmas = EDM.EDMDiscretization(opts.sigma_min, opts.sigma_max,
+                                       opts.rho)(opts.num_steps)
+
+        def progress(i):
+            self._current_status(f"Sampling {int(i) + 1} / {opts.num_steps}")
+
+        def run(params, x, ctx, vector, concat, key):
+            def network(xx, c_noise, cond):
+                xin = jnp.concatenate(
+                    [xx, cond["concat"].astype(xx.dtype)], axis=-1)
+                return unet.apply(params, xin, c_noise, cond["crossattn"],
+                                  cond["vector"])
+
+            def denoiser(xx, sigma, cond):
+                sigma = jnp.broadcast_to(
+                    jnp.asarray(sigma, jnp.float32), (xx.shape[0],))
+                s = sigma.reshape(-1, 1, 1, 1)
+                c_skip = 1.0 / (s**2 + 1.0)
+                c_out = -s / jnp.sqrt(s**2 + 1.0)
+                c_in = 1.0 / jnp.sqrt(s**2 + 1.0)
+                c_noise = 0.25 * jnp.log(sigma)
+                v = network(xx * c_in, c_noise, cond).astype(jnp.float32)
+                return v * c_out + xx * c_skip
+
+            c = {"crossattn": ctx, "vector": vector, "concat": concat}
+            uc = {"crossattn": jnp.zeros_like(ctx), "vector": vector,
+                  "concat": jnp.zeros_like(concat)}
+            denoise = EDM.linear_prediction_guider(
+                denoiser, c, uc, scale=opts.max_guidance_scale,
+                num_frames=t_frames, min_scale=opts.min_guidance_scale,
+                max_scale=opts.max_guidance_scale,
+            )
+            return EDM.run_sgm_sampler(
+                "EulerEDMSampler", denoise, x, sigmas, key=key,
+                progress_cb=progress,
+            )
+
+        bucket = ("svd", opts.num_steps, t_frames, tuple(shape), ctx_dim)
+        fn = self._cache.get(bucket)
+        if fn is None:
+            fn = jax.jit(run)
+            self._cache[bucket] = fn
+        return fn
+
+    def sample(
+        self,
+        image01: np.ndarray,
+        opts: SVDOptions,
+        status_cb=_noop,
+        output_dir: Optional[str] = None,
+    ) -> np.ndarray:
+        """input image [0,1] (H,W,3) -> (T, H, W, 3) frames in [0,1].
+
+        H/W must be multiples of 64 (reference warns/resizes; caller pads)."""
+        self._current_status = status_cb
+        seed = resolve_seed(opts.seed)
+        key = key_for_image(seed)
+        t = opts.num_frames
+        h8, w8 = image01.shape[0] // 8, image01.shape[1] // 8
+
+        status_cb("conditioning")
+        emb = self._image_embedding(image01)           # (1, ctx)
+        ctx = jnp.asarray(np.broadcast_to(emb[None], (t, 1, emb.shape[-1])))
+        vector = np.concatenate([
+            fourier_vector_embedding([opts.fps_id]),
+            fourier_vector_embedding([opts.motion_bucket_id]),
+            fourier_vector_embedding([opts.cond_aug]),
+        ])
+        vector = jnp.asarray(np.broadcast_to(vector[None], (t, len(vector))))
+
+        img = jnp.asarray(image01, jnp.float32)[None] * 2.0 - 1.0
+        aug = noise_like(jax.random.fold_in(key, 3), img.shape) * opts.cond_aug
+        mean, _ = self.bundle.vae.apply(
+            self.bundle.vae_params, (img + aug).astype(jnp.bfloat16),
+            method=AutoencoderKL.encode)
+        concat = jnp.broadcast_to(mean.astype(jnp.float32),
+                                  (t,) + mean.shape[1:])
+
+        x = noise_like(key, (t, h8, w8, 4))
+        fn = self._program(opts, x.shape, emb.shape[-1])
+        status_cb("sampling")
+        lat = fn(self.bundle.unet_params, x, ctx, vector, concat, key)
+
+        status_cb("decoding frames")
+        frames = []
+        for i in range(0, t, max(1, opts.decoding_t)):
+            chunk = lat[i:i + max(1, opts.decoding_t)]
+            dec = decode_from_latent(self.bundle.vae, self.bundle.vae_params,
+                                     chunk.astype(jnp.bfloat16))
+            frames.append(np.asarray(dec, np.float32))
+        frames = np.concatenate(frames, axis=0)
+        frames = np.clip((frames + 1) / 2, 0, 1)
+
+        if output_dir:
+            from cremage_tpu.io.metadata import image_from_array
+
+            os.makedirs(output_dir, exist_ok=True)
+            for i, f in enumerate(frames):
+                image_from_array(f * 2 - 1).save(
+                    os.path.join(output_dir, f"frame_{i:05}.png"))
+        return frames
