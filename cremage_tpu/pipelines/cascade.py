@@ -1,0 +1,181 @@
+"""Stable Cascade pipeline: StageC prior -> StageB decoder -> output.
+
+Behavior contract: reference `modules/stable_cascade/txt2img.py`
+(:29,99-103) — diffusers StableCascadePriorPipeline +
+StableCascadeDecoderPipeline, txt2img only:
+- Stage C diffuses a 16-ch latent at 1/42 resolution ("effnet" space)
+  from CLIP-bigG text conditioning (pooled + tokens);
+- Stage B diffuses the 4-ch VQ latent at 1/4 resolution conditioned on
+  the Stage C latent;
+- Stage A (VQGAN) decodes to pixels.
+
+Cores here are Würstchen-style conv+attention stages built from our
+UNet blocks with the cascade conditioning flow (text -> C; C-latent ->
+B). Wuerstchen checkpoint key mapping is tracked for a later round.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cremage_tpu.core.config import GenerationOptions
+from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
+from cremage_tpu.models.unet import UNetConfig, UNetModel
+from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.samplers import kdiffusion as K
+from cremage_tpu.samplers import schedules as S
+from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
+from cremage_tpu.services.safety import ImageSafetyChecker
+from cremage_tpu.services.watermark import embed_watermark
+
+logger = logging.getLogger(__name__)
+
+
+def stage_c_config(text_dim: int = 1280, **kw) -> UNetConfig:
+    base = dict(
+        in_channels=16, out_channels=16, model_channels=128,
+        num_res_blocks=2, attention_resolutions=(1, 2),
+        channel_mult=(1, 2), num_heads=8, transformer_depth=(1, 1),
+        transformer_depth_middle=1, context_dim=text_dim,
+        adm_in_channels=text_dim,
+    )
+    base.update(kw)
+    return UNetConfig(**base)
+
+
+def stage_b_config(c_latent_channels: int = 16, **kw) -> UNetConfig:
+    # Stage B sees its own noisy 4-ch latent + the (upsampled) C latent
+    base = dict(
+        in_channels=4 + c_latent_channels, out_channels=4,
+        model_channels=128, num_res_blocks=2, attention_resolutions=(2,),
+        channel_mult=(1, 2, 4), num_heads=8, transformer_depth=(1, 1, 1),
+        transformer_depth_middle=1, context_dim=1280,
+    )
+    base.update(kw)
+    return UNetConfig(**base)
+
+
+@dataclasses.dataclass
+class CascadeBundle:
+    stage_c: UNetModel
+    stage_c_params: Any
+    stage_b: UNetModel
+    stage_b_params: Any
+    vqgan: AutoencoderKL          # Stage A (KL interface stand-in for VQ)
+    vqgan_params: Any
+    text_encode: Callable[[str], Tuple[np.ndarray, np.ndarray]]
+    # (tokens (77, D), pooled (D,))
+    c_compression: int = 32
+    b_compression: int = 4
+    schedule: S.DiscreteSchedule = dataclasses.field(
+        default_factory=S.default_sd_schedule)
+
+
+def _noop(msg):
+    pass
+
+
+class CascadePipeline:
+    def __init__(self, bundle: CascadeBundle,
+                 safety: Optional[ImageSafetyChecker] = None):
+        self.bundle = bundle
+        self.safety = safety or ImageSafetyChecker()
+        self._cache: Dict[Tuple, Callable] = {}
+        self._current_status: Callable = _noop
+
+    def _stage_program(self, tag, model, opts, steps, shape, extra_sig):
+        sched = self.bundle.schedule
+        sigmas = sched.get_sigmas(steps)
+        scale = float(opts.scale)
+
+        def progress(i):
+            self._current_status(f"{tag} {int(i) + 1} / {steps}")
+
+        def run(params, x, c_ctx, uc_ctx, c_vec, uc_vec, concat, key):
+            def eps_model(xx, tt, cond):
+                ctx, vec = cond
+                if concat is not None:
+                    cc = concat
+                    if cc.shape[0] != xx.shape[0]:
+                        cc = jnp.concatenate([cc] * (xx.shape[0] // cc.shape[0]))
+                    xx = jnp.concatenate([xx, cc.astype(xx.dtype)], axis=-1)
+                return model.apply(params, xx, tt, ctx, vec)
+
+            denoise = EpsDenoiser(eps_model, sched)
+            den = cfg_denoiser(denoise, (c_ctx, c_vec), (uc_ctx, uc_vec), scale)
+            return K.sample_euler_ancestral(den, x, sigmas, key=key,
+                                            progress_cb=progress)
+
+        bucket = (tag, steps, tuple(shape), extra_sig, scale)
+        fn = self._cache.get(bucket)
+        if fn is None:
+            fn = jax.jit(run)
+            self._cache[bucket] = fn
+        return fn, sigmas
+
+    def generate(self, opts: GenerationOptions, status_cb=_noop,
+                 result_cb=None) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
+        b = self.bundle
+        base_seed = resolve_seed(opts.seed)
+        self._current_status = status_cb
+        results = []
+        img_index = 0
+        for it in range(opts.n_iter):
+            bsz = opts.n_samples
+            key = key_for_image(base_seed, img_index)
+            tokens, pooled = b.text_encode(opts.prompt)
+            n_tokens, n_pooled = b.text_encode(opts.negative_prompt)
+
+            def tile(a):
+                return jnp.asarray(np.broadcast_to(a[None], (bsz,) + a.shape))
+
+            ctx, nctx = tile(tokens), tile(n_tokens)
+            vec, nvec = tile(pooled), tile(n_pooled)
+
+            # Stage C: prior latents at 1/c_compression
+            hc = opts.H // b.c_compression
+            wc = opts.W // b.c_compression
+            fn_c, sig_c = self._stage_program(
+                "StageC", b.stage_c, opts, opts.sampling_steps,
+                (bsz, hc, wc, 16), 0)
+            x = noise_like(key, (bsz, hc, wc, 16)) * float(sig_c[0])
+            status_cb("Stage C")
+            c_lat = fn_c(b.stage_c_params, x, ctx, nctx, vec, nvec, None, key)
+
+            # Stage B: decoder latents at 1/b_compression, conditioned on
+            # the upsampled C latent
+            hb = opts.H // b.b_compression
+            wb = opts.W // b.b_compression
+            c_up = jax.image.resize(c_lat, (bsz, hb, wb, 16), "nearest")
+            fn_b, sig_b = self._stage_program(
+                "StageB", b.stage_b, opts, max(10, opts.sampling_steps // 2),
+                (bsz, hb, wb, 4), 16)
+            x = noise_like(jax.random.fold_in(key, 2),
+                           (bsz, hb, wb, 4)) * float(sig_b[0])
+            status_cb("Stage B")
+            b_lat = fn_b(b.stage_b_params, x, ctx, nctx, None, None, c_up,
+                         jax.random.fold_in(key, 2))
+
+            status_cb("Stage A decode")
+            imgs = decode_from_latent(b.vqgan, b.vqgan_params,
+                                      b_lat.astype(jnp.bfloat16))
+            imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
+            if opts.safety_check:
+                imgs, _ = self.safety.check(imgs)
+            for i in range(bsz):
+                img = imgs[i]
+                if opts.watermark:
+                    img = embed_watermark(img)
+                meta = dataclasses.asdict(opts)
+                meta["seed"] = base_seed + img_index
+                meta.pop("extra", None)
+                results.append((img, meta))
+                if result_cb:
+                    result_cb(img, meta)
+                img_index += 1
+        return results

@@ -1,0 +1,187 @@
+"""Kandinsky 2.2 pipeline: prior -> decoder, txt2img / img2img / inpaint.
+
+Behavior contract: reference `modules/kandinsky/txt2img.py` (:26,66
+AutoPipelineForText2Image), `img2img.py`, `inpaint.py` — the three
+diffusers auto-pipelines over the prior+decoder pair. Schedules: prior
+uses a squaredcos DDPM table; decoder uses DDPM with the same table via
+the shared EpsDenoiser + k-diffusion samplers.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cremage_tpu.core.config import (
+    GenerationOptions, MODE_IMAGE_TO_IMAGE, MODE_INPAINTING, MODE_TEXT_TO_IMAGE,
+)
+from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
+from cremage_tpu.models.kandinsky import DiffusionPrior
+from cremage_tpu.models.unet import UNetModel
+from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_latent
+from cremage_tpu.samplers import kdiffusion as K
+from cremage_tpu.samplers import schedules as S
+from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
+from cremage_tpu.core.registry import SAMPLERS
+from cremage_tpu.services.safety import ImageSafetyChecker
+from cremage_tpu.services.watermark import embed_watermark
+
+logger = logging.getLogger(__name__)
+
+
+def kandinsky_schedule() -> S.DiscreteSchedule:
+    acp = S.alphas_cumprod_from_betas(S.make_betas_squaredcos())
+    return S.DiscreteSchedule(S.sigmas_from_alphas_cumprod(acp))
+
+
+@dataclasses.dataclass
+class KandinskyBundle:
+    prior: DiffusionPrior
+    prior_params: Any
+    decoder: UNetModel
+    decoder_params: Any
+    vae: AutoencoderKL              # MoVQ stand-in (KL interface)
+    vae_params: Any
+    text_encode: Callable[[str], Tuple[np.ndarray, np.ndarray]]
+    # text_encode(prompt) -> (tokens (L, D_text), pooled (D_text,))
+    schedule: S.DiscreteSchedule = dataclasses.field(
+        default_factory=kandinsky_schedule)
+    prior_steps: int = 25
+
+
+def _noop(msg):
+    pass
+
+
+class KandinskyPipeline:
+    def __init__(self, bundle: KandinskyBundle,
+                 safety: Optional[ImageSafetyChecker] = None):
+        self.bundle = bundle
+        self.safety = safety or ImageSafetyChecker()
+        self._cache: Dict[Tuple, Callable] = {}
+        self._current_status: Callable = _noop
+
+    # ---------------- prior ----------------
+
+    def run_prior(self, prompt: str, negative_prompt: str, scale: float,
+                  key) -> Tuple[np.ndarray, np.ndarray]:
+        """Diffuse a CLIP image embedding from text (prior stage)."""
+        b = self.bundle
+        tokens, pooled = b.text_encode(prompt)
+        n_tokens, n_pooled = b.text_encode(negative_prompt)
+        sched = b.schedule
+        sigmas = sched.get_sigmas(b.prior_steps)
+
+        tok = jnp.asarray(tokens[None])
+        ntok = jnp.asarray(n_tokens[None])
+        pl = jnp.asarray(pooled[None])
+        npl = jnp.asarray(n_pooled[None])
+
+        def eps_model(x, t, cond):
+            toks, pools = cond
+            return b.prior.apply(b.prior_params, x, t, toks, pools)
+
+        denoise = EpsDenoiser(eps_model, sched)
+        den = cfg_denoiser(denoise, (tok, pl), (ntok, npl), scale)
+        dim = b.prior.cfg.image_embed_dim
+        x = noise_like(key, (1, dim)) * float(sigmas[0])
+        emb = K.sample_euler_ancestral(den, x, sigmas, key=key)
+        neg_emb = np.zeros((dim,), np.float32)
+        return np.asarray(emb[0], np.float32), neg_emb
+
+    # ---------------- decoder ----------------
+
+    def _decoder_program(self, opts, shape, dim):
+        b = self.bundle
+        name = opts.sampler if opts.sampler in K.SAMPLER_SCHEDULE else "Euler A"
+        kind = K.SAMPLER_SCHEDULE[name]
+        sched = b.schedule
+        steps = opts.sampling_steps
+        sigmas = (sched.get_sigmas(steps) if kind == "model"
+                  else S.get_sigmas_karras(steps, sched.sigma_min,
+                                           sched.sigma_max))
+        scale = float(opts.scale)
+        sampler_fn = SAMPLERS.get(name)
+
+        def progress(i):
+            self._current_status(f"{int(i) + 1} / {steps}")
+
+        def run(params, x, img_embed, neg_embed, key):
+            def eps_model(xx, tt, cond):
+                ctx = cond[:, None, :]   # single image-embed token
+                return b.decoder.apply(params, xx, tt, ctx, cond)
+
+            denoise = EpsDenoiser(eps_model, sched)
+            den = cfg_denoiser(denoise, img_embed, neg_embed, scale)
+            return sampler_fn(den, x, sigmas, key=key, progress_cb=progress)
+
+        bucket = ("kandinsky", name, steps, tuple(shape), dim, scale)
+        fn = self._cache.get(bucket)
+        if fn is None:
+            fn = jax.jit(run)
+            self._cache[bucket] = fn
+        return fn, sigmas
+
+    def generate(self, opts: GenerationOptions, status_cb=_noop,
+                 result_cb=None, init_image=None, mask_image=None
+                 ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
+        base_seed = resolve_seed(opts.seed)
+        self._current_status = status_cb
+        results = []
+        img_index = 0
+        for it in range(opts.n_iter):
+            bsz = opts.n_samples
+            key = key_for_image(base_seed, img_index)
+            status_cb("prior")
+            emb, neg = self.run_prior(opts.prompt, opts.negative_prompt,
+                                      opts.scale, jax.random.fold_in(key, 1))
+            emb_b = jnp.asarray(np.broadcast_to(emb[None], (bsz, len(emb))))
+            neg_b = jnp.asarray(np.broadcast_to(neg[None], (bsz, len(neg))))
+            h, w = opts.H // 8, opts.W // 8
+            fn, sigmas = self._decoder_program(opts, (bsz, h, w, 4), len(emb))
+
+            status_cb("decoder")
+            if opts.mode == MODE_IMAGE_TO_IMAGE and init_image is not None:
+                lat0 = encode_to_latent(
+                    self.bundle.vae, self.bundle.vae_params,
+                    jnp.asarray(init_image)[None].astype(jnp.bfloat16))
+                lat0 = jnp.broadcast_to(lat0, (bsz,) + lat0.shape[1:])
+                t_enc = max(1, int(opts.strength * opts.sampling_steps))
+                trunc = S.truncate_for_img2img(sigmas, t_enc)
+                x = lat0.astype(jnp.float32) + noise_like(
+                    key, lat0.shape) * float(trunc[0])
+                # run with truncated program
+                fn_t, _ = self._decoder_program(
+                    dataclasses.replace(opts, sampling_steps=t_enc),
+                    (bsz, h, w, 4), len(emb))
+                lat = fn_t(self.bundle.decoder_params, x, emb_b, neg_b, key)
+            else:
+                x = noise_like(key, (bsz, h, w, 4)) * float(sigmas[0])
+                lat = fn(self.bundle.decoder_params, x, emb_b, neg_b, key)
+
+            imgs = decode_from_latent(self.bundle.vae, self.bundle.vae_params,
+                                      lat.astype(jnp.bfloat16))
+            imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
+            if opts.mode == MODE_INPAINTING and mask_image is not None \
+                    and init_image is not None:
+                m = (np.asarray(mask_image) >= 0.5).astype(np.float32)[..., None]
+                init01 = (np.asarray(init_image, np.float32) + 1) / 2
+                imgs = imgs * m[None] + init01[None] * (1 - m[None])
+            if opts.safety_check:
+                imgs, _ = self.safety.check(imgs)
+            for i in range(bsz):
+                img = imgs[i]
+                if opts.watermark:
+                    img = embed_watermark(img)
+                meta = dataclasses.asdict(opts)
+                meta["seed"] = base_seed + img_index
+                meta.pop("extra", None)
+                results.append((img, meta))
+                if result_cb:
+                    result_cb(img, meta)
+                img_index += 1
+        return results
