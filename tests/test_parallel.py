@@ -1,0 +1,79 @@
+"""Sharding correctness on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cremage_tpu.core.mesh import data_sharding, make_mesh, replicate_params
+from cremage_tpu.models.unet import UNetConfig, UNetModel
+from cremage_tpu.parallel.sharding import count_sharded, shard_params_tp, tp_spec_for
+
+
+def tiny_unet(heads=4, mc=32):
+    cfg = UNetConfig(
+        in_channels=4, out_channels=4, model_channels=mc, num_res_blocks=1,
+        attention_resolutions=(1,), channel_mult=(1, 2), num_heads=heads,
+        transformer_depth=(1, 1), transformer_depth_middle=1, context_dim=32,
+        dtype=jnp.float32,
+    )
+    model = UNetModel(cfg)
+    # NOTE: random inputs — all-zero activations make GroupNorm normalize
+    # near-constant data (var~0), which amplifies fusion-order fp32 noise
+    # into O(1) output differences between program variants.
+    ks = jax.random.split(jax.random.key(7), 2)
+    args = (
+        jax.random.normal(ks[0], (8, 8, 8, 4)),
+        jnp.full((8,), 500.0),
+        jax.random.normal(ks[1], (8, 77, 32)),
+    )
+    params = model.init(jax.random.key(0), *args)
+    return model, params, args
+
+
+def test_tp_spec_rules():
+    w2 = jnp.zeros((32, 128))
+    assert tp_spec_for(("x", "to_q", "weight"), w2) == P(None, "model")
+    assert tp_spec_for(("x", "to_out_0", "weight"), w2) == P("model", None)
+    assert tp_spec_for(("x", "attn_qkv", "weight"), w2) == P(None, "model")
+    assert tp_spec_for(("x", "mlp_fc2", "weight"), w2) == P("model", None)
+    assert tp_spec_for(("x", "in_layers_2", "weight"), jnp.zeros((3, 3, 4, 8))) == P()
+    assert tp_spec_for(("norm", "weight"), jnp.zeros((32,))) == P()
+
+
+def test_data_parallel_matches_single_device(mesh8):
+    model, params, args = tiny_unet()
+    ref = np.asarray(model.apply(params, *args), np.float32)
+    with mesh8:
+        p = replicate_params(mesh8, params)
+        x = jax.device_put(args[0], data_sharding(mesh8, 4))
+        t = jax.device_put(args[1], NamedSharding(mesh8, P("data")))
+        c = jax.device_put(args[2], data_sharding(mesh8, 3))
+        out = jax.jit(model.apply)(p, x, t, c)
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=2e-5, rtol=2e-5)
+    # batch axis stays sharded over 'data' (trailing Nones normalized away)
+    assert out.sharding.spec[0] == "data"
+
+
+def test_tensor_parallel_matches_replicated(mesh_4x2):
+    model, params, args = tiny_unet()
+    ref = np.asarray(model.apply(params, *args), np.float32)
+    with mesh_4x2:
+        p = shard_params_tp(mesh_4x2, params)
+        n_sharded, n_total = count_sharded(p, mesh_4x2)
+        assert n_sharded > 10  # attention/mlp weights actually sharded
+        out = jax.jit(model.apply)(p, *args)
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=2e-4, rtol=2e-4)
+
+
+def test_tp_non_divisible_falls_back():
+    mesh = make_mesh(model=2, data=4)
+    # model_channels 32 with inner dims 32/64: divisible; force a weird
+    # leaf to check the fallback path
+    weird = {"layer": {"to_q": {"weight": jnp.zeros((5, 7))}}}
+    placed = shard_params_tp(mesh, weird)
+    sh = placed["layer"]["to_q"]["weight"].sharding
+    assert sh.spec in (P(), P(None, "model"))  # no crash; replicated ok
