@@ -1,0 +1,200 @@
+"""HTTP API server — the headless front end replacing the GTK UI layer.
+
+The reference's product surface is a GTK window over the job queue
+(SURVEY.md L5/L4). Here the same capabilities are a JSON HTTP API over
+the EngineWorker:
+
+  POST /v1/generate        job dict (reference mp protocol), returns job id
+  GET  /v1/status          drain pending status/result messages
+  GET  /v1/health          liveness + device info + metrics
+  POST /v1/tools/annotate  {"method": "canny", "image": b64png}
+  POST /v1/tools/scale     {"image": b64png, "scale": 2.0}
+  POST /v1/tools/crop      {"image": b64png, "x","y","w","h"}
+  POST /v1/tools/mix       {"paths": [...], "weights": [...], "output": p}
+  POST /v1/tools/interpolate {"frames": [b64...], "passes": 2}
+
+stdlib ThreadingHTTPServer — no extra dependencies; any thin client
+(web UI, notebook, GTK shell) can sit on top.
+"""
+from __future__ import annotations
+
+import base64
+import io
+import json
+import logging
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from cremage_tpu.app.worker import EngineWorker, MP_MESSAGE_TYPE_INFERENCE
+
+logger = logging.getLogger(__name__)
+
+
+def _b64_to_image(data: str) -> np.ndarray:
+    from PIL import Image
+
+    raw = base64.b64decode(data)
+    img = Image.open(io.BytesIO(raw)).convert("RGB")
+    return np.asarray(img, np.float32) / 255.0
+
+
+def _image_to_b64(img01: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class ApiServer:
+    def __init__(self, worker: Optional[EngineWorker] = None,
+                 host: str = "127.0.0.1", port: int = 8787):
+        self.worker = worker or EngineWorker()
+        self.host = host
+        self.port = port
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._job_counter = 0
+
+    # ----- route handlers -----
+
+    def handle(self, method: str, path: str, body: Dict[str, Any]):
+        if path == "/v1/health":
+            import jax
+
+            from cremage_tpu.utils.observability import METRICS
+
+            return {
+                "ok": True,
+                "devices": [str(d) for d in jax.devices()],
+                "metrics": METRICS.snapshot(),
+            }
+        if path == "/v1/generate" and method == "POST":
+            self._job_counter += 1
+            job = dict(body)
+            job.setdefault("type", MP_MESSAGE_TYPE_INFERENCE)
+            self.worker.submit(job)
+            return {"job_id": self._job_counter}
+        if path == "/v1/status":
+            msgs = []
+            while True:
+                try:
+                    m = self.worker.status_queue.get_nowait()
+                except queue.Empty:
+                    break
+                if isinstance(m, dict) and "image" in m:
+                    m = {
+                        "image_b64": base64.b64encode(m["image"]).decode(),
+                        "generation_parameters": m["generation_parameters"],
+                    }
+                msgs.append(m)
+            return {"messages": msgs}
+        if path == "/v1/tools/annotate" and method == "POST":
+            from cremage_tpu.services.annotators import annotate
+
+            img = _b64_to_image(body["image"])
+            out = annotate(body.get("method", "canny"), img)
+            return {"image": _image_to_b64(out / 255.0 if out.dtype == np.uint8
+                                           else out)}
+        if path == "/v1/tools/scale" and method == "POST":
+            from cremage_tpu.app.tools import scale_image
+
+            img = _b64_to_image(body["image"])
+            out = scale_image(img, float(body.get("scale", 2.0)),
+                              body.get("esrgan_weights"))
+            return {"image": _image_to_b64(out)}
+        if path == "/v1/tools/crop" and method == "POST":
+            from cremage_tpu.app.tools import crop_image
+
+            img = _b64_to_image(body["image"])
+            out = crop_image(img, int(body["x"]), int(body["y"]),
+                             int(body["w"]), int(body["h"]))
+            return {"image": _image_to_b64(out)}
+        if path == "/v1/tools/mix" and method == "POST":
+            from cremage_tpu.app.tools import mix_models
+
+            out = mix_models(body["paths"], body["weights"], body["output"])
+            return {"output": out}
+        if path == "/v1/tools/interpolate" and method == "POST":
+            from cremage_tpu.services.film import interpolate_recursively
+
+            frames = [_b64_to_image(f) for f in body["frames"]]
+            out = interpolate_recursively(frames, int(body.get("passes", 1)))
+            return {"frames": [_image_to_b64(f) for f in out]}
+        return None
+
+    # ----- plumbing -----
+
+    def _make_handler(server):
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                logger.debug(fmt, *args)
+
+            def _reply(self, code, payload):
+                data = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _dispatch(self, method):
+                length = int(self.headers.get("Content-Length") or 0)
+                body = {}
+                if length:
+                    try:
+                        body = json.loads(self.rfile.read(length))
+                    except json.JSONDecodeError:
+                        return self._reply(400, {"error": "bad json"})
+                try:
+                    out = server.handle(method, self.path, body)
+                except Exception as e:  # structured errors
+                    logger.exception("request failed")
+                    return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+                if out is None:
+                    return self._reply(404, {"error": "not found"})
+                return self._reply(200, out)
+
+            def do_GET(self):
+                self._dispatch("GET")
+
+            def do_POST(self):
+                self._dispatch("POST")
+
+        return Handler
+
+    def start(self, block: bool = False):
+        self.worker.start()
+        self._httpd = ThreadingHTTPServer(
+            (self.host, self.port), self._make_handler())
+        self.port = self._httpd.server_address[1]
+        if block:
+            self._httpd.serve_forever()
+        else:
+            threading.Thread(target=self._httpd.serve_forever,
+                             daemon=True).start()
+        logger.info("api server on %s:%d", self.host, self.port)
+
+    def stop(self):
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd = None
+        self.worker.stop()
+
+
+def main():  # pragma: no cover
+    import argparse
+
+    p = argparse.ArgumentParser("cremage-tpu-server")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8787)
+    args = p.parse_args()
+    ApiServer(host=args.host, port=args.port).start(block=True)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

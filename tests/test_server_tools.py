@@ -1,0 +1,155 @@
+import base64
+import io
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from cremage_tpu.app import tools as T
+from cremage_tpu.app.server import ApiServer, _image_to_b64
+from cremage_tpu.app.worker import EngineWorker
+
+
+def test_crop_and_make_mask():
+    img = np.arange(64 * 64 * 3, dtype=np.float32).reshape(64, 64, 3) / 1e5
+    out = T.crop_image(img, 10, 20, 30, 30)
+    assert out.shape == (30, 30, 3)
+    np.testing.assert_allclose(out[0, 0], img[20, 10])
+    m = T.make_mask(32, 32, [(4, 4, 8, 8)])
+    assert m.sum() == 64 and m[5, 5] == 1.0 and m[0, 0] == 0.0
+
+
+def test_draw_strokes():
+    out = T.draw_strokes(None, 32, 32, [
+        {"points": [(2, 2), (30, 2)], "color": (1, 0, 0), "width": 2}
+    ])
+    assert out.shape == (32, 32, 3)
+    assert out[2, 16, 0] == 1.0 and out[2, 16, 1] < 0.5
+
+
+def test_prompt_builder(tmp_path):
+    cat = tmp_path / "hair"
+    cat.mkdir()
+    (cat / "long_hair.png").write_bytes(b"x")
+    (cat / "short_hair.png").write_bytes(b"x")
+    cats = T.list_prompt_builder_categories(str(tmp_path))
+    assert cats == {"hair": ["long_hair.png", "short_hair.png"]}
+    prompt = T.build_prompt_from_tags(str(tmp_path),
+                                      ["hair/long_hair.png", "red_eyes.png"])
+    assert prompt == "long hair, red eyes"
+
+
+def test_mix_models_tool(tmp_path):
+    from cremage_tpu.io.checkpoint import load_state_dict, save_safetensors
+
+    p1 = str(tmp_path / "a.safetensors")
+    p2 = str(tmp_path / "b.safetensors")
+    save_safetensors(p1, {"w": np.ones((2, 2), np.float32)})
+    save_safetensors(p2, {"w": np.zeros((2, 2), np.float32)})
+    out = T.mix_models([p1, p2], [1.0, 1.0], str(tmp_path / "mix.safetensors"))
+    sd = load_state_dict(out)
+    np.testing.assert_allclose(sd["w"], 0.5)
+
+
+@pytest.fixture()
+def server():
+    w = EngineWorker()
+
+    def factory():
+        def generate(params, status_cb, result_cb):
+            status_cb("1 / 1")
+            result_cb(np.zeros((8, 8, 3), np.float32), {"prompt": params["prompt"]})
+        return generate
+
+    w.register_backend("SD 1.5", factory)
+    srv = ApiServer(worker=w, port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _req(srv, path, body=None):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    if body is None:
+        r = urllib.request.urlopen(url, timeout=10)
+    else:
+        data = json.dumps(body).encode()
+        req = urllib.request.Request(url, data=data, method="POST",
+                                     headers={"Content-Type": "application/json"})
+        r = urllib.request.urlopen(req, timeout=10)
+    return json.loads(r.read())
+
+
+def test_server_health(server):
+    out = _req(server, "/v1/health")
+    assert out["ok"] and len(out["devices"]) >= 1
+
+
+def test_server_generate_and_status(server):
+    out = _req(server, "/v1/generate", {
+        "generator_model_type": "SD 1.5",
+        "mode": "text_to_image",
+        "parameters": {"prompt": "hi"},
+    })
+    assert out["job_id"] == 1
+    msgs = []
+    for _ in range(50):
+        time.sleep(0.1)
+        msgs += _req(server, "/v1/status")["messages"]
+        if any(isinstance(m, dict) and "job_done" in m for m in msgs):
+            break
+    imgs = [m for m in msgs if isinstance(m, dict) and "image_b64" in m]
+    assert len(imgs) == 1
+    meta = json.loads(imgs[0]["generation_parameters"])
+    assert meta["prompt"] == "hi"
+
+
+def test_server_annotate_and_crop(server):
+    img = np.zeros((64, 64, 3), np.float32)
+    img[16:48, 16:48] = 1.0
+    b64 = _image_to_b64(img)
+    out = _req(server, "/v1/tools/annotate", {"method": "canny", "image": b64})
+    assert "image" in out
+    out2 = _req(server, "/v1/tools/crop",
+                {"image": b64, "x": 0, "y": 0, "w": 10, "h": 12})
+    from PIL import Image
+
+    im = Image.open(io.BytesIO(base64.b64decode(out2["image"])))
+    assert im.size == (10, 12)
+
+
+def test_server_404(server):
+    with pytest.raises(urllib.error.HTTPError):
+        _req(server, "/v1/nope")
+
+
+def test_downloader_gate(tmp_path, monkeypatch):
+    from cremage_tpu.io.downloader import download_model_if_not_exist
+
+    target = tmp_path / "m.bin"
+    target.write_bytes(b"x")
+    assert download_model_if_not_exist(str(target), "r", "f") == str(target)
+    monkeypatch.setenv("ENABLE_HF_INTERNET_CONNECTION", "false")
+    with pytest.raises(FileNotFoundError):
+        download_model_if_not_exist(str(tmp_path / "missing.bin"), "r", "f")
+
+
+def test_observability():
+    import jax.numpy as jnp
+
+    from cremage_tpu.utils import observability as O
+
+    m = O.Metrics()
+    m.incr("jobs")
+    m.gauge("x", 2.0)
+    with O.span("test_span", m):
+        pass
+    snap = m.snapshot()
+    assert snap["counters"]["jobs"] == 1
+    assert "test_span" in snap["span_seconds"]
+    assert O.model_memory_usage_in_bytes(
+        {"w": jnp.zeros((4, 4), jnp.float32)}) == 64
+    stats = O.device_memory_stats()
+    assert isinstance(stats, dict)
