@@ -227,13 +227,11 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, emb):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        h = GroupNorm(num_groups=32, name="in_layers_0")(x)
-        h = silu(h)
+        h = GroupNorm(num_groups=32, fuse_silu=True, name="in_layers_0")(x)
         h = Conv(self.out_channels, name="in_layers_2", **dd)(h)
         emb_out = Dense(self.out_channels, name="emb_layers_1", **dd)(silu(emb))
         h = h + emb_out[:, None, None, :]
-        h = GroupNorm(num_groups=32, name="out_layers_0")(h)
-        h = silu(h)
+        h = GroupNorm(num_groups=32, fuse_silu=True, name="out_layers_0")(h)
         h = Conv(self.out_channels, name="out_layers_3", **dd)(h)
         if x.shape[-1] != self.out_channels:
             x = Conv(self.out_channels, kernel_size=1, padding=0,
@@ -373,7 +371,6 @@ class UNetModel(nn.Module):
                     ds //= 2
                 block_idx += 1
 
-        h = GroupNorm(num_groups=32, name="out_0")(h)
-        h = silu(h)
+        h = GroupNorm(num_groups=32, fuse_silu=True, name="out_0")(h)
         h = Conv(cfg.out_channels, name="out_2", **dd)(h)
         return h

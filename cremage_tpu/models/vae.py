@@ -61,11 +61,9 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        h = GroupNorm(num_groups=32, epsilon=1e-6, name="norm1")(x)
-        h = silu(h)
+        h = GroupNorm(num_groups=32, epsilon=1e-6, fuse_silu=True, name="norm1")(x)
         h = Conv(self.out_channels, name="conv1", **dd)(h)
-        h = GroupNorm(num_groups=32, epsilon=1e-6, name="norm2")(h)
-        h = silu(h)
+        h = GroupNorm(num_groups=32, epsilon=1e-6, fuse_silu=True, name="norm2")(h)
         h = Conv(self.out_channels, name="conv2", **dd)(h)
         if x.shape[-1] != self.out_channels:
             x = Conv(self.out_channels, kernel_size=1, padding=0,
@@ -139,8 +137,7 @@ class Encoder(nn.Module):
         h = ResnetBlock(h.shape[-1], name="mid_block_1", **dd)(h)
         h = AttnBlock(name="mid_attn_1", **dd)(h)
         h = ResnetBlock(h.shape[-1], name="mid_block_2", **dd)(h)
-        h = GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(h)
-        h = silu(h)
+        h = GroupNorm(num_groups=32, epsilon=1e-6, fuse_silu=True, name="norm_out")(h)
         return Conv(2 * cfg.z_channels, name="conv_out", **dd)(h)
 
 
@@ -163,8 +160,7 @@ class Decoder(nn.Module):
                 h = ResnetBlock(out_ch, name=f"up_{level}_block_{b}", **dd)(h)
             if level != 0:
                 h = UpsampleVAE(out_ch, name=f"up_{level}_upsample", **dd)(h)
-        h = GroupNorm(num_groups=32, epsilon=1e-6, name="norm_out")(h)
-        h = silu(h)
+        h = GroupNorm(num_groups=32, epsilon=1e-6, fuse_silu=True, name="norm_out")(h)
         return Conv(cfg.out_ch, name="conv_out", **dd)(h)
 
 

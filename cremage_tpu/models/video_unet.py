@@ -103,14 +103,14 @@ class TemporalResBlock(nn.Module):
             return y + bias.astype(self.dtype)
 
         h = x.reshape(b * t, hh, ww, c)
-        h = GroupNorm(num_groups=32, name="in_layers_0")(h)
-        h = silu(h).reshape(b, t, hh, ww, c)
+        h = GroupNorm(num_groups=32, fuse_silu=True, name="in_layers_0")(h)
+        h = h.reshape(b, t, hh, ww, c)
         h = conv3("in_layers_2", h)
         emb_out = Dense(self.out_channels, name="emb_layers_1", **dd)(silu(emb))
         h = h + emb_out[:, :, None, None, :]
         h2 = h.reshape(b * t, hh, ww, self.out_channels)
-        h2 = GroupNorm(num_groups=32, name="out_layers_0")(h2)
-        h2 = silu(h2).reshape(b, t, hh, ww, self.out_channels)
+        h2 = GroupNorm(num_groups=32, fuse_silu=True, name="out_layers_0")(h2)
+        h2 = h2.reshape(b, t, hh, ww, self.out_channels)
         h2 = conv3("out_layers_3", h2)
         if c != self.out_channels:
             x = Conv(self.out_channels, kernel_size=1, padding=0,
@@ -135,13 +135,11 @@ class VideoResBlock(nn.Module):
 
         # spatial ResBlock layers at this module's own scope (reference:
         # VideoResBlock *extends* ResBlock, so keys sit directly here)
-        h = GroupNorm(num_groups=32, name="in_layers_0")(x)
-        h = silu(h)
+        h = GroupNorm(num_groups=32, fuse_silu=True, name="in_layers_0")(x)
         h = Conv(out_ch, name="in_layers_2", **dd)(h)
         emb_out = Dense(out_ch, name="emb_layers_1", **dd)(silu(emb))
         h = h + emb_out[:, None, None, :]
-        h = GroupNorm(num_groups=32, name="out_layers_0")(h)
-        h = silu(h)
+        h = GroupNorm(num_groups=32, fuse_silu=True, name="out_layers_0")(h)
         h = Conv(out_ch, name="out_layers_3", **dd)(h)
         if x.shape[-1] != out_ch:
             x = Conv(out_ch, kernel_size=1, padding=0,
@@ -332,6 +330,5 @@ class VideoUNet(nn.Module):
                     ds //= 2
                 block_idx += 1
 
-        h = GroupNorm(num_groups=32, name="out_0")(h)
-        h = silu(h)
+        h = GroupNorm(num_groups=32, fuse_silu=True, name="out_0")(h)
         return Conv(cfg.out_channels, name="out_2", **dd)(h)
