@@ -1,0 +1,63 @@
+"""App data directories + image library operations.
+
+Behavior contract: reference `ui/initializer.py:78-116 first_init`
+creates ~/.cremage/{tmp,outputs,trash,favorites,data/faces,
+embedding_images}; the image listbox supports mark/goto/favorite/delete
+keyboard ops (`ui/image_listbox_handlers.py:58-190`). Headless
+equivalents: directory bootstrap + favorite/trash/list operations over
+the outputs dir, consumable from the HTTP API.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Dict, List, Optional
+
+APP_DIR_NAME = ".cremage_tpu"
+SUBDIRS = ("tmp", "outputs", "trash", "favorites", "data/faces",
+           "embedding_images", "tmp/svd/frames")
+
+
+def app_root(base: Optional[str] = None) -> str:
+    return base or os.path.join(os.path.expanduser("~"), APP_DIR_NAME)
+
+
+def first_init(base: Optional[str] = None) -> str:
+    root = app_root(base)
+    for sub in SUBDIRS:
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    return root
+
+
+def list_images(root: str, which: str = "outputs") -> List[Dict]:
+    """Newest-first listing with metadata presence flag."""
+    d = os.path.join(root, which)
+    out = []
+    if not os.path.isdir(d):
+        return out
+    for name in os.listdir(d):
+        if not name.lower().endswith(".png"):
+            continue
+        p = os.path.join(d, name)
+        out.append({"name": name, "path": p, "mtime": os.path.getmtime(p)})
+    out.sort(key=lambda e: -e["mtime"])
+    return out
+
+
+def favorite_image(root: str, path: str) -> str:
+    """Copy into favorites (reference `f` key)."""
+    dest = os.path.join(root, "favorites", os.path.basename(path))
+    shutil.copyfile(path, dest)
+    return dest
+
+
+def trash_image(root: str, path: str) -> str:
+    """Move into trash instead of deleting (reference delete key)."""
+    base = os.path.basename(path)
+    dest = os.path.join(root, "trash", base)
+    if os.path.exists(dest):
+        stem, ext = os.path.splitext(base)
+        dest = os.path.join(root, "trash", f"{stem}_{int(time.time())}{ext}")
+    shutil.move(path, dest)
+    return dest

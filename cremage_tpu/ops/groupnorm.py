@@ -5,8 +5,13 @@ three times (stats, normalize, activation). This kernel does one pass
 per batch row — stats, normalize, affine and SiLU fused in VMEM — the
 "fused GroupNorm+SiLU epilogue" called for by SURVEY.md §7 kernels/.
 
-Used for spatial activations (B, H, W, C) with C % groups == 0. Falls
-back to the XLA path when the row doesn't fit VMEM or off-TPU.
+Mosaic note: lane-dim reshapes like (HW, C) -> (HW, G, C/G) don't lower
+when C/G isn't lane-aligned (SD channels are 320/640), so group
+statistics are computed with matmuls against a 0/1 group-membership
+matrix M (C, G): per-group sums = colsum(x @ M), broadcast back with
+M^T. Everything stays MXU/VPU-shaped.
+
+Falls back to the XLA path when a row doesn't fit VMEM or off-TPU.
 """
 from __future__ import annotations
 
@@ -14,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -21,16 +27,37 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_ROW_LIMIT = 2 * 1024 * 1024  # elements
 
 
-def _gn_kernel(x_ref, w_ref, b_ref, o_ref, *, groups: int, eps: float,
-               silu: bool):
-    x = x_ref[0].astype(jnp.float32)          # (HW, C)
-    hw, c = x.shape
+@functools.lru_cache(maxsize=32)
+def _group_matrix(c: int, groups: int) -> np.ndarray:
+    m = np.zeros((c, groups), np.float32)
     cg = c // groups
-    xg = x.reshape(hw, groups, cg)
-    mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-    var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
-    y = (xg - mean) / jnp.sqrt(var + eps)
-    y = y.reshape(hw, c) * w_ref[...] + b_ref[...]
+    for g in range(groups):
+        m[g * cg:(g + 1) * cg, g] = 1.0
+    return m
+
+
+def _gn_kernel(x_ref, m_ref, w_ref, b_ref, o_ref, *, eps: float, silu: bool,
+               count: float):
+    x = x_ref[0].astype(jnp.float32)          # (HW, C)
+    m = m_ref[...]                             # (C, G)
+    sum_g = jnp.sum(
+        jax.lax.dot_general(x, m, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32),
+        axis=0, keepdims=True)                 # (1, G)
+    sumsq_g = jnp.sum(
+        jax.lax.dot_general(x * x, m, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32),
+        axis=0, keepdims=True)
+    mean_g = sum_g / count
+    var_g = sumsq_g / count - mean_g * mean_g
+    inv_g = 1.0 / jnp.sqrt(var_g + eps)
+    # broadcast group stats back to channels: (1,G) @ (G,C)
+    mt = m.T
+    mean_c = jax.lax.dot_general(mean_g, mt, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    inv_c = jax.lax.dot_general(inv_g, mt, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    y = (x - mean_c) * inv_c * w_ref[...] + b_ref[...]
     if silu:
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)
@@ -39,18 +66,21 @@ def _gn_kernel(x_ref, w_ref, b_ref, o_ref, *, groups: int, eps: float,
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "silu"))
 def _gn_pallas(x2d, w, b, groups: int, eps: float, silu: bool):
     bsz, hw, c = x2d.shape
-    kernel = functools.partial(_gn_kernel, groups=groups, eps=eps, silu=silu)
+    m = jnp.asarray(_group_matrix(c, groups))
+    count = float(hw * (c // groups))
+    kernel = functools.partial(_gn_kernel, eps=eps, silu=silu, count=count)
     return pl.pallas_call(
         kernel,
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c, groups), lambda i: (0, 0)),
             pl.BlockSpec((c,), lambda i: (0,)),
             pl.BlockSpec((c,), lambda i: (0,)),
         ],
         out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bsz, hw, c), x2d.dtype),
-    )(x2d, w, b)
+    )(x2d, m, w, b)
 
 
 def _is_tpu() -> bool:
@@ -72,7 +102,6 @@ def group_norm_silu(
     hw = x2d.shape[1]
     use_pallas = force_pallas or (
         _is_tpu() and hw * c <= _VMEM_ROW_LIMIT and c % groups == 0
-        and c % 128 == 0
     )
     if use_pallas:
         out = _gn_pallas(
