@@ -125,6 +125,22 @@ class ApiServer:
             frames = [_b64_to_image(f) for f in body["frames"]]
             out = interpolate_recursively(frames, int(body.get("passes", 1)))
             return {"frames": [_image_to_b64(f) for f in out]}
+        # image library (reference listbox capabilities: list/favorite/trash)
+        if path == "/v1/images" and method == "GET":
+            from cremage_tpu.app import dirs as D
+
+            root = D.first_init()
+            return {"images": D.list_images(root)}
+        if path == "/v1/images/favorite" and method == "POST":
+            from cremage_tpu.app import dirs as D
+
+            root = D.first_init()
+            return {"favorite": D.favorite_image(root, body["path"])}
+        if path == "/v1/images/trash" and method == "POST":
+            from cremage_tpu.app import dirs as D
+
+            root = D.first_init()
+            return {"trash": D.trash_image(root, body["path"])}
         return None
 
     # ----- plumbing -----

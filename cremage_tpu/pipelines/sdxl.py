@@ -320,7 +320,14 @@ class SDXLPipeline:
         status_cb=_noop_status,
         result_cb=None,
         init_image: Optional[np.ndarray] = None,
+        mask_image: Optional[np.ndarray] = None,
     ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
+        """mask_image (H,W) with 1 = repaint: SDXL inpainting uses the
+        latent-masking technique (each result is composited back over the
+        original outside the mask) — the reference reaches SDXL inpaint
+        through diffusers AutoPipelineForInpainting
+        (`modules/sdxl/sdxl_pipeline/sdxl_inpaint.py:71`), which applies
+        the same masked-latent blend for non-inpaint checkpoints."""
         base_seed = resolve_seed(opts.seed)
         results = []
         img_index = 0
@@ -357,6 +364,11 @@ class SDXLPipeline:
                 self.bundle.vae, self.bundle.vae_params, lat.astype(jnp.bfloat16)
             )
             imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
+
+            if mask_image is not None and init_image is not None:
+                m = (np.asarray(mask_image) >= 0.5).astype(np.float32)[..., None]
+                init01 = (np.asarray(init_image, np.float32) + 1) / 2
+                imgs = imgs * m[None] + init01[None] * (1 - m[None])
 
             if opts.safety_check:
                 imgs, _ = self.safety.check(imgs)
