@@ -90,6 +90,16 @@ def _is_tpu() -> bool:
         return False
 
 
+def _pallas_enabled() -> bool:
+    """Opt-in gate (CREMAGE_TPU_GN_PALLAS=1). The fused kernel is
+    validated in interpret mode; it stays opt-in on hardware until a
+    device run confirms the Mosaic lowering on the target libtpu."""
+    import os
+
+    return os.environ.get("CREMAGE_TPU_GN_PALLAS", "0").lower() in (
+        "1", "true", "yes")
+
+
 def group_norm_silu(
     x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     groups: int = 32, eps: float = 1e-5, silu: bool = True,
@@ -101,7 +111,8 @@ def group_norm_silu(
     x2d = x.reshape(shape[0], -1, c)
     hw = x2d.shape[1]
     use_pallas = force_pallas or (
-        _is_tpu() and hw * c <= _VMEM_ROW_LIMIT and c % groups == 0
+        _pallas_enabled() and _is_tpu() and hw * c <= _VMEM_ROW_LIMIT
+        and c % groups == 0
     )
     if use_pallas:
         out = _gn_pallas(
