@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto_face_fix_prompt", type=str, default="")
     p.add_argument("--auto_face_fix_face_detection_method", type=str,
                    default="InsightFace")
+    # FaceID (reference flags; face_input_img may be a .npy with a
+    # precomputed 512-d InsightFace embedding in this environment)
+    p.add_argument("--face_input_img", type=str, default="")
+    p.add_argument("--face_model", type=str, default="")
+    p.add_argument("--face_strength", type=float, default=1.0)
     # mode inputs
     p.add_argument("--init_img", type=str, default="")
     p.add_argument("--mask_img", type=str, default="")
@@ -125,6 +130,18 @@ def main(argv=None) -> int:
         sampler_eta=args.sampler_eta, sampler_order=args.sampler_order,
     )
 
+    face_embedding = None
+    if args.face_input_img:
+        import numpy as np
+
+        if args.face_input_img.endswith(".npy"):
+            face_embedding = np.load(args.face_input_img)
+        else:
+            raise SystemExit(
+                "extracting a FaceID embedding from an image needs "
+                "InsightFace (unavailable here); pass a precomputed 512-d "
+                "embedding as .npy via --face_input_img")
+
     ckpt = args.inpaint_ckpt if mode == MODE_INPAINTING and args.inpaint_ckpt \
         else args.ckpt
     bundle = load_sd15_bundle(
@@ -133,6 +150,8 @@ def main(argv=None) -> int:
         loras=parse_lora_option_string(args.lora_models, args.lora_weights),
         embedding_dir=args.embedding_path or None,
         inpainting=(mode == MODE_INPAINTING),
+        faceid_ckpt=args.face_model or None,
+        face_strength=args.face_strength,
     )
     pipe = SD15Pipeline(bundle)
 
@@ -141,6 +160,7 @@ def main(argv=None) -> int:
     results = pipe.generate(
         opts, status_cb=lambda m: print(m, file=sys.stderr),
         init_image=init_image, mask_image=mask_image,
+        face_embedding=face_embedding,
     )
     dt = time.perf_counter() - t0
     print(f"{len(results)} images in {dt:.1f}s "
