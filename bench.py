@@ -32,6 +32,9 @@ def zeros_params(model, *example_args):
 
 
 def main():
+    from cremage_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from cremage_tpu.models.unet import UNetModel, sd15_unet_config
     from cremage_tpu.models.vae import AutoencoderKL, VAEConfig, decode_from_latent
     from cremage_tpu.samplers import kdiffusion as K

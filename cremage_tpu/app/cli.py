@@ -89,6 +89,9 @@ def main(argv=None) -> int:
     from cremage_tpu.pipelines.sd15 import SD15Pipeline
     from PIL import Image
 
+    from cremage_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     mode = MODE_TEXT_TO_IMAGE
     init_image = mask_image = None

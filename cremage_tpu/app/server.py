@@ -184,6 +184,9 @@ class ApiServer:
         return Handler
 
     def start(self, block: bool = False):
+        from cremage_tpu.core.cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.worker.start()
         self._httpd = ThreadingHTTPServer(
             (self.host, self.port), self._make_handler())
