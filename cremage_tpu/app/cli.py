@@ -73,6 +73,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--refiner_sdxl_ckpt", type=str, default="")
     p.add_argument("--refiner_strength", type=float, default=0.0)
     p.add_argument("--generator_model_type", type=str, default="SD 1.5")
+    # replay options from a past image's metadata (the UI's
+    # "Use generation info" checkbox, generate_handler.py:274-279)
+    p.add_argument("--use_generation_info", type=str, default="",
+                   help="path to a PNG whose generation_data replaces "
+                        "the current options (prompt flags still win "
+                        "when explicitly given)")
+    # app preferences file: when present, pre/post prompt expansions are
+    # applied per its toggles (reference config.yaml behavior)
+    p.add_argument("--config_yaml", type=str, default="")
     return p
 
 
@@ -132,6 +141,19 @@ def main(argv=None) -> int:
         sampler_s_noise=args.sampler_s_noise,
         sampler_eta=args.sampler_eta, sampler_order=args.sampler_order,
     )
+
+    if args.use_generation_info:
+        from cremage_tpu.core.config import override_options
+        from cremage_tpu.io.metadata import read_generation_data
+
+        past = read_generation_data(args.use_generation_info)
+        if past:
+            opts = override_options(opts, past)
+
+    if args.config_yaml:
+        from cremage_tpu.core.config import apply_prompt_expansions, load_preferences
+
+        opts = apply_prompt_expansions(opts, load_preferences(args.config_yaml))
 
     face_embedding = None
     if args.face_input_img:

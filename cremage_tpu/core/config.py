@@ -284,6 +284,25 @@ class GenerationOptions:
         return opts
 
 
+def apply_prompt_expansions(
+    opts: "GenerationOptions", prefs: "Preferences"
+) -> "GenerationOptions":
+    """Apply the preferences' pre/post prompt expansions (reference
+    `generate_handler.py:61-75`: pre-expansion prepended, expansion
+    appended, per positive/negative toggles)."""
+    pos = opts.prompt
+    neg = opts.negative_prompt
+    if prefs.enable_positive_prompt_pre_expansion:
+        pos = prefs.positive_prompt_pre_expansion + pos
+    if prefs.enable_positive_prompt_expansion:
+        pos = pos + prefs.positive_prompt_expansion
+    if prefs.enable_negative_prompt_pre_expansion:
+        neg = prefs.negative_prompt_pre_expansion + neg
+    if prefs.enable_negative_prompt_expansion:
+        neg = neg + prefs.negative_prompt_expansion
+    return dataclasses.replace(opts, prompt=pos, negative_prompt=neg)
+
+
 def override_options(
     opts: GenerationOptions,
     generation_data: str | Dict[str, Any],
