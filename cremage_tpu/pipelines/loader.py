@@ -50,8 +50,16 @@ def load_sd15_bundle(
         logger.info("bundle cache hit for %s", ckpt)
         return _bundle_cache[cache_key]
 
-    sd = CK.load_state_dict(ckpt)
-    if vae_ckpt:
+    # cross-process converted-params cache (orbax): skips the multi-GB
+    # torch->jax conversion + overlay chain on repeat loads
+    from cremage_tpu.core.cache import load_params_cache, save_params_cache
+
+    disk_extra = repr((vae_ckpt, tuple(loras), inpainting, control_ckpt,
+                       faceid_ckpt, face_strength, str(policy.param_dtype)))
+    cached = load_params_cache(ckpt, extra=disk_extra) if use_cache else None
+
+    sd = {} if cached else CK.load_state_dict(ckpt)
+    if vae_ckpt and not cached:
         vae_sd = CK.vae_state_dict_from_standalone(CK.load_state_dict(vae_ckpt))
         sd = CK.overlay(sd, vae_sd, key_filter=CK.PREFIX_VAE)
 
@@ -62,50 +70,80 @@ def load_sd15_bundle(
         ipa_num_tokens=num_ipa, ipa_scale=1.0 if faceid_ckpt else 0.0, **dd,
     )
     unet = UNetModel(unet_cfg)
-    x = jnp.zeros((1, 8, 8, unet_cfg.in_channels), policy.compute_dtype)
-    unet_tmpl = _template(unet, x, jnp.zeros((1,)),
-                          jnp.zeros((1, 77 + num_ipa, 768)))
-    unet_params, miss, _ = CK.build_flax_params(
-        unet_tmpl, sd, CK.PREFIX_UNET, dtype=policy.param_dtype,
-        strict=not faceid_ckpt,  # to_k_ipa/to_v_ipa come from the FaceID ckpt
-    )
+    proj_params = None
+    if cached is not None:
+        unet_params = cached["unet"]
+        vae_params = cached["vae"]
+        clip_params = cached["clip"]
+        proj_params = cached.get("faceid_proj")
+        vae = AutoencoderKL(VAEConfig(**dd))
+        clip = CLIPTextModel(CLIPTextConfig(**dd))
+        logger.info("params cache hit for %s", ckpt)
+    else:
+        x = jnp.zeros((1, 8, 8, unet_cfg.in_channels), policy.compute_dtype)
+        unet_tmpl = _template(unet, x, jnp.zeros((1,)),
+                              jnp.zeros((1, 77 + num_ipa, 768)))
+        unet_params, miss, _ = CK.build_flax_params(
+            unet_tmpl, sd, CK.PREFIX_UNET, dtype=policy.param_dtype,
+            strict=not faceid_ckpt,  # to_k_ipa/to_v_ipa: FaceID ckpt
+        )
 
-    vae = AutoencoderKL(VAEConfig(**dd))
-    vae_tmpl = _template(vae, jnp.zeros((1, 64, 64, 3), policy.compute_dtype))
-    vae_params, _, _ = CK.build_flax_params(
-        vae_tmpl, sd, CK.PREFIX_VAE, dtype=policy.param_dtype
-    )
+        vae = AutoencoderKL(VAEConfig(**dd))
+        vae_tmpl = _template(vae, jnp.zeros((1, 64, 64, 3),
+                                            policy.compute_dtype))
+        vae_params, _, _ = CK.build_flax_params(
+            vae_tmpl, sd, CK.PREFIX_VAE, dtype=policy.param_dtype
+        )
 
-    clip = CLIPTextModel(CLIPTextConfig(**dd))
-    clip_tmpl = _template(clip, jnp.zeros((1, 77), jnp.int32))
-    clip_sd = CK.clip_text_subdict(sd, CK.PREFIX_CLIP_SD15)
-    clip_params, _, _ = CK.build_flax_params(
-        clip_tmpl, clip_sd, prefix="", dtype=policy.param_dtype,
-        strict=False,
-    )
+        clip = CLIPTextModel(CLIPTextConfig(**dd))
+        clip_tmpl = _template(clip, jnp.zeros((1, 77), jnp.int32))
+        clip_sd = CK.clip_text_subdict(sd, CK.PREFIX_CLIP_SD15)
+        clip_params, _, _ = CK.build_flax_params(
+            clip_tmpl, clip_sd, prefix="", dtype=policy.param_dtype,
+            strict=False,
+        )
 
-    # LoRA merge (load-time weight transform)
-    for path, weight in loras:
-        lora_sd = CK.load_state_dict(path)
-        merged, skipped = merge_lora(unet_params, clip_params, lora_sd,
-                                     weight, unet_cfg)
-        logger.info("LoRA %s: merged %d modules, skipped %d", path, merged, skipped)
+        # LoRA merge (load-time weight transform)
+        for path, weight in loras:
+            lora_sd = CK.load_state_dict(path)
+            merged, skipped = merge_lora(unet_params, clip_params, lora_sd,
+                                         weight, unet_cfg)
+            logger.info("LoRA %s: merged %d modules, skipped %d", path,
+                        merged, skipped)
+
+        if faceid_ckpt:
+            from cremage_tpu.io.faceid import (
+                load_faceid_checkpoint, merge_faceid,
+            )
+            from cremage_tpu.models.faceid import (
+                FaceIDProjConfig, MLPProjModel,
+            )
+
+            proj_sd, ip_sd = load_faceid_checkpoint(faceid_ckpt)
+            merged, installed = merge_faceid(unet_params, ip_sd, unet_cfg,
+                                             weight=face_strength)
+            logger.info("FaceID: merged %d lora layers, %d ipa projections",
+                        merged, installed)
+            proj = MLPProjModel(FaceIDProjConfig())
+            proj_tmpl = _template(proj, jnp.zeros((1, 512)))
+            proj_params, _, _ = CK.build_flax_params(
+                proj_tmpl, proj_sd, prefix="", dtype=policy.param_dtype
+            )
+        if use_cache:
+            try:
+                payload = {"unet": unet_params, "vae": vae_params,
+                           "clip": clip_params}
+                if proj_params is not None:
+                    payload["faceid_proj"] = proj_params
+                save_params_cache(ckpt, payload, extra=disk_extra)
+            except Exception as e:  # cache is best-effort
+                logger.warning("params cache save failed: %s", e)
 
     faceid_proj = None
-    if faceid_ckpt:
-        from cremage_tpu.io.faceid import load_faceid_checkpoint, merge_faceid
+    if faceid_ckpt and proj_params is not None:
         from cremage_tpu.models.faceid import FaceIDProjConfig, MLPProjModel
 
-        proj_sd, ip_sd = load_faceid_checkpoint(faceid_ckpt)
-        merged, installed = merge_faceid(unet_params, ip_sd, unet_cfg,
-                                         weight=face_strength)
-        logger.info("FaceID: merged %d lora layers, %d ipa projections",
-                    merged, installed)
         proj = MLPProjModel(FaceIDProjConfig())
-        proj_tmpl = _template(proj, jnp.zeros((1, 512)))
-        proj_params, _, _ = CK.build_flax_params(
-            proj_tmpl, proj_sd, prefix="", dtype=policy.param_dtype
-        )
         faceid_proj = (proj, {"params": proj_params})
 
     controlnet = None
