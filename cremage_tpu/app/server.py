@@ -125,6 +125,10 @@ class ApiServer:
             frames = [_b64_to_image(f) for f in body["frames"]]
             out = interpolate_recursively(frames, int(body.get("passes", 1)))
             return {"frames": [_image_to_b64(f) for f in out]}
+        if path == "/v1/tools/tokenize" and method == "POST":
+            from cremage_tpu.app.tools import tokenize_preview
+
+            return tokenize_preview(body.get("prompt", ""))
         # image library (reference listbox capabilities: list/favorite/trash)
         if path == "/v1/images" and method == "GET":
             from cremage_tpu.app import dirs as D

@@ -108,6 +108,27 @@ def mix_models(paths: Sequence[str], weights: Sequence[float],
     return output_path
 
 
+def tokenize_preview(prompt: str) -> Dict:
+    """Token viewer tool (reference ui token viewer): tokens, ids and the
+    77-window chunk count for a weighted prompt."""
+    from cremage_tpu.prompt.parser import compute_prompt_score
+    from cremage_tpu.prompt.tokenizer import default_tokenizer
+
+    tok = default_tokenizer()
+    pairs = compute_prompt_score(prompt)
+    per_word = []
+    total = 0
+    for word, score in pairs:
+        ids = tok.encode(word) if not word.startswith("<embedding:") else []
+        per_word.append({"word": word, "score": score, "ids": ids})
+        total += len(ids)
+    return {
+        "words": per_word,
+        "total_tokens": total,
+        "chunks": max(1, -(-total // 75)),
+    }
+
+
 def segment_for_inpaint(image01: np.ndarray, labels: Sequence[str]) -> np.ndarray:
     """Clothes-segmentation mask (reference uses NVIDIA Segformer clothes
     parser, a runtime download). Weight-gated."""
