@@ -91,9 +91,14 @@ def _is_tpu() -> bool:
 
 
 def _pallas_enabled() -> bool:
-    """Opt-in gate (CREMAGE_TPU_GN_PALLAS=1). The fused kernel is
-    validated in interpret mode; it stays opt-in on hardware until a
-    device run confirms the Mosaic lowering on the target libtpu."""
+    """Opt-in gate (CREMAGE_TPU_GN_PALLAS=1), default OFF.
+
+    Device findings on v5e (libtpu via the axon tunnel): the original
+    in-kernel (HW, C) -> (HW, G, C/G) reshape fails Mosaic layout
+    inference for SD channel counts, and the matmul-based variant
+    compiles pathologically slowly. XLA already fuses GN+SiLU well, so
+    the fallback is the production path; the kernel stays for future
+    libtpu versions and as the interpret-mode-tested reference."""
     import os
 
     return os.environ.get("CREMAGE_TPU_GN_PALLAS", "0").lower() in (
