@@ -1,0 +1,166 @@
+"""Backend registry: generator_model_type -> generate() callables.
+
+The ML-process dispatch table of the reference (`modules/cremage/mp/
+mp.py:46-121`, 9 families x modes, lazy imports) as worker factories:
+`register_default_backends(worker, prefs)` wires every GMT_* type; each
+backend parses the job `parameters` dict into GenerationOptions, builds
+its bundle from the preferences' model paths (lazily, on first job) and
+streams progress + results back on the status channel.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+from cremage_tpu.core.config import (
+    GMT_FLUX_1_SCHNELL, GMT_HUNYUAN_DIT, GMT_KANDINSKY_2_2, GMT_PIXART_SIGMA,
+    GMT_SD_1_5, GMT_SD_3, GMT_SDXL, GMT_STABLE_CASCADE, GMT_SVD,
+    GenerationOptions, MODE_INPAINTING, Preferences,
+)
+from cremage_tpu.app.worker import EngineWorker
+
+logger = logging.getLogger(__name__)
+
+
+def _opts_from_params(params: dict) -> GenerationOptions:
+    return GenerationOptions.from_dict(params)
+
+
+def _load_image(params: dict, key: str) -> Optional[np.ndarray]:
+    from PIL import Image
+
+    from cremage_tpu.io.metadata import array_from_image
+
+    p = params.get(key)
+    if not p or not os.path.exists(p):
+        return None
+    if key == "mask_img":
+        return np.asarray(Image.open(p).convert("L"),
+                          np.float32) / 255.0
+    return array_from_image(Image.open(p))
+
+
+def _model_path(prefs: Preferences, path_attr: str, name_attr: str) -> str:
+    name = getattr(prefs, name_attr)
+    if not name or name == "None":
+        raise FileNotFoundError(
+            f"preferences.{name_attr} is not set; configure a model file")
+    return os.path.join(getattr(prefs, path_attr), name)
+
+
+def sd15_factory(prefs: Preferences) -> Callable:
+    from cremage_tpu.pipelines.loader import load_sd15_bundle
+    from cremage_tpu.pipelines.sd15 import SD15Pipeline
+    from cremage_tpu.io.lora import parse_lora_option_string
+
+    def generate(params, status_cb, result_cb):
+        opts = _opts_from_params(params)
+        inpaint = opts.mode == MODE_INPAINTING
+        ckpt = opts.ckpt or _model_path(
+            prefs, "ldm_model_path",
+            "ldm_inpaint_model" if inpaint else "ldm_model")
+        bundle = load_sd15_bundle(
+            ckpt,
+            vae_ckpt=opts.vae_ckpt or None,
+            loras=parse_lora_option_string(opts.lora_models, opts.lora_weights),
+            embedding_dir=opts.embedding_path or prefs.embedding_path or None,
+            inpainting=inpaint,
+            control_ckpt=opts.control_net or None,
+            faceid_ckpt=opts.face_model or None,
+            face_strength=opts.face_strength,
+        )
+        pipe = SD15Pipeline(bundle)
+        pipe.generate(
+            opts, status_cb=status_cb, result_cb=result_cb,
+            init_image=_load_image(params, "init_img"),
+            mask_image=_load_image(params, "mask_img"),
+            control_image=_load_image(params, "control_image_path"),
+        )
+
+    return generate
+
+
+def sdxl_factory(prefs: Preferences) -> Callable:
+    from cremage_tpu.pipelines.loader import load_sdxl_bundle
+    from cremage_tpu.pipelines.sdxl import SDXLPipeline
+    from cremage_tpu.io.lora import parse_lora_option_string
+
+    def generate(params, status_cb, result_cb):
+        opts = _opts_from_params(params)
+        ckpt = opts.ckpt or _model_path(prefs, "sdxl_ldm_model_path",
+                                        "sdxl_ldm_model")
+        bundle = load_sdxl_bundle(
+            ckpt,
+            vae_ckpt=opts.vae_ckpt or None,
+            refiner_ckpt=opts.refiner_ckpt or None,
+            loras=parse_lora_option_string(opts.lora_models, opts.lora_weights),
+            embedding_dir=opts.embedding_path or prefs.sdxl_embedding_path or None,
+        )
+        SDXLPipeline(bundle).generate(
+            opts, status_cb=status_cb, result_cb=result_cb,
+            init_image=_load_image(params, "init_img"),
+            mask_image=_load_image(params, "mask_img"),
+        )
+
+    return generate
+
+
+def sd3_factory(prefs: Preferences) -> Callable:
+    from cremage_tpu.pipelines.loader import load_sd3_bundle
+    from cremage_tpu.pipelines.sd3 import SD3Pipeline
+
+    def generate(params, status_cb, result_cb):
+        opts = _opts_from_params(params)
+        ckpt = opts.ckpt or _model_path(prefs, "sd3_ldm_model_path",
+                                        "sd3_ldm_model")
+        bundle = load_sd3_bundle(ckpt)
+        SD3Pipeline(bundle).generate(opts, status_cb=status_cb,
+                                     result_cb=result_cb)
+
+    return generate
+
+
+def flux_factory(prefs: Preferences) -> Callable:
+    from cremage_tpu.pipelines.loader import load_flux_bundle
+    from cremage_tpu.pipelines.flux import FluxPipeline
+
+    def generate(params, status_cb, result_cb):
+        opts = _opts_from_params(params)
+        bundle = load_flux_bundle(
+            opts.ckpt, vae_ckpt=opts.vae_ckpt,
+            clip_ckpt=params.get("clip_ckpt"),
+            t5_ckpt=params.get("t5_ckpt"),
+        )
+        FluxPipeline(bundle).generate(opts, status_cb=status_cb,
+                                      result_cb=result_cb)
+
+    return generate
+
+
+def _weightgated_factory(name: str) -> Callable:
+    def factory():
+        def generate(params, status_cb, result_cb):
+            raise FileNotFoundError(
+                f"{name}: checkpoint mapping for this family lands with its "
+                f"weights; see COVERAGE.md")
+        return generate
+    return factory
+
+
+def register_default_backends(worker: EngineWorker,
+                              prefs: Optional[Preferences] = None) -> None:
+    prefs = prefs or Preferences()
+    worker.register_backend(GMT_SD_1_5, lambda: sd15_factory(prefs))
+    worker.register_backend(GMT_SDXL, lambda: sdxl_factory(prefs))
+    worker.register_backend(GMT_SD_3, lambda: sd3_factory(prefs))
+    worker.register_backend(GMT_FLUX_1_SCHNELL, lambda: flux_factory(prefs))
+    # PixArt / Kandinsky / Hunyuan / Cascade / SVD pipelines exist
+    # (pipelines/*.py); their diffusers-layout weight converters are
+    # pending, so job dispatch reports that clearly instead of failing
+    # deep inside a load.
+    for gmt in (GMT_PIXART_SIGMA, GMT_KANDINSKY_2_2, GMT_HUNYUAN_DIT,
+                GMT_STABLE_CASCADE, GMT_SVD):
+        worker.register_backend(gmt, _weightgated_factory(gmt))

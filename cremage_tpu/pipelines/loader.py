@@ -284,3 +284,170 @@ def load_sdxl_bundle(
         _bundle_cache.clear()
         _bundle_cache[cache_key] = bundle
     return bundle
+
+
+# SD3 single-file checkpoint prefixes
+PREFIX_SD3_CLIP_L = "text_encoders.clip_l.transformer.text_model."
+PREFIX_SD3_CLIP_G = "text_encoders.clip_g.transformer.text_model."
+PREFIX_SD3_T5 = "text_encoders.t5xxl.transformer.encoder."
+
+
+def load_sd3_bundle(
+    ckpt: str,
+    include_t5: bool = True,
+    t5_tokenize=None,
+    embedding_dir: Optional[str] = None,
+    policy: DTypePolicy = DEFAULT_POLICY,
+):
+    """SD3-medium single-file checkpoint -> SD3Bundle
+    (reference `modules/sd3/txt2img.py` loads the same single file via
+    diffusers from_single_file; quantize_t5 becomes include_t5)."""
+    from cremage_tpu.models.mmdit import MMDiT, sd3_medium_config
+    from cremage_tpu.models.open_clip import OpenCLIPTextModel, openclip_bigg_config
+    from cremage_tpu.models.t5 import T5Encoder, t5_xxl_config
+    from cremage_tpu.models.vae import sd3_vae_config
+    from cremage_tpu.pipelines.sd3 import SD3Bundle, SD3Conditioner
+
+    sd = CK.load_state_dict(ckpt)
+    dd = dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
+
+    mmdit = MMDiT(sd3_medium_config(**dd))
+    m_tmpl = _template(
+        mmdit, jnp.zeros((1, 16, 16, 16), policy.compute_dtype),
+        jnp.zeros((1,)), jnp.zeros((1, 154, 4096)), jnp.zeros((1, 2048)),
+    )
+    m_params, _, _ = CK.build_flax_params(
+        m_tmpl, sd, CK.PREFIX_UNET, dtype=policy.param_dtype, strict=False
+    )
+
+    vae = AutoencoderKL(sd3_vae_config(**dd))
+    v_tmpl = _template(vae, jnp.zeros((1, 64, 64, 3), policy.compute_dtype))
+    v_params, _, _ = CK.build_flax_params(
+        v_tmpl, sd, CK.PREFIX_VAE, dtype=policy.param_dtype, strict=False
+    )
+
+    clip = CLIPTextModel(CLIPTextConfig(**dd))
+    c_tmpl = _template(clip, jnp.zeros((1, 77), jnp.int32))
+    c_params, _, _ = CK.build_flax_params(
+        c_tmpl, CK.clip_text_subdict(sd, PREFIX_SD3_CLIP_L), prefix="",
+        dtype=policy.param_dtype, strict=False,
+    )
+
+    from cremage_tpu.models.open_clip import OpenCLIPTextModel
+
+    oc = OpenCLIPTextModel(openclip_bigg_config(**dd))
+    oc_tmpl = _template(oc, jnp.zeros((1, 77), jnp.int32))
+    # SD3 stores clip_g in HF layout under text_encoders.clip_g
+    oc_params, _, _ = CK.build_flax_params(
+        oc_tmpl, CK.openclip_text_subdict(sd, "text_encoders.clip_g.model."),
+        prefix="", dtype=policy.param_dtype, strict=False,
+    )
+
+    t5_pair = None
+    if include_t5 and any(k.startswith(PREFIX_SD3_T5) for k in sd):
+        t5 = T5Encoder(t5_xxl_config(**dd))
+        t5_tmpl = _template(t5, jnp.zeros((1, 8), jnp.int32))
+        t5_sd = {}
+        for k, v in sd.items():
+            if not k.startswith(PREFIX_SD3_T5):
+                continue
+            k2 = k[len(PREFIX_SD3_T5):]
+            k2 = k2.replace(
+                "block.0.layer.0.SelfAttention.relative_attention_bias.weight",
+                "relative_attention_bias")
+            t5_sd[k2] = v
+        for k, v in sd.items():
+            if k.endswith("t5xxl.transformer.shared.weight"):
+                t5_sd["shared"] = v
+        t5_params, _, _ = CK.build_flax_params(
+            t5_tmpl, t5_sd, prefix="", dtype=policy.param_dtype, strict=False
+        )
+        t5_pair = (t5, {"params": t5_params})
+
+    cond = SD3Conditioner(
+        (clip, {"params": c_params}), (oc, {"params": oc_params}),
+        default_tokenizer(), t5=t5_pair, t5_tokenize=t5_tokenize,
+        embedding_dir=embedding_dir,
+    )
+    return SD3Bundle(mmdit=mmdit, mmdit_params={"params": m_params},
+                     conditioner=cond, vae=vae,
+                     vae_params={"params": v_params})
+
+
+def load_flux_bundle(
+    ckpt: str,
+    vae_ckpt: str,
+    clip_ckpt: Optional[str] = None,
+    t5_ckpt: Optional[str] = None,
+    t5_tokenize=None,
+    guidance_embed: bool = False,
+    policy: DTypePolicy = DEFAULT_POLICY,
+):
+    """FLUX.1 (BFL layout: bare double_blocks/single_blocks keys; VAE and
+    text towers ship as separate files — reference
+    `modules/flux/txt2img.py:85-120` assembles the same four parts)."""
+    from cremage_tpu.models.flux import FluxModel, flux_dev_config, flux_schnell_config
+    from cremage_tpu.models.flux import make_position_ids
+    from cremage_tpu.models.t5 import T5Encoder, t5_xxl_config
+    from cremage_tpu.models.vae import flux_vae_config
+    from cremage_tpu.pipelines.flux import FluxBundle, FluxConditioner
+
+    dd = dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
+    sd = CK.load_state_dict(ckpt)
+    cfg = flux_dev_config(**dd) if guidance_embed else flux_schnell_config(**dd)
+    model = FluxModel(cfg)
+    txt_ids, img_ids = make_position_ids(4, 4, 8)
+    tmpl = _template(
+        model, jnp.zeros((1, 16, 64), policy.compute_dtype),
+        jnp.zeros((1, 8, 4096), policy.compute_dtype), jnp.zeros((1,)),
+        jnp.zeros((1, 768)), img_ids, txt_ids,
+        jnp.zeros((1,)) if cfg.guidance_embed else None,
+    )
+    prefix = "model.diffusion_model." if any(
+        k.startswith("model.diffusion_model.") for k in sd) else ""
+    params, _, _ = CK.build_flax_params(tmpl, sd, prefix,
+                                        dtype=policy.param_dtype,
+                                        strict=False)
+
+    vsd = CK.load_state_dict(vae_ckpt)
+    vae = AutoencoderKL(flux_vae_config(**dd))
+    v_tmpl = _template(vae, jnp.zeros((1, 64, 64, 3), policy.compute_dtype))
+    vprefix = CK.PREFIX_VAE if any(
+        k.startswith(CK.PREFIX_VAE) for k in vsd) else ""
+    v_params, _, _ = CK.build_flax_params(v_tmpl, vsd, vprefix,
+                                          dtype=policy.param_dtype,
+                                          strict=False)
+
+    clip = CLIPTextModel(CLIPTextConfig(**dd))
+    c_tmpl = _template(clip, jnp.zeros((1, 77), jnp.int32))
+    c_params = None
+    if clip_ckpt:
+        csd = CK.load_state_dict(clip_ckpt)
+        c_params, _, _ = CK.build_flax_params(
+            c_tmpl, CK.clip_text_subdict(csd, "text_model."), prefix="",
+            dtype=policy.param_dtype, strict=False,
+        )
+    t5_pair = None
+    if t5_ckpt:
+        tsd = CK.load_state_dict(t5_ckpt)
+        t5 = T5Encoder(t5_xxl_config(**dd))
+        t5_tmpl = _template(t5, jnp.zeros((1, 8), jnp.int32))
+        t5_sd = {k[len("encoder."):] if k.startswith("encoder.") else k: v
+                 for k, v in tsd.items()}
+        t5_sd = {k.replace(
+            "block.0.layer.0.SelfAttention.relative_attention_bias.weight",
+            "relative_attention_bias").replace("shared.weight", "shared"): v
+            for k, v in t5_sd.items()}
+        t5_params, _, _ = CK.build_flax_params(
+            t5_tmpl, t5_sd, prefix="", dtype=policy.param_dtype, strict=False
+        )
+        t5_pair = (t5, {"params": t5_params})
+
+    cond = FluxConditioner(
+        (clip, {"params": c_params} if c_params else clip.init(
+            jax.random.key(0), jnp.zeros((1, 77), jnp.int32))),
+        default_tokenizer(), t5=t5_pair, t5_tokenize=t5_tokenize,
+    )
+    return FluxBundle(model=model, params={"params": params},
+                      conditioner=cond, vae=vae,
+                      vae_params={"params": v_params})
