@@ -374,6 +374,46 @@ def load_sd3_bundle(
                      vae_params={"params": v_params})
 
 
+def load_pixart_bundle(
+    transformer_ckpt: str,
+    vae_ckpt: Optional[str] = None,
+    t5_tokenize=None,
+    t5_len: int = 120,
+    policy: DTypePolicy = DEFAULT_POLICY,
+):
+    """PixArt-Σ diffusers transformer file -> PixArtBundle (the reference
+    downloads diffusers model ids, `modules/pixart_sigma/txt2img.py:84`)."""
+    from cremage_tpu.io.diffusers_keys import pixart_from_diffusers
+    from cremage_tpu.models.pixart import PixArt, pixart_sigma_xl_config
+    from cremage_tpu.pipelines.pixart import PixArtBundle
+
+    dd = dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
+    sd = pixart_from_diffusers(CK.load_state_dict(transformer_ckpt))
+    dit = PixArt(pixart_sigma_xl_config(**dd))
+    tmpl = _template(
+        dit, jnp.zeros((1, 16, 16, 4), policy.compute_dtype),
+        jnp.zeros((1,)), jnp.zeros((1, t5_len, 4096)),
+    )
+    params, _, _ = CK.build_flax_params(tmpl, sd, prefix="",
+                                        dtype=policy.param_dtype,
+                                        strict=False)
+    vae = AutoencoderKL(VAEConfig(**dd))
+    v_tmpl = _template(vae, jnp.zeros((1, 64, 64, 3), policy.compute_dtype))
+    if vae_ckpt:
+        vsd = CK.vae_state_dict_from_standalone(CK.load_state_dict(vae_ckpt))
+        v_params, _, _ = CK.build_flax_params(
+            v_tmpl, vsd, CK.PREFIX_VAE, dtype=policy.param_dtype,
+            strict=False)
+    else:
+        v_params = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), v_tmpl)
+    return PixArtBundle(
+        dit=dit, dit_params={"params": params}, t5=None,
+        t5_tokenize=t5_tokenize, t5_len=t5_len, vae=vae,
+        vae_params={"params": v_params},
+    )
+
+
 def load_flux_bundle(
     ckpt: str,
     vae_ckpt: str,
