@@ -72,6 +72,22 @@ def generate_scribble(img: np.ndarray, threshold: int = 32) -> np.ndarray:
     return np.stack([out] * 3, axis=-1)
 
 
+@ANNOTATORS.register("hed")
+def generate_hed(img: np.ndarray, weights_path: str | None = None) -> np.ndarray:
+    """HED soft edges via the Flax net (models/hed.py); weights from
+    HED_MODEL_PATH or the explicit argument (runtime download in the
+    reference too)."""
+    import os
+
+    from cremage_tpu.models.hed import hed_annotate
+
+    weights_path = weights_path or os.environ.get("HED_MODEL_PATH", "")
+    if not weights_path or not os.path.exists(weights_path):
+        raise WeightsUnavailable("hed")
+    img01 = _to_uint8(img).astype(np.float32) / 255.0
+    return hed_annotate(img01, weights_path)
+
+
 def _needs_weights(name: str) -> Callable:
     def fn(img: np.ndarray, **kw):
         raise WeightsUnavailable(name)
@@ -80,7 +96,7 @@ def _needs_weights(name: str) -> Callable:
     return fn
 
 
-for _name in ("hed", "depth", "normal", "openpose", "mlsd", "seg"):
+for _name in ("depth", "normal", "openpose", "mlsd", "seg"):
     if _name not in ANNOTATORS:
         ANNOTATORS.register(_name, _needs_weights(_name))
 
