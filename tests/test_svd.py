@@ -111,3 +111,22 @@ def test_film_interpolation(tmp_path):
     import os
 
     assert os.path.exists(mp4) and os.path.getsize(mp4) > 0
+
+
+def test_film_net_learned_pair():
+    import jax
+    import jax.numpy as jnp
+
+    from cremage_tpu.services.film_net import FilmNet
+
+    net = FilmNet()
+    f0 = jax.random.uniform(jax.random.key(0), (1, 32, 32, 3))
+    f1 = jnp.roll(f0, 3, axis=2)
+    params = net.init(jax.random.key(1), f0, f1)
+    mid = net.apply(params, f0, f1, 0.5)
+    assert mid.shape == (1, 32, 32, 3)
+    assert np.isfinite(np.asarray(mid)).all()
+    # time endpoints lean toward the respective frames
+    m0 = np.asarray(net.apply(params, f0, f1, 0.0))
+    m1 = np.asarray(net.apply(params, f0, f1, 1.0))
+    assert np.abs(m0 - np.asarray(f0)).mean() < np.abs(m0 - np.asarray(f1)).mean() + 0.2
