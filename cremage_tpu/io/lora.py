@@ -63,10 +63,17 @@ def unet_attention_tables(cfg: UNetConfig):
 
 
 _TE_RE = re.compile(
-    r"^lora_te\d*_text_model_encoder_layers_(\d+)_(self_attn_(?:q|k|v|out)_proj|mlp_fc1|mlp_fc2)$"
+    r"^lora_te(\d*)_text_model_encoder_layers_(\d+)_(self_attn_(?:q|k|v|out)_proj|mlp_fc1|mlp_fc2)$"
 )
 _UNET_ATT_RE = re.compile(
     r"^lora_unet_(down|mid|up)_blocks?_(?:(\d+)_)?attentions_(\d+)_(.+)$"
+)
+# non-standard SDXL LoRAs name modules by the SD-native block layout
+# (reference lora_non_standard_sdxl_lora_map_test.py):
+#   lora_unet_input_blocks_4_1_transformer_blocks_0_attn1_to_k
+#   lora_unet_middle_block_1_proj_in
+_UNET_NATIVE_RE = re.compile(
+    r"^lora_unet_(input|output|middle)_blocks?_(\d+)(?:_1)?_(.+)$"
 )
 
 
@@ -78,11 +85,31 @@ def kohya_module_to_flax_path(
     Returns None for unsupported modules (caller warns + skips)."""
     m = _TE_RE.match(module)
     if m:
-        layer, rest = m.group(1), m.group(2)
+        te_idx, layer, rest = m.groups()
+        which = "te2" if te_idx == "2" else "te"
         if rest.startswith("self_attn_"):
             proj = rest[len("self_attn_"):]
-            return "te", (f"layers_{layer}", "self_attn", proj)
-        return "te", (f"layers_{layer}", rest)
+            return which, (f"layers_{layer}", "self_attn", proj)
+        return which, (f"layers_{layer}", rest)
+
+    def _inner_path(st: str, rest: str):
+        if rest in ("proj_in", "proj_out"):
+            return "unet", (st, rest)
+        tm = re.match(r"^transformer_blocks_(\d+)_(.+)$", rest)
+        if not tm:
+            return None
+        d, inner = tm.groups()
+        tb = f"transformer_blocks_{d}"
+        if inner.startswith(("attn1_", "attn2_")):
+            attn, target = inner.split("_", 1)
+            if target in ("to_out_0", "to_q", "to_k", "to_v"):
+                return "unet", (st, tb, attn, target)
+            return None
+        if inner == "ff_net_0_proj":
+            return "unet", (st, tb, "ff", "net_0_proj")
+        if inner == "ff_net_2":
+            return "unet", (st, tb, "ff", "net_2")
+        return None
 
     m = _UNET_ATT_RE.match(module)
     if m:
@@ -96,25 +123,16 @@ def kohya_module_to_flax_path(
             st = mid_name
         if st is None:
             return None
-        if rest in ("proj_in", "proj_out"):
-            return "unet", (st, rest)
-        tm = re.match(r"^transformer_blocks_(\d+)_(.+)$", rest)
-        if not tm:
-            return None
-        d, inner = tm.groups()
-        tb = f"transformer_blocks_{d}"
-        if inner.startswith(("attn1_", "attn2_")):
-            attn, target = inner.split("_", 1)
-            if target == "to_out_0":
-                return "unet", (st, tb, attn, "to_out_0")
-            if target in ("to_q", "to_k", "to_v"):
-                return "unet", (st, tb, attn, target)
-            return None
-        if inner == "ff_net_0_proj":
-            return "unet", (st, tb, "ff", "net_0_proj")
-        if inner == "ff_net_2":
-            return "unet", (st, tb, "ff", "net_2")
-        return None
+        return _inner_path(st, rest)
+
+    m = _UNET_NATIVE_RE.match(module)
+    if m:
+        where, b, rest = m.groups()
+        if where == "middle":
+            st = "middle_block_1"
+        else:
+            st = f"{where}_blocks_{b}_1"
+        return _inner_path(st, rest)
     return None
 
 
@@ -177,6 +195,12 @@ def merge_lora(
             skipped += 1
             continue
         which, path = dest
+        if which == "te2":
+            # SDXL second text encoder (OpenCLIP): merge lands with the
+            # HF-layout te2 tree; skip-with-warning until then
+            logger.warning("te2 LoRA module not merged yet: %s", module)
+            skipped += 1
+            continue
         tree = unet_params if which == "unet" else te_params
         if tree is None:
             skipped += 1

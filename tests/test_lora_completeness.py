@@ -72,3 +72,51 @@ def test_all_264_canonical_modules_map():
         which, path = dest
         pool = unet_paths if which == "unet" else clip_paths
         assert tuple(path) in pool, (module, path)
+
+
+def test_sdxl_kohya_and_native_names_map():
+    from cremage_tpu.models.unet import sdxl_base_unet_config
+
+    cfg = sdxl_base_unet_config()
+    xl_tmpl = jax.eval_shape(
+        UNetModel(cfg).init, jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,)), jnp.zeros((1, 77, 2048)), jnp.zeros((1, 2816)),
+    )["params"]
+    paths = _paths_of(xl_tmpl)
+
+    cases = [
+        # kohya/diffusers naming at SDXL depth
+        "lora_unet_down_blocks_1_attentions_0_transformer_blocks_1_attn1_to_q",
+        "lora_unet_down_blocks_2_attentions_1_transformer_blocks_9_ff_net_2",
+        "lora_unet_mid_block_attentions_0_transformer_blocks_3_attn2_to_v",
+        # non-standard SD-native naming (reference
+        # lora_non_standard_sdxl_lora_map_test.py)
+        "lora_unet_input_blocks_4_1_proj_in",
+        "lora_unet_input_blocks_5_1_transformer_blocks_0_attn1_to_k",
+        "lora_unet_input_blocks_7_1_transformer_blocks_0_attn1_to_k",
+        "lora_unet_middle_block_1_proj_out",
+        "lora_unet_output_blocks_2_1_transformer_blocks_0_attn2_to_out_0",
+    ]
+    for module in cases:
+        dest = kohya_module_to_flax_path(module, cfg)
+        assert dest is not None, module
+        which, path = dest
+        assert which == "unet"
+        assert tuple(path) in paths, (module, path)
+
+    # the equivalence the reference asserts: kohya down_blocks_1_att_0 ==
+    # native input_blocks_4_1
+    a = kohya_module_to_flax_path(
+        "lora_unet_down_blocks_1_attentions_0_proj_in", cfg)
+    b = kohya_module_to_flax_path("lora_unet_input_blocks_4_1_proj_in", cfg)
+    assert a == b
+
+
+def test_te1_te2_routing():
+    cfg = sd15_unet_config()
+    a = kohya_module_to_flax_path(
+        "lora_te1_text_model_encoder_layers_0_mlp_fc1", cfg)
+    assert a == ("te", ("layers_0", "mlp_fc1"))
+    b = kohya_module_to_flax_path(
+        "lora_te2_text_model_encoder_layers_3_self_attn_q_proj", cfg)
+    assert b == ("te2", ("layers_3", "self_attn", "q_proj"))
