@@ -17,6 +17,151 @@ from typing import Dict, Mapping
 import numpy as np
 
 
+def sd_unet_from_diffusers(
+    sd: Mapping[str, np.ndarray],
+    channel_mult=(1, 2, 4, 4),
+    num_res_blocks: int = 2,
+    attention_levels=(0, 1, 2),
+) -> Dict[str, np.ndarray]:
+    """diffusers UNet2DConditionModel state dict -> CompVis/our layout.
+
+    Structural mapping (same enumeration as the model builder):
+      time_embedding.linear_1/2        -> time_embed.0/2
+      add_embedding.linear_1/2         -> label_emb.0.0/label_emb.0.2 (SDXL)
+      conv_in                          -> input_blocks.0.0
+      down_blocks.L.resnets.B          -> input_blocks.{i}.0
+      down_blocks.L.attentions.B       -> input_blocks.{i}.1
+      down_blocks.L.downsamplers.0.conv-> input_blocks.{i}.0.op
+      mid_block.resnets.0/1            -> middle_block.0/2
+      mid_block.attentions.0           -> middle_block.1
+      up_blocks.L.resnets.B            -> output_blocks.{i}.0
+      up_blocks.L.attentions.B         -> output_blocks.{i}.1
+      up_blocks.L.upsamplers.0.conv    -> output_blocks.{i}.{1|2}.conv
+      conv_norm_out / conv_out         -> out.0 / out.2
+    Resnet internals: norm1->in_layers.0, conv1->in_layers.2,
+    time_emb_proj->emb_layers.1, norm2->out_layers.0, conv2->out_layers.3,
+    conv_shortcut->skip_connection.
+    """
+    out: Dict[str, np.ndarray] = {}
+    res_map = [
+        ("norm1.", "in_layers.0."), ("conv1.", "in_layers.2."),
+        ("time_emb_proj.", "emb_layers.1."), ("norm2.", "out_layers.0."),
+        ("conv2.", "out_layers.3."), ("conv_shortcut.", "skip_connection."),
+    ]
+
+    def put_resnet(src_prefix: str, dst_prefix: str):
+        for ds, cs in res_map:
+            for leaf in ("weight", "bias"):
+                k = src_prefix + ds + leaf
+                if k in sd:
+                    out[dst_prefix + cs + leaf] = np.asarray(sd[k])
+
+    def put_verbatim(src_prefix: str, dst_prefix: str):
+        for k, v in sd.items():
+            if k.startswith(src_prefix):
+                out[dst_prefix + k[len(src_prefix):]] = np.asarray(v)
+
+    for k in ("conv_in.weight", "conv_in.bias"):
+        if k in sd:
+            out["input_blocks.0.0." + k.split(".")[-1]] = np.asarray(sd[k])
+    for a, b in (("time_embedding.linear_1.", "time_embed.0."),
+                 ("time_embedding.linear_2.", "time_embed.2."),
+                 ("add_embedding.linear_1.", "label_emb.0.0."),
+                 ("add_embedding.linear_2.", "label_emb.0.2."),
+                 ("conv_norm_out.", "out.0."), ("conv_out.", "out.2.")):
+        put_verbatim(a, b)
+
+    n_levels = len(channel_mult)
+    idx = 1
+    for level in range(n_levels):
+        for b in range(num_res_blocks):
+            put_resnet(f"down_blocks.{level}.resnets.{b}.",
+                       f"input_blocks.{idx}.0.")
+            if level in attention_levels:
+                put_verbatim(f"down_blocks.{level}.attentions.{b}.",
+                             f"input_blocks.{idx}.1.")
+            idx += 1
+        if level != n_levels - 1:
+            put_verbatim(f"down_blocks.{level}.downsamplers.0.conv.",
+                         f"input_blocks.{idx}.0.op.")
+            idx += 1
+
+    put_resnet("mid_block.resnets.0.", "middle_block.0.")
+    put_verbatim("mid_block.attentions.0.", "middle_block.1.")
+    put_resnet("mid_block.resnets.1.", "middle_block.2.")
+
+    idx = 0
+    for pos, level in enumerate(reversed(range(n_levels))):
+        for b in range(num_res_blocks + 1):
+            put_resnet(f"up_blocks.{pos}.resnets.{b}.",
+                       f"output_blocks.{idx}.0.")
+            has_attn = level in attention_levels
+            if has_attn:
+                put_verbatim(f"up_blocks.{pos}.attentions.{b}.",
+                             f"output_blocks.{idx}.1.")
+            if level > 0 and b == num_res_blocks:
+                sub = 2 if has_attn else 1
+                put_verbatim(f"up_blocks.{pos}.upsamplers.0.conv.",
+                             f"output_blocks.{idx}.{sub}.conv.")
+            idx += 1
+    return out
+
+
+def sd_vae_from_diffusers(sd: Mapping[str, np.ndarray],
+                          num_levels: int = 4,
+                          num_res_blocks: int = 2) -> Dict[str, np.ndarray]:
+    """diffusers AutoencoderKL -> CompVis first_stage layout (encoder
+    down_blocks->down.N.block, mid_block->mid.block_1/attn_1/block_2,
+    decoder up_blocks reversed->up.N.block; attention linear (C,C)
+    weights reshaped to the CompVis (C,C,1,1) convs)."""
+    out: Dict[str, np.ndarray] = {}
+    res_map = [("norm1.", "norm1."), ("conv1.", "conv1."),
+               ("norm2.", "norm2."), ("conv2.", "conv2."),
+               ("conv_shortcut.", "nin_shortcut.")]
+    attn_map = [("group_norm.", "norm."), ("to_q.", "q."), ("to_k.", "k."),
+                ("to_v.", "v."), ("to_out.0.", "proj_out.")]
+
+    def put(src: str, dst: str, reshape_attn: bool = False):
+        for k, v in sd.items():
+            if not k.startswith(src):
+                continue
+            arr = np.asarray(v)
+            if reshape_attn and arr.ndim == 2 and k.endswith("weight"):
+                arr = arr[:, :, None, None]  # linear -> 1x1 conv OIHW
+            out[dst + k[len(src):]] = arr
+
+    for side in ("encoder", "decoder"):
+        put(f"{side}.conv_in.", f"{side}.conv_in.")
+        put(f"{side}.conv_norm_out.", f"{side}.norm_out.")
+        put(f"{side}.conv_out.", f"{side}.conv_out.")
+        for a, b in res_map:
+            put(f"{side}.mid_block.resnets.0.{a}", f"{side}.mid.block_1.{b}")
+            put(f"{side}.mid_block.resnets.1.{a}", f"{side}.mid.block_2.{b}")
+        for a, b in attn_map:
+            put(f"{side}.mid_block.attentions.0.{a}",
+                f"{side}.mid.attn_1.{b}", reshape_attn=True)
+
+    for lv in range(num_levels):
+        for b in range(num_res_blocks):
+            for a, c in res_map:
+                put(f"encoder.down_blocks.{lv}.resnets.{b}.{a}",
+                    f"encoder.down.{lv}.block.{b}.{c}")
+        put(f"encoder.down_blocks.{lv}.downsamplers.0.conv.",
+            f"encoder.down.{lv}.downsample.conv.")
+    for pos in range(num_levels):
+        level = num_levels - 1 - pos  # diffusers up_blocks are reversed
+        for b in range(num_res_blocks + 1):
+            for a, c in res_map:
+                put(f"decoder.up_blocks.{pos}.resnets.{b}.{a}",
+                    f"decoder.up.{level}.block.{b}.{c}")
+        put(f"decoder.up_blocks.{pos}.upsamplers.0.conv.",
+            f"decoder.up.{level}.upsample.conv.")
+
+    put("quant_conv.", "quant_conv.")
+    put("post_quant_conv.", "post_quant_conv.")
+    return out
+
+
 def pixart_from_diffusers(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """diffusers PixArtTransformer2DModel state dict -> our PixArt layout.
 

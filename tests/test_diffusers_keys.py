@@ -72,3 +72,185 @@ def test_pixart_diffusers_conversion_loads_and_runs():
     np.testing.assert_allclose(qkv[:, :HID], sd["transformer_blocks.0.attn1.to_q.weight"].T)
     np.testing.assert_allclose(qkv[:, HID:2 * HID],
                                sd["transformer_blocks.0.attn1.to_k.weight"].T)
+
+
+def synth_diffusers_sd_unet(mc=32, levels=(1, 2), nrb=1, ctx=16):
+    """Tiny diffusers-layout UNet sd matching our tiny UNetConfig."""
+    rng = np.random.RandomState(1)
+    sd = {}
+
+    def lin(name, i, o):
+        sd[name + ".weight"] = rng.randn(o, i).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def conv(name, i, o, k=3):
+        sd[name + ".weight"] = rng.randn(o, i, k, k).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def gn(name, c):
+        sd[name + ".weight"] = rng.randn(c).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(c).astype(np.float32)
+
+    def resnet(prefix, cin, cout, temb):
+        gn(prefix + ".norm1", cin)
+        conv(prefix + ".conv1", cin, cout)
+        lin(prefix + ".time_emb_proj", temb, cout)
+        gn(prefix + ".norm2", cout)
+        conv(prefix + ".conv2", cout, cout)
+        if cin != cout:
+            conv(prefix + ".conv_shortcut", cin, cout, k=1)
+
+    def attn_block(prefix, c):
+        gn(prefix + ".norm", c)
+        conv(prefix + ".proj_in", c, c, k=1)
+        tb = prefix + ".transformer_blocks.0"
+        for nm in ("norm1", "norm2", "norm3"):
+            sd[f"{tb}.{nm}.weight"] = rng.randn(c).astype(np.float32)
+            sd[f"{tb}.{nm}.bias"] = rng.randn(c).astype(np.float32)
+        for a, kdim in (("attn1", c), ("attn2", ctx)):
+            sd[f"{tb}.{a}.to_q.weight"] = rng.randn(c, c).astype(np.float32)
+            sd[f"{tb}.{a}.to_k.weight"] = rng.randn(c, kdim).astype(np.float32)
+            sd[f"{tb}.{a}.to_v.weight"] = rng.randn(c, kdim).astype(np.float32)
+            lin(f"{tb}.{a}.to_out.0", c, c)
+        lin(f"{tb}.ff.net.0.proj", c, 8 * c)
+        lin(f"{tb}.ff.net.2", 4 * c, c)
+        conv(prefix + ".proj_out", c, c, k=1)
+
+    temb = mc * 4
+    lin("time_embedding.linear_1", mc, temb)
+    lin("time_embedding.linear_2", temb, temb)
+    conv("conv_in", 4, mc)
+    chans = [mc * m for m in levels]
+    cin = mc
+    for lv, cout in enumerate(chans):
+        for b in range(nrb):
+            resnet(f"down_blocks.{lv}.resnets.{b}", cin, cout, temb)
+            attn_block(f"down_blocks.{lv}.attentions.{b}", cout)
+            cin = cout
+        if lv != len(chans) - 1:
+            conv(f"down_blocks.{lv}.downsamplers.0.conv", cout, cout)
+    resnet("mid_block.resnets.0", chans[-1], chans[-1], temb)
+    attn_block("mid_block.attentions.0", chans[-1])
+    resnet("mid_block.resnets.1", chans[-1], chans[-1], temb)
+    # up blocks: skip concat doubles input channels
+    skips = [mc] + [c for c in chans for _ in range(nrb)]
+    # build with the same structural walk the model does
+    hs = [mc]
+    cur = mc
+    for lv, cout in enumerate(chans):
+        for b in range(nrb):
+            hs.append(cout)
+            cur = cout
+        if lv != len(chans) - 1:
+            hs.append(cout)
+    cur = chans[-1]
+    idx = 0
+    for pos, lv in enumerate(reversed(range(len(chans)))):
+        cout = chans[lv]
+        for b in range(nrb + 1):
+            skip = hs.pop()
+            resnet(f"up_blocks.{pos}.resnets.{b}", cur + skip, cout, temb)
+            attn_block(f"up_blocks.{pos}.attentions.{b}", cout)
+            cur = cout
+            if lv > 0 and b == nrb:
+                conv(f"up_blocks.{pos}.upsamplers.0.conv", cout, cout)
+            idx += 1
+    gn("conv_norm_out", mc)
+    conv("conv_out", mc, 4)
+    return sd
+
+
+def test_sd_unet_from_diffusers_loads_and_runs():
+    import jax
+
+    from cremage_tpu.io.diffusers_keys import sd_unet_from_diffusers
+    from cremage_tpu.models.unet import UNetConfig, UNetModel
+
+    sd = synth_diffusers_sd_unet()
+    converted = sd_unet_from_diffusers(sd, channel_mult=(1, 2),
+                                       num_res_blocks=1,
+                                       attention_levels=(0, 1))
+    cfg = UNetConfig(in_channels=4, out_channels=4, model_channels=32,
+                     num_res_blocks=1, attention_resolutions=(1, 2),
+                     channel_mult=(1, 2), num_heads=4,
+                     transformer_depth=(1, 1), transformer_depth_middle=1,
+                     context_dim=16, dtype=jnp.float32)
+    model = UNetModel(cfg)
+    tmpl = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,)), jnp.zeros((1, 7, 16)),
+    )["params"]
+    params, missing, unused = CK.build_flax_params(tmpl, converted, prefix="")
+    assert not missing, missing[:5]
+    assert not unused, unused[:5]
+    out = model.apply({"params": params}, jnp.ones((1, 8, 8, 4)) * 0.1,
+                      jnp.full((1,), 10.0), jnp.ones((1, 7, 16)) * 0.1)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sd_vae_from_diffusers_loads():
+    import jax
+
+    from cremage_tpu.io.diffusers_keys import sd_vae_from_diffusers
+    from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+
+    rng = np.random.RandomState(2)
+    sd = {}
+
+    def conv(name, i, o, k=3):
+        sd[name + ".weight"] = rng.randn(o, i, k, k).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def gn(name, c):
+        sd[name + ".weight"] = rng.randn(c).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(c).astype(np.float32)
+
+    def lin(name, i, o):
+        sd[name + ".weight"] = rng.randn(o, i).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def resnet(prefix, cin, cout):
+        gn(prefix + ".norm1", cin)
+        conv(prefix + ".conv1", cin, cout)
+        gn(prefix + ".norm2", cout)
+        conv(prefix + ".conv2", cout, cout)
+        if cin != cout:
+            conv(prefix + ".conv_shortcut", cin, cout, k=1)
+
+    def attn(prefix, c):
+        gn(prefix + ".group_norm", c)
+        for nm in ("to_q", "to_k", "to_v"):
+            sd[f"{prefix}.{nm}.weight"] = rng.randn(c, c).astype(np.float32)
+            sd[f"{prefix}.{nm}.bias"] = rng.randn(c).astype(np.float32)
+        lin(prefix + ".to_out.0", c, c)
+
+    C = 32
+    # encoder: single level for the tiny config ch_mult=(1,)
+    conv("encoder.conv_in", 3, C)
+    resnet("encoder.down_blocks.0.resnets.0", C, C)
+    resnet("encoder.mid_block.resnets.0", C, C)
+    attn("encoder.mid_block.attentions.0", C)
+    resnet("encoder.mid_block.resnets.1", C, C)
+    gn("encoder.conv_norm_out", C)
+    conv("encoder.conv_out", C, 8)
+    conv("decoder.conv_in", 4, C)
+    resnet("decoder.mid_block.resnets.0", C, C)
+    attn("decoder.mid_block.attentions.0", C)
+    resnet("decoder.mid_block.resnets.1", C, C)
+    for b in range(2):
+        resnet(f"decoder.up_blocks.0.resnets.{b}", C, C)
+    gn("decoder.conv_norm_out", C)
+    conv("decoder.conv_out", C, 3)
+    conv("quant_conv", 8, 8, k=1)
+    conv("post_quant_conv", 4, 4, k=1)
+
+    converted = sd_vae_from_diffusers(sd, num_levels=1, num_res_blocks=1)
+    vae = AutoencoderKL(VAEConfig(ch=C, ch_mult=(1,), num_res_blocks=1,
+                                  dtype=jnp.float32))
+    tmpl = jax.eval_shape(vae.init, jax.random.key(0),
+                          jnp.zeros((1, 16, 16, 3)))["params"]
+    params, missing, unused = CK.build_flax_params(tmpl, converted, prefix="")
+    assert not missing, missing[:5]
+    out = vae.apply({"params": params}, jnp.ones((1, 16, 16, 3)) * 0.1)
+    assert out.shape == (1, 16, 16, 3)
