@@ -25,6 +25,13 @@ where `denoise(x, sigma_scalar) -> denoised` (CFG already applied, see
 samplers/denoiser.py), `x` is the initial noise scaled however the
 caller wants (k-diffusion convention: x = N(0,1) * sigmas[0]), and
 `sigmas` is a host numpy array of length n+1 ending in 0.
+
+Intentional divergence from the reference: its k-diffusion bridge passes
+UNSCALED N(0,1) noise into the samplers
+(`k_diffusion_samplers.py:168` `self.x = torch.randn(size)` with no
+`* sigmas[0]`), deviating from upstream k-diffusion's convention. Our
+pipelines scale by sigma[0] (the correct k-diffusion initialization);
+matching the quirk would degrade output quality.
 """
 from __future__ import annotations
 

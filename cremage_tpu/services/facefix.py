@@ -158,6 +158,7 @@ class FaceFixer:
         seed: int = 0,
         boxes: Optional[Sequence[FaceBox]] = None,
     ) -> np.ndarray:
+        """Detect (or take) face boxes and repair each via img2img."""
         h, w = image01.shape[:2]
         if boxes is None:
             boxes = detect_faces(image01, self.detection_method,
@@ -172,3 +173,50 @@ class FaceFixer:
             unpadded = fixed[:rh, :rw]
             out = paste_back_seamless(out, unpadded, (x0, y0, x1, y1))
         return out
+
+
+def auto_face_fixer(
+    pipeline,
+    detection_method: str = "OpenCV",
+    model_path: Optional[str] = None,
+    target_size: int = 512,
+    steps: int = 20,
+    sampler: str = "Euler A",
+):
+    """Build the `face_fixer(image01, opts)` hook the pipelines call for
+    auto face fix. Handles the reference's re-entrancy problem
+    (`image_generator.py:1161-1200` generation-inside-generation mutating
+    a global model cache) by re-entering the same stateless pipeline with
+    a fresh GenerationOptions per face."""
+    import dataclasses as _dc
+
+    from cremage_tpu.core.config import GenerationOptions, MODE_IMAGE_TO_IMAGE
+
+    def img2img_fn(img01: np.ndarray, prompt: str, strength: float,
+                   seed: int) -> np.ndarray:
+        opts = GenerationOptions(
+            prompt=prompt, mode=MODE_IMAGE_TO_IMAGE, H=target_size,
+            W=target_size, sampling_steps=steps, sampler=sampler,
+            strength=strength, seed=seed, n_samples=1, n_iter=1,
+            safety_check=False, watermark=False, auto_face_fix=False,
+        )
+        results = pipeline.generate(opts, init_image=img01 * 2.0 - 1.0)
+        return results[0][0]
+
+    fixer = FaceFixer(img2img_fn, target_size=target_size,
+                      detection_method=detection_method,
+                      model_path=model_path)
+
+    def hook(image01: np.ndarray, opts) -> np.ndarray:
+        try:
+            return fixer.fix(
+                image01,
+                prompt=getattr(opts, "auto_face_fix_prompt", ""),
+                strength=getattr(opts, "auto_face_fix_strength", 0.3),
+                seed=int(getattr(opts, "seed", 0) or 0),
+            )
+        except WeightsUnavailable as e:
+            logger.warning("auto face fix skipped: %s", e)
+            return image01
+
+    return hook
