@@ -140,6 +140,51 @@ def flux_factory(prefs: Preferences) -> Callable:
     return generate
 
 
+def svd_factory(prefs: Preferences) -> Callable:
+    """img2vid job: parameters carry init_img + SVD knobs; frames are
+    written to the outdir and the chain optionally runs FILM
+    interpolation + mp4 (reference tools/video_generator.py:427-478)."""
+    from cremage_tpu.pipelines.loader import load_svd_bundle
+    from cremage_tpu.pipelines.svd import SVDOptions, SVDPipeline
+
+    def generate(params, status_cb, result_cb):
+        init = _load_image(params, "init_img")
+        if init is None:
+            raise FileNotFoundError("SVD requires init_img")
+        ckpt = params.get("ckpt")
+        if not ckpt and params.get("svd_model"):
+            ckpt = os.path.join(prefs.svd_model_path, params["svd_model"])
+        if not ckpt:
+            raise FileNotFoundError(
+                "SVD checkpoint path not provided (ckpt or svd_model)")
+        opts = SVDOptions(
+            num_frames=int(params.get("num_frames", 14)),
+            num_steps=int(params.get("sampling_steps", 25)),
+            fps_id=int(params.get("fps_id", 6)),
+            motion_bucket_id=int(params.get("motion_bucket_id", 127)),
+            cond_aug=float(params.get("cond_aug", 0.02)),
+            seed=int(params.get("seed", -1)),
+        )
+        bundle = load_svd_bundle(ckpt, num_frames=opts.num_frames)
+        pipe = SVDPipeline(bundle)
+        frames = pipe.sample((init + 1) / 2, opts, status_cb=status_cb,
+                             output_dir=params.get("outdir"))
+        passes = int(params.get("interpolation_frames", 0))
+        if passes:
+            from cremage_tpu.services.film import (
+                interpolate_recursively, write_mp4,
+            )
+
+            frames = interpolate_recursively(list(frames), passes)
+            if params.get("output_mp4"):
+                write_mp4(frames, params["output_mp4"], fps=25)
+        for i, f in enumerate(frames):
+            result_cb(f, {"frame": i, **{k: v for k, v in params.items()
+                                         if isinstance(v, (int, float, str))}})
+
+    return generate
+
+
 def _weightgated_factory(name: str) -> Callable:
     def factory():
         def generate(params, status_cb, result_cb):
@@ -157,10 +202,25 @@ def register_default_backends(worker: EngineWorker,
     worker.register_backend(GMT_SDXL, lambda: sdxl_factory(prefs))
     worker.register_backend(GMT_SD_3, lambda: sd3_factory(prefs))
     worker.register_backend(GMT_FLUX_1_SCHNELL, lambda: flux_factory(prefs))
-    # PixArt / Kandinsky / Hunyuan / Cascade / SVD pipelines exist
-    # (pipelines/*.py); their diffusers-layout weight converters are
-    # pending, so job dispatch reports that clearly instead of failing
-    # deep inside a load.
-    for gmt in (GMT_PIXART_SIGMA, GMT_KANDINSKY_2_2, GMT_HUNYUAN_DIT,
-                GMT_STABLE_CASCADE, GMT_SVD):
+    worker.register_backend(GMT_SVD, lambda: svd_factory(prefs))
+
+    def pixart_backend():
+        from cremage_tpu.pipelines.loader import load_pixart_bundle
+        from cremage_tpu.pipelines.pixart import PixArtPipeline
+
+        def generate(params, status_cb, result_cb):
+            opts = _opts_from_params(params)
+            ckpt = opts.ckpt or _model_path(
+                prefs, "pixart_sigma_ldm_model_path", "pixart_sigma_ldm_model")
+            bundle = load_pixart_bundle(ckpt, vae_ckpt=opts.vae_ckpt or None)
+            PixArtPipeline(bundle).generate(opts, status_cb=status_cb,
+                                            result_cb=result_cb)
+
+        return generate
+
+    worker.register_backend(GMT_PIXART_SIGMA, pixart_backend)
+    # Kandinsky / Hunyuan / Cascade pipelines exist (pipelines/*.py);
+    # their diffusers/Tencent/Würstchen weight converters are pending, so
+    # job dispatch reports that clearly instead of failing deep in a load.
+    for gmt in (GMT_KANDINSKY_2_2, GMT_HUNYUAN_DIT, GMT_STABLE_CASCADE):
         worker.register_backend(gmt, _weightgated_factory(gmt))

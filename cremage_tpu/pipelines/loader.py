@@ -414,6 +414,61 @@ def load_pixart_bundle(
     )
 
 
+def load_svd_bundle(
+    ckpt: str,
+    num_frames: int = 14,
+    policy: DTypePolicy = DEFAULT_POLICY,
+):
+    """SVD checkpoint -> SVDBundle (reference svd_video_generator
+    load_video_model :338: sgm VideoUNet + open_clip_full image embedder
+    + KL VAE, all inside one safetensors)."""
+    from cremage_tpu.models.clip_vision import CLIPVisionModel, vit_h14_config
+    from cremage_tpu.models.video_unet import VideoUNet, svd_unet_config
+    from cremage_tpu.pipelines.svd import SVDBundle
+
+    dd = dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
+    sd = CK.load_state_dict(ckpt)
+
+    cfg = svd_unet_config(**dd)
+    unet = VideoUNet(cfg, num_frames=num_frames)
+    tmpl = _template(
+        unet, jnp.zeros((num_frames, 8, 8, 8), policy.compute_dtype),
+        jnp.zeros((num_frames,)), jnp.zeros((num_frames, 1, 1024)),
+        jnp.zeros((num_frames, 768)),
+    )
+    params, _, _ = CK.build_flax_params(
+        tmpl, sd, CK.PREFIX_UNET, dtype=policy.param_dtype, strict=False
+    )
+
+    vae = AutoencoderKL(VAEConfig(**dd))
+    v_tmpl = _template(vae, jnp.zeros((1, 64, 64, 3), policy.compute_dtype))
+    v_params, _, _ = CK.build_flax_params(
+        v_tmpl, sd, CK.PREFIX_VAE, dtype=policy.param_dtype, strict=False
+    )
+
+    clip_vision = None
+    vis_prefix = "conditioner.embedders.0.open_clip.model.visual."
+    if any(k.startswith(vis_prefix) for k in sd):
+        cv = CLIPVisionModel(vit_h14_config(**dd))
+        cv_tmpl = _template(cv, jnp.zeros((1, 224, 224, 3),
+                                          policy.compute_dtype))
+        vis_sd = {}
+        for k, v in sd.items():
+            if not k.startswith(vis_prefix):
+                continue
+            k2 = k[len(vis_prefix):]
+            k2 = k2.replace("conv1.weight", "conv1_weight")
+            vis_sd[k2] = v
+        cv_params, _, _ = CK.build_flax_params(
+            cv_tmpl, vis_sd, prefix="", dtype=policy.param_dtype,
+            strict=False)
+        clip_vision = (cv, {"params": cv_params})
+
+    return SVDBundle(unet=unet, unet_params={"params": params}, vae=vae,
+                     vae_params={"params": v_params},
+                     clip_vision=clip_vision)
+
+
 def load_flux_bundle(
     ckpt: str,
     vae_ckpt: str,
