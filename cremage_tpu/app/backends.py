@@ -73,6 +73,14 @@ def sd15_factory(prefs: Preferences) -> Callable:
             face_strength=opts.face_strength,
         )
         pipe = SD15Pipeline(bundle)
+        if opts.auto_face_fix:
+            from cremage_tpu.services.facefix import auto_face_fixer
+
+            pipe.face_fixer = auto_face_fixer(
+                pipe,
+                detection_method=opts.auto_face_fix_face_detection_method,
+                target_size=512,
+            )
         pipe.generate(
             opts, status_cb=status_cb, result_cb=result_cb,
             init_image=_load_image(params, "init_img"),
@@ -99,7 +107,16 @@ def sdxl_factory(prefs: Preferences) -> Callable:
             loras=parse_lora_option_string(opts.lora_models, opts.lora_weights),
             embedding_dir=opts.embedding_path or prefs.sdxl_embedding_path or None,
         )
-        SDXLPipeline(bundle).generate(
+        pipe = SDXLPipeline(bundle)
+        if opts.auto_face_fix:
+            from cremage_tpu.services.facefix import auto_face_fixer
+
+            pipe.face_fixer = auto_face_fixer(
+                pipe,
+                detection_method=opts.auto_face_fix_face_detection_method,
+                target_size=1024,  # SDXL native face size (reference :138-209)
+            )
+        pipe.generate(
             opts, status_cb=status_cb, result_cb=result_cb,
             init_image=_load_image(params, "init_img"),
             mask_image=_load_image(params, "mask_img"),
