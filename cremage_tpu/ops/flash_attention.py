@@ -92,7 +92,7 @@ def _flash_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "bq", "bk", "interpret"))
-def _flash_bhnd(q, k, v, scale: float, bq: int = 256, bk: int = 512,
+def _flash_bhnd(q, k, v, scale: float, bq: int = 512, bk: int = 1024,
                 interpret: bool = False):
     """q: (BH, Nq, d); k,v: (BH, Nk, d); d already lane-aligned."""
     bh, nq, d = q.shape
@@ -132,7 +132,7 @@ def _flash_bhnd(q, k, v, scale: float, bq: int = 256, bk: int = 512,
 
 def flash_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-    *, scale: Optional[float] = None, bq: int = 256, bk: int = 512,
+    *, scale: Optional[float] = None, bq: int = 512, bk: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """q,k,v: (B, N, H, D) -> (B, Nq, H, D)."""
