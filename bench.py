@@ -31,7 +31,71 @@ def zeros_params(model, *example_args):
     )
 
 
+def bench_sdxl():
+    """Optional SDXL 1024^2 lane (BENCH_MODEL=sdxl): 30-step EulerEDM with
+    CFG + VAE decode — the BASELINE.json north-star configuration."""
+    from cremage_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    from cremage_tpu.models.unet import UNetModel, sdxl_base_unet_config
+    from cremage_tpu.models.vae import (
+        AutoencoderKL, decode_from_latent, sdxl_vae_config,
+    )
+    from cremage_tpu.samplers import edm as EDM
+
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    steps = int(os.environ.get("BENCH_STEPS", "30"))
+    h = w = 128  # 1024/8
+
+    unet = UNetModel(sdxl_base_unet_config())
+    params = zeros_params(
+        unet, jnp.zeros((1, h, w, 4), jnp.bfloat16), jnp.zeros((1,)),
+        jnp.zeros((1, 77, 2048), jnp.bfloat16), jnp.zeros((1, 2816)),
+    )
+    vae = AutoencoderKL(sdxl_vae_config())
+    vae_params = zeros_params(vae, jnp.zeros((1, 512, 512, 3), jnp.bfloat16))
+
+    sigmas = EDM.LegacyDDPMDiscretization()(steps)
+    c = {"crossattn": jax.random.normal(jax.random.key(1),
+                                        (batch, 77, 2048), jnp.bfloat16),
+         "vector": jax.random.normal(jax.random.key(2), (batch, 2816),
+                                     jnp.bfloat16)}
+    uc = jax.tree.map(jnp.zeros_like, c)
+
+    @jax.jit
+    def generate(params, vae_params, c, uc, key):
+        def network(xx, tt, cond):
+            return unet.apply(params, xx, tt, cond["crossattn"],
+                              cond["vector"])
+
+        denoiser = EDM.DiscreteDenoiserSGM(
+            network, EDM.LegacyDDPMDiscretization()(1000, do_append_zero=False))
+        denoise = EDM.vanilla_cfg(denoiser, c, uc, scale=7.0)
+        x = jax.random.normal(key, (batch, h, w, 4), jnp.float32)
+        lat = EDM.run_sgm_sampler("EulerEDMSampler", denoise, x, sigmas,
+                                  key=key)
+        return decode_from_latent(vae, vae_params, lat.astype(jnp.bfloat16))
+
+    t0 = time.perf_counter()
+    np.asarray(generate(params, vae_params, c, uc, jax.random.key(0)))
+    compile_s = time.perf_counter() - t0
+    n_rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
+    t0 = time.perf_counter()
+    for i in range(n_rounds):
+        np.asarray(generate(params, vae_params, c, uc, jax.random.key(i + 1)))
+    dt = time.perf_counter() - t0
+    imgs_per_s = batch * n_rounds / dt
+    print(json.dumps({
+        "metric": "sdxl_txt2img_1024_30step_euler_edm_images_per_sec_per_chip",
+        "value": round(imgs_per_s, 4),
+        "unit": "images/s",
+        "vs_baseline": round(imgs_per_s / BASELINE_IMG_PER_S, 2),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODEL", "sd15").lower() == "sdxl":
+        return bench_sdxl()
     from cremage_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()

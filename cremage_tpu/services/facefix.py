@@ -175,6 +175,36 @@ class FaceFixer:
         return out
 
 
+def classify_gender(face01: np.ndarray,
+                    model_dir: Optional[str] = None) -> Optional[str]:
+    """Gender classification for face prompts (reference
+    face_detector_engine.py:146-149 uses the
+    rizvandwiki/gender-classification ViT, a runtime download). Returns
+    'man'/'woman' when a local transformers image-classification model is
+    available, else None (the face prompt is then used unmodified)."""
+    import os
+
+    model_dir = model_dir or os.environ.get("GENDER_MODEL_PATH", "")
+    if not model_dir or not os.path.isdir(model_dir):
+        return None
+    try:
+        from transformers import (
+            AutoImageProcessor, FlaxAutoModelForImageClassification,
+        )
+
+        proc = AutoImageProcessor.from_pretrained(model_dir)
+        model = FlaxAutoModelForImageClassification.from_pretrained(model_dir)
+        inputs = proc(
+            images=(np.clip(face01, 0, 1) * 255).astype(np.uint8),
+            return_tensors="np")
+        logits = model(**inputs).logits
+        label = model.config.id2label[int(np.argmax(logits))]
+        return "woman" if "female" in label.lower() else "man"
+    except Exception as e:  # pragma: no cover - model-dependent
+        logger.warning("gender classification failed: %s", e)
+        return None
+
+
 def auto_face_fixer(
     pipeline,
     detection_method: str = "OpenCV",
