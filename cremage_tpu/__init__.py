@@ -28,3 +28,32 @@ __version__ = "0.1.0"
 
 # Version of the reference whose behavior contract we implement.
 REFERENCE_VERSION = "cremage 4.0.1"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import cremage_tpu` light)."""
+    lazy = {
+        "GenerationOptions": "cremage_tpu.core.config",
+        "Preferences": "cremage_tpu.core.config",
+        "load_preferences": "cremage_tpu.core.config",
+        "SD15Pipeline": "cremage_tpu.pipelines.sd15",
+        "SDXLPipeline": "cremage_tpu.pipelines.sdxl",
+        "SD3Pipeline": "cremage_tpu.pipelines.sd3",
+        "FluxPipeline": "cremage_tpu.pipelines.flux",
+        "PixArtPipeline": "cremage_tpu.pipelines.pixart",
+        "SVDPipeline": "cremage_tpu.pipelines.svd",
+        "load_sd15_bundle": "cremage_tpu.pipelines.loader",
+        "load_sdxl_bundle": "cremage_tpu.pipelines.loader",
+        "load_sd3_bundle": "cremage_tpu.pipelines.loader",
+        "load_flux_bundle": "cremage_tpu.pipelines.loader",
+        "load_pixart_bundle": "cremage_tpu.pipelines.loader",
+        "load_svd_bundle": "cremage_tpu.pipelines.loader",
+        "EngineWorker": "cremage_tpu.app.worker",
+        "ApiServer": "cremage_tpu.app.server",
+        "register_default_backends": "cremage_tpu.app.backends",
+    }
+    if name in lazy:
+        import importlib
+
+        return getattr(importlib.import_module(lazy[name]), name)
+    raise AttributeError(name)
