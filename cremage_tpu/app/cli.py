@@ -10,7 +10,6 @@ Modes: txt2img by default, img2img with --init_img, inpaint with
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time
@@ -108,7 +107,6 @@ def main(argv=None) -> int:
         init_image = array_from_image(Image.open(args.init_img))
         mode = MODE_IMAGE_TO_IMAGE
     if args.mask_img:
-        from PIL import Image as _I
         import numpy as np
 
         mask_image = (

@@ -24,7 +24,6 @@ import json
 import logging
 import queue
 import threading
-import traceback
 from typing import Any, Callable, Dict, Optional
 
 logger = logging.getLogger(__name__)

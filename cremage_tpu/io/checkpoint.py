@@ -18,10 +18,8 @@ pytree construction:
 """
 from __future__ import annotations
 
-import io as _io
 import logging
 import os
-import zipfile
 from typing import Any, Dict, Iterable, Mapping, Optional, Tuple
 
 import jax

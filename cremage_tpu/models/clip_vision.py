@@ -21,7 +21,7 @@ import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
 
-from cremage_tpu.models.layers import Dense, LayerNorm
+from cremage_tpu.models.layers import LayerNorm
 from cremage_tpu.models.open_clip import OpenCLIPTextConfig, ResBlock
 
 # CLIP image normalization (open_clip OPENAI_DATASET_MEAN/STD)

@@ -21,7 +21,7 @@ from typing import List, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from cremage_tpu.models.layers import Conv, Dense, GroupNorm, silu, timestep_embedding
+from cremage_tpu.models.layers import Conv, Dense, silu, timestep_embedding
 from cremage_tpu.models.unet import (
     Downsample, ResBlock, SpatialTransformer, UNetConfig, _heads_for,
 )

@@ -8,7 +8,6 @@ ckpt "network-bsds500.pth"); `load_hed` maps them mechanically.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import List
 
 import flax.linen as nn

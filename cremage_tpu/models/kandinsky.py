@@ -23,8 +23,8 @@ from typing import Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from cremage_tpu.models.layers import Dense, LayerNorm, silu, timestep_embedding
-from cremage_tpu.models.unet import UNetConfig, UNetModel
+from cremage_tpu.models.layers import Dense, LayerNorm, timestep_embedding
+from cremage_tpu.models.unet import UNetConfig
 from cremage_tpu.ops.attention import attention
 
 

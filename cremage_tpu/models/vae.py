@@ -19,7 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cremage_tpu.models.layers import Conv, Dense, GroupNorm, silu
+from cremage_tpu.models.layers import Conv, GroupNorm, silu
 from cremage_tpu.ops.attention import attention
 
 

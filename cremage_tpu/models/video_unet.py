@@ -20,7 +20,6 @@ temporal ops reshape to (B, T, ...) internally with T static under jit.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -34,7 +33,6 @@ from cremage_tpu.models.unet import (
     BasicTransformerBlock, CrossAttention, Downsample, FeedForward, ResBlock,
     SpatialTransformer, Upsample, UNetConfig, _heads_for,
 )
-from cremage_tpu.ops.attention import attention
 
 
 def svd_unet_config(**kw) -> UNetConfig:

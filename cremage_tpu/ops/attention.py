@@ -12,7 +12,6 @@ visibly damages CFG'd eps predictions over 20+ sampler steps.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

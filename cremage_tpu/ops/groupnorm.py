@@ -21,7 +21,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 # keep one (HW, C) fp32 row + bf16 in/out comfortably under ~16MB VMEM
 _VMEM_ROW_LIMIT = 2 * 1024 * 1024  # elements

@@ -17,7 +17,6 @@ placing inputs with data_sharding before calling the jitted program.
 from __future__ import annotations
 
 import dataclasses
-import json
 import logging
 import os
 import time

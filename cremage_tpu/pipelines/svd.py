@@ -30,12 +30,10 @@ import numpy as np
 
 from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.clip_vision import CLIPVisionModel
-from cremage_tpu.models.unet import UNetConfig
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
 from cremage_tpu.models.video_unet import VideoUNet
 from cremage_tpu.pipelines.sdxl import fourier_vector_embedding
 from cremage_tpu.samplers import edm as EDM
-from cremage_tpu.samplers import kdiffusion as K
 
 logger = logging.getLogger(__name__)
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax.numpy as jnp
-import numpy as np
 
 from cremage_tpu.samplers.schedules import DiscreteSchedule
 

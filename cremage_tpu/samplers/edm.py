@@ -18,7 +18,6 @@ guider input-prep concatenates [uc, c] per key along batch.
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, Dict, List, Optional, Sequence, Union
 
 import jax

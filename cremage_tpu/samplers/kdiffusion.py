@@ -35,8 +35,6 @@ matching the quirk would degrade output quality.
 """
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Callable, Optional
 
 import jax

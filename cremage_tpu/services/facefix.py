@@ -218,8 +218,6 @@ def auto_face_fixer(
     (`image_generator.py:1161-1200` generation-inside-generation mutating
     a global model cache) by re-entering the same stateless pipeline with
     a fresh GenerationOptions per face."""
-    import dataclasses as _dc
-
     from cremage_tpu.core.config import GenerationOptions, MODE_IMAGE_TO_IMAGE
 
     def img2img_fn(img01: np.ndarray, prompt: str, strength: float,

@@ -17,7 +17,6 @@ Implementations:
 """
 from __future__ import annotations
 
-import dataclasses
 import logging
 from typing import Optional
 
