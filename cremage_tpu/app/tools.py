@@ -108,6 +108,64 @@ def mix_models(paths: Sequence[str], weights: Sequence[float],
     return output_path
 
 
+def dilate_mask(mask: np.ndarray, pixels: int) -> np.ndarray:
+    """Mask editor grow op (reference mask_image_editor capability)."""
+    import cv2
+
+    k = np.ones((2 * pixels + 1, 2 * pixels + 1), np.uint8)
+    return cv2.dilate((mask >= 0.5).astype(np.uint8), k).astype(np.float32)
+
+
+def erode_mask(mask: np.ndarray, pixels: int) -> np.ndarray:
+    import cv2
+
+    k = np.ones((2 * pixels + 1, 2 * pixels + 1), np.uint8)
+    return cv2.erode((mask >= 0.5).astype(np.uint8), k).astype(np.float32)
+
+
+def invert_mask(mask: np.ndarray) -> np.ndarray:
+    return 1.0 - (mask >= 0.5).astype(np.float32)
+
+
+def spot_inpaint(
+    pipeline,
+    image: np.ndarray,          # (H,W,3) [-1,1]
+    mask: np.ndarray,           # (H,W) 1 = repaint
+    opts,
+    max_edge_len: int = 512,
+) -> np.ndarray:
+    """Spot Inpainter behavior (reference tools/spot_inpainter.py +
+    preferences.inpaint_max_edge_len): crop a square working region
+    around the mask bbox capped at max_edge_len, run the pipeline's
+    inpaint mode on the crop, paste the result back. Returns [-1,1]."""
+    import dataclasses
+
+    h, w = mask.shape
+    ys, xs = np.where(mask >= 0.5)
+    if len(ys) == 0:
+        return image
+    y0, y1 = ys.min(), ys.max() + 1
+    x0, x1 = xs.min(), xs.max() + 1
+    # square region covering the bbox, capped at max_edge_len, /64-aligned
+    side = min(max(max(y1 - y0, x1 - x0) + 64, 128), max_edge_len, h, w)
+    side = (side // 64) * 64
+    cy, cx = (y0 + y1) // 2, (x0 + x1) // 2
+    ry0 = int(np.clip(cy - side // 2, 0, h - side))
+    rx0 = int(np.clip(cx - side // 2, 0, w - side))
+    crop_img = image[ry0:ry0 + side, rx0:rx0 + side]
+    crop_mask = mask[ry0:ry0 + side, rx0:rx0 + side]
+
+    run_opts = dataclasses.replace(
+        opts, H=side, W=side, mode="inpainting", n_samples=1, n_iter=1,
+        watermark=False, safety_check=False,
+    )
+    out01, _ = pipeline.generate(run_opts, init_image=crop_img,
+                                 mask_image=crop_mask)[0]
+    result = image.copy()
+    result[ry0:ry0 + side, rx0:rx0 + side] = out01 * 2.0 - 1.0
+    return result
+
+
 def tokenize_preview(prompt: str) -> Dict:
     """Token viewer tool (reference ui token viewer): tokens, ids and the
     77-window chunk count for a weighted prompt."""
