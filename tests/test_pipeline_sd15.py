@@ -199,3 +199,45 @@ def test_generation_metadata_roundtrip(bundle, tmp_path):
     assert back["prompt"] == "a cat" and back["seed"] == 42
     replayed = override_options(GenerationOptions(prompt="other"), back)
     assert replayed.prompt == "a cat" and replayed.seed == 42
+
+
+@pytest.mark.parametrize("sampler", ["Euler", "DPM++ 2M", "DPM++ 2M SDE",
+                                     "LMS", "Heun"])
+def test_img2img_sampler_sweep(bundle, sampler):
+    """img2img sigma-truncation path across sampler families (scan
+    peeling at small truncated step counts is the risky code)."""
+    pipe = SD15Pipeline(bundle)
+    init = np.random.RandomState(3).uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    for strength in (0.3, 0.9):
+        opts = base_opts(mode=MODE_IMAGE_TO_IMAGE, sampler=sampler,
+                         strength=strength, sampling_steps=5)
+        img, _ = pipe.generate(opts, init_image=init)[0]
+        assert np.isfinite(img).all(), (sampler, strength)
+
+
+def test_img2img_low_strength_stays_close(bundle):
+    """Low denoising strength must stay closer to the init image than
+    high strength (the core img2img contract).
+
+    With random VAE weights the decoded output is far from the raw init
+    image at ANY strength (reconstruction error dominates), so the
+    reference point is the VAE roundtrip decode(encode(init)) — low
+    strength keeps the latent near encode(init), so the decoded result
+    must land nearer the roundtrip image than high strength does."""
+    pipe = SD15Pipeline(bundle)
+    init = np.random.RandomState(4).uniform(-0.5, 0.5, (64, 64, 3)).astype(np.float32)
+
+    from cremage_tpu.models.vae import decode_from_latent, encode_to_latent
+    z = encode_to_latent(bundle.vae, bundle.vae_params,
+                         jnp.asarray(init)[None], jax.random.key(0),
+                         sample=False)
+    rt = np.asarray(decode_from_latent(bundle.vae, bundle.vae_params, z))[0]
+    rt01 = np.clip((rt + 1) / 2, 0, 1)
+
+    def dist(strength):
+        opts = base_opts(mode=MODE_IMAGE_TO_IMAGE, sampler="Euler",
+                         strength=strength, sampling_steps=8, scale=1.0)
+        img, _ = pipe.generate(opts, init_image=init)[0]
+        return np.abs(img - rt01).mean()
+
+    assert dist(0.2) < dist(0.95)
