@@ -162,6 +162,95 @@ def sd_vae_from_diffusers(sd: Mapping[str, np.ndarray],
     return out
 
 
+def kandinsky_prior_from_diffusers(
+    sd: Mapping[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """diffusers PriorTransformer state dict -> our DiffusionPrior layout
+    (models/kandinsky.py; reference consumes this checkpoint through
+    AutoPipeline in modules/kandinsky/txt2img.py:26,66).
+
+    diffusers keys:
+      time_embedding.linear_1/2           -> time_embedding.linear_1/2
+      proj_in                             -> image_embed_proj
+      embedding_proj                      -> pooled_proj
+      encoder_hidden_states_proj          -> text_proj
+      positional_embedding (1,N,C)        -> positional_embedding (N,C)
+      prd_embedding (1,1,C)               -> prd_embedding
+      transformer_blocks.N.norm1          -> blocks.N.ln_1
+      transformer_blocks.N.attn1.to_{q,k,v} -> blocks.N.{q,k,v}_proj
+      transformer_blocks.N.attn1.to_out.0 -> blocks.N.out_proj
+      transformer_blocks.N.norm3          -> blocks.N.ln_2
+      transformer_blocks.N.ff.net.0.proj  -> blocks.N.mlp_fc
+      transformer_blocks.N.ff.net.2       -> blocks.N.mlp_proj
+      norm_out                            -> final_ln
+      proj_to_clip_embeddings             -> out_proj
+      clip_mean / clip_std (buffers)      -> clip_mean / clip_std (aux;
+        the pipeline unnormalizes prior outputs with these)
+    """
+    out: Dict[str, np.ndarray] = {}
+    block_map = [
+        ("norm1.", "ln_1."), ("attn1.to_q.", "q_proj."),
+        ("attn1.to_k.", "k_proj."), ("attn1.to_v.", "v_proj."),
+        ("attn1.to_out.0.", "out_proj."), ("norm3.", "ln_2."),
+        ("ff.net.0.proj.", "mlp_fc."), ("ff.net.2.", "mlp_proj."),
+    ]
+    top_map = [
+        ("time_embedding.linear_1.", "time_embedding.linear_1."),
+        ("time_embedding.linear_2.", "time_embedding.linear_2."),
+        ("proj_in.", "image_embed_proj."),
+        ("embedding_proj.", "pooled_proj."),
+        ("encoder_hidden_states_proj.", "text_proj."),
+        ("norm_out.", "final_ln."),
+        ("proj_to_clip_embeddings.", "out_proj."),
+    ]
+    for k, v in sd.items():
+        v = np.asarray(v)
+        if k == "positional_embedding":
+            out[k] = v[0] if v.ndim == 3 else v
+            continue
+        if k in ("prd_embedding", "clip_mean", "clip_std"):
+            out[k] = v
+            continue
+        m = re.match(r"^transformer_blocks\.(\d+)\.(.+)$", k)
+        if m:
+            i, rest = m.group(1), m.group(2)
+            for src, dst in block_map:
+                if rest.startswith(src):
+                    out[f"blocks.{i}.{dst}{rest[len(src):]}"] = v
+                    break
+            continue
+        for src, dst in top_map:
+            if k.startswith(src):
+                out[dst + k[len(src):]] = v
+                break
+    return out
+
+
+def kandinsky_image_conditioner_from_diffusers(
+    sd: Mapping[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """Image-embed heads of the diffusers Kandinsky decoder UNet ->
+    models/kandinsky.py KandinskyImageConditioner layout:
+
+      add_embedding.image_proj / image_norm -> image_proj / image_norm
+      encoder_hid_proj.image_embeds / norm  -> context_proj / context_norm
+
+    (The decoder UNet *body* uses simple-attention / scale-shift resnet
+    blocks in diffusers — its body map is tracked in COVERAGE.md.)
+    """
+    out: Dict[str, np.ndarray] = {}
+    for src, dst in (
+        ("add_embedding.image_proj.", "image_proj."),
+        ("add_embedding.image_norm.", "image_norm."),
+        ("encoder_hid_proj.image_embeds.", "context_proj."),
+        ("encoder_hid_proj.norm.", "context_norm."),
+    ):
+        for k, v in sd.items():
+            if k.startswith(src):
+                out[dst + k[len(src):]] = np.asarray(v)
+    return out
+
+
 def pixart_from_diffusers(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """diffusers PixArtTransformer2DModel state dict -> our PixArt layout.
 

@@ -79,8 +79,14 @@ class DiffusionPrior(nn.Module):
         txt = Dense(c, name="text_proj", **dd)(text_tokens.astype(cfg.dtype))
         pool = Dense(c, name="pooled_proj", **dd)(
             text_pooled.astype(cfg.dtype))[:, None]
-        temb = Dense(c, name="time_proj", **dd)(
-            timestep_embedding(t, 256).astype(cfg.dtype))[:, None]
+        # 2-layer time MLP over an inner-dim sinusoid (cos-first ==
+        # diffusers Timesteps flip_sin_to_cos=True), matching the
+        # PriorTransformer time_proj + time_embedding structure so the
+        # diffusers checkpoint maps 1:1 (io/diffusers_keys.py).
+        temb = Dense(c, name="time_embedding_linear_1", **dd)(
+            timestep_embedding(t, c).astype(cfg.dtype))
+        temb = Dense(c, name="time_embedding_linear_2", **dd)(
+            nn.silu(temb))[:, None]
         img = Dense(c, name="image_embed_proj", **dd)(
             noisy_image_embed.astype(cfg.dtype))[:, None]
         query = self.param("prd_embedding", nn.initializers.normal(0.02),
@@ -99,14 +105,57 @@ class DiffusionPrior(nn.Module):
         return Dense(cfg.image_embed_dim, name="out_proj", **dd)(x[:, -1])
 
 
-def kandinsky_decoder_config(image_embed_dim: int = 1280, **kw) -> UNetConfig:
-    """Decoder UNet: image embedding enters as the adm vector (the
-    diffusers decoder adds image embeds to the time embedding); no text
-    cross-attention."""
-    return UNetConfig(
+class KandinskyImageConditioner(nn.Module):
+    """Decoder-side image-embed heads (structure of the diffusers
+    UNet2DConditionModel the reference's Kandinsky decoder pipeline
+    downloads, `modules/kandinsky/txt2img.py:26,66` — config
+    addition_embed_type="image" + encoder_hid_dim_type="image_proj"):
+
+    - time head: Linear(image_embed_dim -> time_embed_dim) + LayerNorm;
+      the result is ADDED to the UNet time embedding (checkpoint keys
+      add_embedding.image_proj / add_embedding.image_norm);
+    - context head: Linear(image_embed_dim -> num_tokens*cross_dim) +
+      LayerNorm, producing the cross-attention token sequence
+      (checkpoint keys encoder_hid_proj.image_embeds /
+      encoder_hid_proj.norm).
+
+    Keeping these heads OUTSIDE the UNet lets the UNet body load through
+    the generic sd_unet_from_diffusers mapping unchanged; the decoder
+    UNet itself runs with adm_identity=True.
+    """
+
+    time_embed_dim: int
+    cross_dim: int
+    num_tokens: int = 10
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embed):
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        b = image_embed.shape[0]
+        x = image_embed.astype(self.dtype)
+        tvec = Dense(self.time_embed_dim, name="image_proj", **dd)(x)
+        tvec = LayerNorm(name="image_norm")(tvec)
+        ctx = Dense(self.num_tokens * self.cross_dim,
+                    name="context_proj", **dd)(x)
+        ctx = ctx.reshape(b, self.num_tokens, self.cross_dim)
+        ctx = LayerNorm(name="context_norm")(ctx)
+        return tvec, ctx
+
+
+def kandinsky_decoder_config(image_embed_dim: int = 1280,
+                             cross_dim: int = 768, **kw) -> UNetConfig:
+    """Decoder UNet: image-time vector enters via adm_identity (computed
+    by KandinskyImageConditioner's time head); cross-attention runs over
+    the conditioner's projected image tokens. No text conditioning in
+    the decoder (unCLIP design)."""
+    base = dict(
         in_channels=4, out_channels=4, model_channels=128,
         num_res_blocks=2, attention_resolutions=(4, 2),
         channel_mult=(1, 2, 4, 4), num_heads=8,
         transformer_depth=(1, 1, 1, 1), transformer_depth_middle=1,
-        context_dim=image_embed_dim, adm_in_channels=image_embed_dim, **kw,
+        context_dim=cross_dim, adm_identity=True,
     )
+    base.update(kw)
+    return UNetConfig(**base)

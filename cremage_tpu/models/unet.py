@@ -43,6 +43,10 @@ class UNetConfig:
     transformer_depth_middle: int = 1
     context_dim: int = 768
     adm_in_channels: int = 0           # 0 = no vector conditioning
+    adm_identity: bool = False         # y is already a time_embed_dim vector
+    #   (added to emb with no label MLP — the Kandinsky 2.2 decoder
+    #   computes its image-time vector in an external head; see
+    #   models/kandinsky.py KandinskyImageConditioner)
     use_linear_in_transformer: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
@@ -285,7 +289,10 @@ class UNetModel(nn.Module):
         emb = Dense(time_embed_dim, name="time_embed_0", **dd)(t_emb)
         emb = Dense(time_embed_dim, name="time_embed_2", **dd)(silu(emb))
 
-        if cfg.adm_in_channels:
+        if cfg.adm_identity:
+            assert y is not None, "this UNet expects vector conditioning y"
+            emb = emb + y.astype(cfg.dtype)
+        elif cfg.adm_in_channels:
             assert y is not None, "this UNet expects vector conditioning y"
             y_emb = Dense(time_embed_dim, name="label_emb_0_0", **dd)(
                 y.astype(cfg.dtype)

@@ -51,6 +51,16 @@ class KandinskyBundle:
     schedule: S.DiscreteSchedule = dataclasses.field(
         default_factory=kandinsky_schedule)
     prior_steps: int = 25
+    # Real-checkpoint extras (None on the random-weight path):
+    # image_cond: KandinskyImageConditioner projecting the prior's image
+    # embedding into (time-embed add, cross-attn tokens) — see
+    # models/kandinsky.py. clip_mean/std: the prior diffuses in
+    # normalized CLIP space; outputs are unnormalized emb*std+mean
+    # (PriorTransformer post_process_latents semantics).
+    image_cond: Any = None
+    image_cond_params: Any = None
+    clip_mean: Optional[np.ndarray] = None
+    clip_std: Optional[np.ndarray] = None
 
 
 def _noop(msg):
@@ -90,8 +100,15 @@ class KandinskyPipeline:
         dim = b.prior.cfg.image_embed_dim
         x = noise_like(key, (1, dim)) * float(sigmas[0])
         emb = K.sample_euler_ancestral(den, x, sigmas, key=key)
+        emb = np.asarray(emb[0], np.float32)
+        if b.clip_mean is not None:
+            emb = emb * np.asarray(b.clip_std, np.float32) + \
+                np.asarray(b.clip_mean, np.float32)
         neg_emb = np.zeros((dim,), np.float32)
-        return np.asarray(emb[0], np.float32), neg_emb
+        if b.clip_mean is not None:
+            # zeroed-embedding negative lives in unnormalized CLIP space
+            neg_emb = np.asarray(b.clip_mean, np.float32).reshape(-1)
+        return emb, neg_emb
 
     # ---------------- decoder ----------------
 
@@ -112,6 +129,9 @@ class KandinskyPipeline:
 
         def run(params, x, img_embed, neg_embed, key):
             def eps_model(xx, tt, cond):
+                if b.image_cond is not None:
+                    tvec, ctx = b.image_cond.apply(b.image_cond_params, cond)
+                    return b.decoder.apply(params, xx, tt, ctx, tvec)
                 ctx = cond[:, None, :]   # single image-embed token
                 return b.decoder.apply(params, xx, tt, ctx, cond)
 

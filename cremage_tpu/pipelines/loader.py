@@ -546,3 +546,34 @@ def load_flux_bundle(
     return FluxBundle(model=model, params={"params": params},
                       conditioner=cond, vae=vae,
                       vae_params={"params": v_params})
+
+
+def load_kandinsky_prior(
+    prior_ckpt: str,
+    policy: DTypePolicy = DEFAULT_POLICY,
+):
+    """Kandinsky 2.2 diffusers PriorTransformer file -> (DiffusionPrior,
+    params, clip_mean, clip_std). The reference downloads this stage via
+    AutoPipeline (`modules/kandinsky/txt2img.py:26,66`); clip stats are
+    the prior's output unnormalization buffers (KandinskyBundle.clip_*)."""
+    from cremage_tpu.io.diffusers_keys import kandinsky_prior_from_diffusers
+    from cremage_tpu.models.kandinsky import DiffusionPrior, PriorConfig
+
+    sd = kandinsky_prior_from_diffusers(CK.load_state_dict(prior_ckpt))
+    clip_mean = sd.pop("clip_mean", None)
+    clip_std = sd.pop("clip_std", None)
+    prior = DiffusionPrior(PriorConfig(dtype=policy.compute_dtype,
+                                       param_dtype=policy.param_dtype))
+    tmpl = _template(
+        prior, jnp.zeros((1, 1280), policy.compute_dtype), jnp.zeros((1,)),
+        jnp.zeros((1, 77, 1280), policy.compute_dtype),
+        jnp.zeros((1, 1280), policy.compute_dtype),
+    )
+    params, _, _ = CK.build_flax_params(tmpl, sd, prefix="",
+                                        dtype=policy.param_dtype,
+                                        strict=False)
+    if clip_mean is not None:
+        clip_mean = clip_mean.reshape(-1)
+    if clip_std is not None:
+        clip_std = clip_std.reshape(-1)
+    return prior, {"params": params}, clip_mean, clip_std

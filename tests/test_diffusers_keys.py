@@ -254,3 +254,115 @@ def test_sd_vae_from_diffusers_loads():
     assert not missing, missing[:5]
     out = vae.apply({"params": params}, jnp.ones((1, 16, 16, 3)) * 0.1)
     assert out.shape == (1, 16, 16, 3)
+
+
+# ---------------- Kandinsky 2.2 prior ----------------------------------------
+
+PRI_C, PRI_E, PRI_T, PRI_TOK = 32, 24, 16, 7
+
+
+def synth_diffusers_prior(depth=2):
+    rng = np.random.RandomState(3)
+    sd = {}
+
+    def lin(name, i, o):
+        sd[name + ".weight"] = rng.randn(o, i).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def ln(name, c):
+        sd[name + ".weight"] = rng.randn(c).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(c).astype(np.float32)
+
+    lin("time_embedding.linear_1", PRI_C, PRI_C)
+    lin("time_embedding.linear_2", PRI_C, PRI_C)
+    lin("proj_in", PRI_E, PRI_C)
+    lin("embedding_proj", PRI_T, PRI_C)
+    lin("encoder_hidden_states_proj", PRI_T, PRI_C)
+    sd["positional_embedding"] = rng.randn(1, PRI_TOK + 4, PRI_C).astype(np.float32)
+    sd["prd_embedding"] = rng.randn(1, 1, PRI_C).astype(np.float32)
+    for i in range(depth):
+        b = f"transformer_blocks.{i}"
+        ln(b + ".norm1", PRI_C)
+        for p in ("q", "k", "v"):
+            lin(f"{b}.attn1.to_{p}", PRI_C, PRI_C)
+        lin(b + ".attn1.to_out.0", PRI_C, PRI_C)
+        ln(b + ".norm3", PRI_C)
+        lin(b + ".ff.net.0.proj", PRI_C, 4 * PRI_C)
+        lin(b + ".ff.net.2", 4 * PRI_C, PRI_C)
+    ln("norm_out", PRI_C)
+    lin("proj_to_clip_embeddings", PRI_C, PRI_E)
+    sd["clip_mean"] = rng.randn(1, PRI_E).astype(np.float32)
+    sd["clip_std"] = (1 + rng.rand(1, PRI_E)).astype(np.float32)
+    return sd
+
+
+def test_kandinsky_prior_from_diffusers_loads_and_runs():
+    from cremage_tpu.io.diffusers_keys import kandinsky_prior_from_diffusers
+    from cremage_tpu.models.kandinsky import DiffusionPrior, PriorConfig
+
+    sd = synth_diffusers_prior()
+    converted = kandinsky_prior_from_diffusers(sd)
+    clip_mean = converted.pop("clip_mean")
+    clip_std = converted.pop("clip_std")
+    assert clip_mean.shape == (1, PRI_E) and clip_std.shape == (1, PRI_E)
+
+    cfg = PriorConfig(image_embed_dim=PRI_E, text_embed_dim=PRI_T,
+                      hidden=PRI_C, num_layers=2, num_heads=4,
+                      text_tokens=PRI_TOK, dtype=jnp.float32)
+    model = DiffusionPrior(cfg)
+    tmpl = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, PRI_E)),
+        jnp.zeros((1,)), jnp.zeros((1, PRI_TOK, PRI_T)),
+        jnp.zeros((1, PRI_T)),
+    )["params"]
+    params, missing, unused = CK.build_flax_params(tmpl, converted, prefix="")
+    assert not missing, missing
+    assert not unused, unused
+    out = model.apply({"params": params}, jnp.ones((1, PRI_E)) * 0.1,
+                      jnp.full((1,), 500.0), jnp.ones((1, PRI_TOK, PRI_T)) * 0.1,
+                      jnp.ones((1, PRI_T)) * 0.1)
+    assert out.shape == (1, PRI_E)
+    assert np.isfinite(np.asarray(out)).all()
+    # linear transpose fidelity: our out_proj kernel == torch weight^T
+    np.testing.assert_allclose(
+        np.asarray(params["out_proj"]["weight"]),
+        sd["proj_to_clip_embeddings.weight"].T)
+    # positional embedding is a table: squeezed, NOT transposed
+    np.testing.assert_allclose(
+        np.asarray(params["positional_embedding"]),
+        sd["positional_embedding"][0])
+
+
+def test_kandinsky_image_conditioner_from_diffusers():
+    from cremage_tpu.io.diffusers_keys import (
+        kandinsky_image_conditioner_from_diffusers,
+    )
+    from cremage_tpu.models.kandinsky import KandinskyImageConditioner
+
+    rng = np.random.RandomState(4)
+    E, TE, CD, NT = 24, 40, 16, 3
+    sd = {}
+
+    def lin(name, i, o):
+        sd[name + ".weight"] = rng.randn(o, i).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    lin("add_embedding.image_proj", E, TE)
+    lin("add_embedding.image_norm", TE, TE)  # LN weight/bias are 1-D
+    sd["add_embedding.image_norm.weight"] = rng.randn(TE).astype(np.float32)
+    sd["add_embedding.image_norm.bias"] = rng.randn(TE).astype(np.float32)
+    lin("encoder_hid_proj.image_embeds", E, NT * CD)
+    sd["encoder_hid_proj.norm.weight"] = rng.randn(CD).astype(np.float32)
+    sd["encoder_hid_proj.norm.bias"] = rng.randn(CD).astype(np.float32)
+
+    converted = kandinsky_image_conditioner_from_diffusers(sd)
+    cond = KandinskyImageConditioner(time_embed_dim=TE, cross_dim=CD,
+                                     num_tokens=NT, dtype=jnp.float32)
+    tmpl = jax.eval_shape(cond.init, jax.random.key(0),
+                          jnp.zeros((1, E)))["params"]
+    params, missing, unused = CK.build_flax_params(tmpl, converted, prefix="")
+    assert not missing, missing
+    assert not unused, unused
+    tvec, ctx = cond.apply({"params": params}, jnp.ones((2, E)) * 0.1)
+    assert tvec.shape == (2, TE) and ctx.shape == (2, NT, CD)
+    assert np.isfinite(np.asarray(ctx)).all()

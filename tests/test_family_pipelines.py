@@ -95,6 +95,37 @@ def test_kandinsky_img2img_and_inpaint():
     np.testing.assert_allclose(img2[:8, :8], init01[:8, :8], atol=1e-5)
 
 
+def test_kandinsky_with_image_conditioner_and_clip_stats():
+    """Real-checkpoint decoder flow: adm_identity UNet + external image
+    conditioner heads + clip mean/std unnormalization of prior output."""
+    import dataclasses as DC
+
+    from cremage_tpu.models.kandinsky import KandinskyImageConditioner
+
+    b = make_kandinsky()
+    mc = 32
+    dcfg = UNetConfig(
+        in_channels=4, out_channels=4, model_channels=mc, num_res_blocks=1,
+        attention_resolutions=(1,), channel_mult=(1, 2), num_heads=4,
+        transformer_depth=(1, 1), transformer_depth_middle=1,
+        context_dim=16, adm_identity=True, dtype=jnp.float32)
+    dec = UNetModel(dcfg)
+    dp = dec.init(jax.random.key(3), jnp.zeros((1, 8, 8, 4)),
+                  jnp.zeros((1,)), jnp.zeros((1, 3, 16)),
+                  jnp.zeros((1, 4 * mc)))
+    cond = KandinskyImageConditioner(time_embed_dim=4 * mc, cross_dim=16,
+                                     num_tokens=3, dtype=jnp.float32)
+    cp = cond.init(jax.random.key(4), jnp.zeros((1, IED)))
+    rng = np.random.RandomState(5)
+    b = DC.replace(b, decoder=dec, decoder_params=dp, image_cond=cond,
+                   image_cond_params=cp,
+                   clip_mean=rng.randn(IED).astype(np.float32),
+                   clip_std=(1 + rng.rand(IED)).astype(np.float32))
+    pipe = KandinskyPipeline(b)
+    img, _ = pipe.generate(opts())[0]
+    assert img.shape == (64, 64, 3) and np.isfinite(img).all()
+
+
 # ---------------- Cascade ----------------------------------------------------
 
 def test_cascade_txt2img():
