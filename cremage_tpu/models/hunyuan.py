@@ -45,7 +45,7 @@ class HunyuanBlock(nn.Module):
     skip: bool = False
 
     @nn.compact
-    def __call__(self, x, text, t_mod, freqs, skip_x=None):
+    def __call__(self, x, text, t_vec, freqs, skip_x=None):
         cfg = self.cfg
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         c = cfg.hidden_size
@@ -58,10 +58,15 @@ class HunyuanBlock(nn.Module):
                 LayerNorm(name="skip_norm")(
                     jnp.concatenate([x, skip_x], axis=-1)))
 
+        # per-block timestep modulation (HunyuanDiT default_modulation:
+        # SiLU -> Linear, shift added after norm1)
+        t_mod = Dense(c, name="default_modulation_1", **dd)(silu(t_vec))
         y = LayerNorm(name="norm1")(x) + t_mod[:, None]
         qkv = Dense(3 * c, name="attn1_qkv", **dd)(y).reshape(b, n, 3, h, d)
-        q = apply_rope(qkv[:, :, 0], freqs)
-        k = apply_rope(qkv[:, :, 1], freqs)
+        q = LayerNorm(name="attn1_q_norm")(qkv[:, :, 0])  # per-head qk-norm
+        k = LayerNorm(name="attn1_k_norm")(qkv[:, :, 1])
+        q = apply_rope(q.astype(cfg.dtype), freqs)
+        k = apply_rope(k.astype(cfg.dtype), freqs)
         a = attention(q, k, qkv[:, :, 2]).reshape(b, n, c)
         x = x + Dense(c, name="attn1_proj", **dd)(a)
 
@@ -70,7 +75,9 @@ class HunyuanBlock(nn.Module):
         kv = Dense(2 * c, name="attn2_kv", **dd)(text)
         m = text.shape[1]
         kv = kv.reshape(b, m, 2, h, d)
-        a = attention(q, kv[:, :, 0], kv[:, :, 1]).reshape(b, n, c)
+        q = LayerNorm(name="attn2_q_norm")(q).astype(cfg.dtype)
+        k = LayerNorm(name="attn2_k_norm")(kv[:, :, 0]).astype(cfg.dtype)
+        a = attention(q, k, kv[:, :, 1]).reshape(b, n, c)
         x = x + Dense(c, name="attn2_proj", **dd)(a)
 
         y = LayerNorm(name="norm3")(x)
@@ -126,7 +133,12 @@ class HunyuanDiT(nn.Module):
                 tokens = HunyuanBlock(cfg, skip=True, name=f"blocks_{i}")(
                     tokens, text, t_vec, freqs, skips.pop())
 
+        # final adaLN (HunyuanDiT final_layer.adaLN_modulation: SiLU ->
+        # Linear -> shift/scale on the final norm)
+        mod = Dense(2 * c, name="final_adaLN_1", **dd)(silu(t_vec))
+        shift, scale = jnp.split(mod, 2, axis=-1)
         out = LayerNorm(name="final_norm")(tokens)
+        out = out * (1 + scale[:, None]) + shift[:, None]
         out = Dense(p * p * cfg.out_channels, name="final_linear", **dd)(out)
         out = out.reshape(b, hp, wp, p, p, cfg.out_channels)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cfg.out_channels)
