@@ -68,3 +68,6 @@ def test_loader_signatures_importable():
     assert callable(L.load_sdxl_bundle)
     assert callable(L.load_sd3_bundle)
     assert callable(L.load_flux_bundle)
+    assert callable(L.load_pixart_bundle)
+    assert callable(L.load_svd_bundle)
+    assert callable(L.load_kandinsky_prior)
