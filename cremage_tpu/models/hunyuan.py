@@ -117,6 +117,30 @@ class HunyuanDiT(nn.Module):
         t_vec = Dense(c, name="t_embedder_mlp_0", **dd)(t_emb)
         t_vec = Dense(c, name="t_embedder_mlp_2", **dd)(silu(t_vec))
 
+        # Extra conditioning (HunyuanDiT v1.2 combined-embedding flow:
+        # attention-pooled mT5 summary -> 2-layer extra embedder, added
+        # to the timestep vector; size/style conds were dropped in v1.2).
+        ph = 8
+        pd = cfg.mt5_dim // ph
+        bq = self.param("pooler_query", nn.initializers.normal(0.02),
+                        (1, 1, cfg.mt5_dim), cfg.param_dtype)
+        pq = jnp.broadcast_to(bq.astype(cfg.dtype), (b, 1, cfg.mt5_dim))
+        pk = Dense(cfg.mt5_dim, name="pooler_k_proj", **dd)(
+            mt5_text.astype(cfg.dtype))
+        pv = Dense(cfg.mt5_dim, name="pooler_v_proj", **dd)(
+            mt5_text.astype(cfg.dtype))
+        lm = mt5_text.shape[1]
+        pooled = attention(
+            Dense(cfg.mt5_dim, name="pooler_q_proj", **dd)(pq)
+            .reshape(b, 1, ph, pd),
+            pk.reshape(b, lm, ph, pd), pv.reshape(b, lm, ph, pd),
+        ).reshape(b, cfg.mt5_dim)
+        pooled = Dense(1024, name="pooler_c_proj", **dd)(pooled)
+        extra = Dense(4 * c, name="extra_embedder_fc1", **dd)(pooled)
+        extra = Dense(c, name="extra_embedder_fc2", **dd)(
+            nn.silu(extra))
+        t_vec = t_vec + extra
+
         text = jnp.concatenate([
             Dense(c, name="clip_proj", **dd)(clip_text.astype(cfg.dtype)),
             Dense(c, name="mt5_proj", **dd)(mt5_text.astype(cfg.dtype)),
