@@ -251,6 +251,28 @@ def kandinsky_image_conditioner_from_diffusers(
     return out
 
 
+def kandinsky_decoder_from_diffusers(
+    sd: Mapping[str, np.ndarray],
+) -> tuple:
+    """diffusers Kandinsky 2.2 decoder UNet state dict -> (body, heads).
+
+    The body keys load verbatim into models/kandinsky_decoder.py
+    (module names were chosen to flatten to the diffusers key strings:
+    down_blocks.N.resnets.M.conv1, ...attentions.M.add_k_proj,
+    ...downsamplers.0.<resnet leaves>, mid_block.*, conv_norm_out, ...).
+    The add_embedding / encoder_hid_proj heads go to
+    KandinskyImageConditioner via kandinsky_image_conditioner_from_
+    diffusers. Any attention norm_cross keys are left in the body dict
+    and surface in build_flax_params' `unused` report.
+    """
+    cond = kandinsky_image_conditioner_from_diffusers(sd)
+    body = {
+        k: np.asarray(v) for k, v in sd.items()
+        if not k.startswith(("add_embedding.", "encoder_hid_proj."))
+    }
+    return body, cond
+
+
 def pixart_from_diffusers(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """diffusers PixArtTransformer2DModel state dict -> our PixArt layout.
 

@@ -131,9 +131,12 @@ class KandinskyPipeline:
             def eps_model(xx, tt, cond):
                 if b.image_cond is not None:
                     tvec, ctx = b.image_cond.apply(b.image_cond_params, cond)
-                    return b.decoder.apply(params, xx, tt, ctx, tvec)
-                ctx = cond[:, None, :]   # single image-embed token
-                return b.decoder.apply(params, xx, tt, ctx, cond)
+                    out = b.decoder.apply(params, xx, tt, ctx, tvec)
+                else:
+                    ctx = cond[:, None, :]   # single image-embed token
+                    out = b.decoder.apply(params, xx, tt, ctx, cond)
+                # the real decoder predicts [eps, variance]; samplers use eps
+                return out[..., : xx.shape[-1]]
 
             denoise = EpsDenoiser(eps_model, sched)
             den = cfg_denoiser(denoise, img_embed, neg_embed, scale)

@@ -577,3 +577,50 @@ def load_kandinsky_prior(
     if clip_std is not None:
         clip_std = clip_std.reshape(-1)
     return prior, {"params": params}, clip_mean, clip_std
+
+
+def load_kandinsky_decoder(
+    unet_ckpt: str,
+    in_channels: int = 4,
+    policy: DTypePolicy = DEFAULT_POLICY,
+):
+    """Kandinsky 2.2 diffusers decoder-UNet file -> (KandinskyUNet,
+    params, KandinskyImageConditioner, cond_params). Conditioner dims
+    (time_embed_dim / cross_dim / num_tokens) are derived from the head
+    tensor shapes so both decoder and inpaint-decoder files load."""
+    from cremage_tpu.io.diffusers_keys import kandinsky_decoder_from_diffusers
+    from cremage_tpu.models.kandinsky import KandinskyImageConditioner
+    from cremage_tpu.models.kandinsky_decoder import (
+        KandinskyUNet, KandinskyUNetConfig,
+    )
+
+    raw = CK.load_state_dict(unet_ckpt)
+    body, cond_sd = kandinsky_decoder_from_diffusers(raw)
+
+    embed_dim = cond_sd["image_proj.weight"].shape[1]
+    ted = cond_sd["image_proj.weight"].shape[0]
+    cross_dim = cond_sd["context_norm.weight"].shape[0]
+    num_tokens = cond_sd["context_proj.weight"].shape[0] // cross_dim
+
+    cfg = KandinskyUNetConfig(
+        in_channels=in_channels, context_dim=cross_dim,
+        dtype=policy.compute_dtype, param_dtype=policy.param_dtype,
+    )
+    model = KandinskyUNet(cfg)
+    tmpl = _template(
+        model, jnp.zeros((1, 8, 8, in_channels), policy.compute_dtype),
+        jnp.zeros((1,)),
+        jnp.zeros((1, num_tokens, cross_dim), policy.compute_dtype),
+        jnp.zeros((1, cfg.time_embed_dim), policy.compute_dtype),
+    )
+    params, _, _ = CK.build_flax_params(tmpl, body, prefix="",
+                                        dtype=policy.param_dtype,
+                                        strict=False)
+    cond = KandinskyImageConditioner(
+        time_embed_dim=ted, cross_dim=cross_dim, num_tokens=num_tokens,
+        dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
+    c_tmpl = _template(cond, jnp.zeros((1, embed_dim), policy.compute_dtype))
+    c_params, _, _ = CK.build_flax_params(c_tmpl, cond_sd, prefix="",
+                                          dtype=policy.param_dtype,
+                                          strict=False)
+    return (model, {"params": params}, cond, {"params": c_params})

@@ -71,3 +71,4 @@ def test_loader_signatures_importable():
     assert callable(L.load_pixart_bundle)
     assert callable(L.load_svd_bundle)
     assert callable(L.load_kandinsky_prior)
+    assert callable(L.load_kandinsky_decoder)

@@ -366,3 +366,123 @@ def test_kandinsky_image_conditioner_from_diffusers():
     tvec, ctx = cond.apply({"params": params}, jnp.ones((2, E)) * 0.1)
     assert tvec.shape == (2, TE) and ctx.shape == (2, NT, CD)
     assert np.isfinite(np.asarray(ctx)).all()
+
+
+# ---------------- Kandinsky 2.2 decoder UNet body ----------------------------
+
+def synth_diffusers_kandinsky_unet(boc=(32, 64), lpb=1, ctx=16, in_ch=4,
+                                   out_ch=8):
+    """Tiny diffusers-layout Kandinsky decoder sd (scale-shift resnets,
+    resnet samplers, added-KV attention); documents the expected
+    checkpoint structure."""
+    rng = np.random.RandomState(7)
+    sd = {}
+    ted = boc[0] * 4
+
+    def lin(name, i, o):
+        sd[name + ".weight"] = rng.randn(o, i).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def conv(name, i, o, k=3):
+        sd[name + ".weight"] = rng.randn(o, i, k, k).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def gn(name, c):
+        sd[name + ".weight"] = rng.randn(c).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(c).astype(np.float32)
+
+    def resnet(prefix, cin, cout):
+        gn(prefix + ".norm1", cin)
+        conv(prefix + ".conv1", cin, cout)
+        lin(prefix + ".time_emb_proj", ted, 2 * cout)  # scale_shift
+        gn(prefix + ".norm2", cout)
+        conv(prefix + ".conv2", cout, cout)
+        if cin != cout:
+            conv(prefix + ".conv_shortcut", cin, cout, k=1)
+
+    def attn(prefix, c):
+        gn(prefix + ".group_norm", c)
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(f"{prefix}.{nm}", c, c)
+        lin(prefix + ".add_k_proj", ctx, c)
+        lin(prefix + ".add_v_proj", ctx, c)
+        lin(prefix + ".to_out.0", c, c)
+
+    lin("time_embedding.linear_1", boc[0], ted)
+    lin("time_embedding.linear_2", ted, ted)
+    conv("conv_in", in_ch, boc[0])
+    hs = [boc[0]]
+    cur = boc[0]
+    n = len(boc)
+    for lv, cout in enumerate(boc):
+        for i in range(lpb):
+            resnet(f"down_blocks.{lv}.resnets.{i}", cur, cout)
+            if lv > 0:  # first down block is plain resnet
+                attn(f"down_blocks.{lv}.attentions.{i}", cout)
+            cur = cout
+            hs.append(cur)
+        if lv != n - 1:
+            resnet(f"down_blocks.{lv}.downsamplers.0", cout, cout)
+            hs.append(cout)
+    resnet("mid_block.resnets.0", boc[-1], boc[-1])
+    attn("mid_block.attentions.0", boc[-1])
+    resnet("mid_block.resnets.1", boc[-1], boc[-1])
+    for pos, lv in enumerate(reversed(range(n))):
+        cout = boc[lv]
+        for i in range(lpb + 1):
+            resnet(f"up_blocks.{pos}.resnets.{i}", cur + hs.pop(), cout)
+            if lv > 0:
+                attn(f"up_blocks.{pos}.attentions.{i}", cout)
+            cur = cout
+        if lv != 0:
+            resnet(f"up_blocks.{pos}.upsamplers.0", cout, cout)
+    gn("conv_norm_out", boc[0])
+    conv("conv_out", boc[0], out_ch)
+    # conditioner heads (split out by the converter)
+    lin("add_embedding.image_proj", 24, ted)
+    sd["add_embedding.image_norm.weight"] = rng.randn(ted).astype(np.float32)
+    sd["add_embedding.image_norm.bias"] = rng.randn(ted).astype(np.float32)
+    lin("encoder_hid_proj.image_embeds", 24, 3 * ctx)
+    sd["encoder_hid_proj.norm.weight"] = rng.randn(ctx).astype(np.float32)
+    sd["encoder_hid_proj.norm.bias"] = rng.randn(ctx).astype(np.float32)
+    return sd
+
+
+def test_kandinsky_decoder_from_diffusers_loads_and_runs():
+    from cremage_tpu.io.diffusers_keys import kandinsky_decoder_from_diffusers
+    from cremage_tpu.models.kandinsky import KandinskyImageConditioner
+    from cremage_tpu.models.kandinsky_decoder import (
+        KandinskyUNet, KandinskyUNetConfig, kandinsky_decoder_eps,
+    )
+
+    sd = synth_diffusers_kandinsky_unet()
+    body, cond_sd = kandinsky_decoder_from_diffusers(sd)
+    cfg = KandinskyUNetConfig(block_out_channels=(32, 64),
+                              layers_per_block=1, context_dim=16,
+                              attention_head_dim=16, dtype=jnp.float32)
+    model = KandinskyUNet(cfg)
+    tmpl = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,)), jnp.zeros((1, 3, 16)),
+        jnp.zeros((1, cfg.time_embed_dim)),
+    )["params"]
+    params, missing, unused = CK.build_flax_params(tmpl, body, prefix="")
+    assert not missing, missing[:5]
+    assert not unused, unused[:5]
+
+    cond = KandinskyImageConditioner(time_embed_dim=cfg.time_embed_dim,
+                                     cross_dim=16, num_tokens=3,
+                                     dtype=jnp.float32)
+    c_tmpl = jax.eval_shape(cond.init, jax.random.key(1),
+                            jnp.zeros((1, 24)))["params"]
+    c_params, c_missing, c_unused = CK.build_flax_params(
+        c_tmpl, cond_sd, prefix="")
+    assert not c_missing and not c_unused, (c_missing, c_unused)
+
+    tvec, ctx = cond.apply({"params": c_params}, jnp.ones((1, 24)) * 0.1)
+    out = model.apply({"params": params}, jnp.ones((1, 8, 8, 4)) * 0.1,
+                      jnp.full((1,), 500.0), ctx, tvec)
+    assert out.shape == (1, 8, 8, 8)
+    eps = kandinsky_decoder_eps(out)
+    assert eps.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()

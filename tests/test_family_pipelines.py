@@ -126,6 +126,35 @@ def test_kandinsky_with_image_conditioner_and_clip_stats():
     assert img.shape == (64, 64, 3) and np.isfinite(img).all()
 
 
+def test_kandinsky_real_decoder_architecture_end_to_end():
+    """Full pipeline through the unCLIP-style KandinskyUNet (scale-shift
+    resnets, added-KV attention, eps+variance output)."""
+    import dataclasses as DC
+
+    from cremage_tpu.models.kandinsky import KandinskyImageConditioner
+    from cremage_tpu.models.kandinsky_decoder import (
+        KandinskyUNet, KandinskyUNetConfig,
+    )
+
+    b = make_kandinsky()
+    cfg = KandinskyUNetConfig(block_out_channels=(32, 64),
+                              layers_per_block=1, context_dim=16,
+                              attention_head_dim=16, dtype=jnp.float32)
+    dec = KandinskyUNet(cfg)
+    dp = dec.init(jax.random.key(6), jnp.zeros((1, 8, 8, 4)),
+                  jnp.zeros((1,)), jnp.zeros((1, 3, 16)),
+                  jnp.zeros((1, cfg.time_embed_dim)))
+    cond = KandinskyImageConditioner(time_embed_dim=cfg.time_embed_dim,
+                                     cross_dim=16, num_tokens=3,
+                                     dtype=jnp.float32)
+    cp = cond.init(jax.random.key(7), jnp.zeros((1, IED)))
+    b = DC.replace(b, decoder=dec, decoder_params=dp, image_cond=cond,
+                   image_cond_params=cp)
+    pipe = KandinskyPipeline(b)
+    img, _ = pipe.generate(opts())[0]
+    assert img.shape == (64, 64, 3) and np.isfinite(img).all()
+
+
 # ---------------- Cascade ----------------------------------------------------
 
 def test_cascade_txt2img():
