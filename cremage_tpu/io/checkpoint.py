@@ -252,6 +252,51 @@ def openclip_text_subdict(
     return out
 
 
+def hf_clip_vision_subdict(
+    sd: Mapping[str, np.ndarray], prefix: str = "vision_model."
+) -> Dict[str, np.ndarray]:
+    """HF transformers CLIPVisionModel(WithProjection) keys -> our
+    open_clip-style vision tower naming (models/clip_vision.py).
+
+    Same math, different bookkeeping: HF keeps q/k/v separate (as we
+    do), names the blocks encoder.layers.N and the norms layer_norm1/2,
+    and spells pre_layrnorm with its historical typo. visual_projection
+    is a Linear (out,in) while open_clip's proj is stored (in,out)."""
+    out: Dict[str, np.ndarray] = {}
+    renames = [
+        ("embeddings.patch_embedding.weight", "conv1_weight"),
+        ("embeddings.class_embedding", "class_embedding"),
+        ("embeddings.position_embedding.weight", "positional_embedding"),
+        ("pre_layrnorm.", "ln_pre."),
+        ("pre_layernorm.", "ln_pre."),
+        ("post_layernorm.", "ln_post."),
+    ]
+    for k, v in sd.items():
+        if k == "visual_projection.weight":
+            out["proj"] = np.asarray(v).T
+            continue
+        if not k.startswith(prefix):
+            continue
+        k2 = k[len(prefix):]
+        if k2.startswith("encoder.layers."):
+            rest = k2[len("encoder.layers."):]
+            i, sub = rest.split(".", 1)
+            sub = (sub.replace("self_attn.", "attn.")
+                      .replace("layer_norm1.", "ln_1.")
+                      .replace("layer_norm2.", "ln_2.")
+                      .replace("mlp.fc1.", "mlp.c_fc.")
+                      .replace("mlp.fc2.", "mlp.c_proj."))
+            out[f"transformer.resblocks.{i}.{sub}"] = np.asarray(v)
+            continue
+        if k2.startswith("embeddings.position_ids"):
+            continue
+        for a, b2 in renames:
+            if k2.startswith(a):
+                out[b2 + k2[len(a):]] = np.asarray(v)
+                break
+    return out
+
+
 def vae_state_dict_from_standalone(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Standalone VAE checkpoints store keys without the first_stage_model
     prefix; normalize to prefixed form for overlay."""

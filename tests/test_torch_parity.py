@@ -104,3 +104,48 @@ def test_t5_encoder_parity_with_transformers():
     np.testing.assert_allclose(
         np.asarray(out)[:, :4], hf_out.numpy()[:, :4], atol=3e-5, rtol=3e-5,
     )
+
+
+def test_clip_vision_parity_with_transformers():
+    """Vision tower differential parity (SVD's image conditioner /
+    FaceID's embedding seam): HF CLIPVisionModelWithProjection random
+    weights -> hf_clip_vision_subdict mapping -> our open_clip-style
+    tower; pooled projected embedding must match."""
+    import torch
+    from transformers import CLIPVisionConfig as HFVC
+    from transformers import CLIPVisionModelWithProjection as HFVM
+
+    from cremage_tpu.models.clip_vision import (
+        CLIP_MEAN, CLIP_STD, CLIPVisionConfig, CLIPVisionModel,
+    )
+
+    hf_cfg = HFVC(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=16, patch_size=8,
+        projection_dim=24, hidden_act="gelu",
+    )
+    torch.manual_seed(2)
+    hf = HFVM(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    mapped = CK.hf_clip_vision_subdict(sd)
+
+    ours = CLIPVisionModel(CLIPVisionConfig(
+        image_size=16, patch_size=8, width=32, num_layers=2, num_heads=4,
+        output_dim=24, dtype=jnp.float32,
+    ))
+    tmpl = jax.eval_shape(
+        ours.init, jax.random.key(0), jnp.zeros((1, 16, 16, 3))
+    )["params"]
+    params, missing, unused = CK.build_flax_params(tmpl, mapped, prefix="")
+    assert not missing, missing
+    assert not unused, unused
+
+    img01 = np.random.RandomState(0).rand(1, 16, 16, 3).astype(np.float32)
+    # HF takes pre-normalized NCHW pixel values; our model normalizes
+    # [0,1] inputs internally with the same constants
+    px = (img01 - CLIP_MEAN) / CLIP_STD
+    with torch.no_grad():
+        hf_out = hf(pixel_values=torch.tensor(
+            px.transpose(0, 3, 1, 2))).image_embeds.numpy()
+    out = np.asarray(ours.apply({"params": params}, jnp.asarray(img01)))
+    np.testing.assert_allclose(out, hf_out, atol=3e-5, rtol=3e-5)
