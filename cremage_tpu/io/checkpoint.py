@@ -252,6 +252,40 @@ def openclip_text_subdict(
     return out
 
 
+def hf_clip_text_to_openclip_subdict(
+    sd: Mapping[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """HF transformers CLIPTextModel(WithProjection) keys -> our
+    open_clip text tower naming (models/open_clip.py). Used for
+    differential parity testing and for loading HF-format secondary
+    towers; text_projection is a Linear (out,in) in HF while open_clip
+    stores (in,out)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k == "text_projection.weight":
+            out["text_projection"] = np.asarray(v).T
+            continue
+        if not k.startswith("text_model."):
+            continue
+        k2 = k[len("text_model."):]
+        if k2 == "embeddings.token_embedding.weight":
+            out["token_embedding"] = np.asarray(v)
+        elif k2 == "embeddings.position_embedding.weight":
+            out["positional_embedding"] = np.asarray(v)
+        elif k2.startswith("encoder.layers."):
+            rest = k2[len("encoder.layers."):]
+            i, sub = rest.split(".", 1)
+            sub = (sub.replace("self_attn.", "attn.")
+                      .replace("layer_norm1.", "ln_1.")
+                      .replace("layer_norm2.", "ln_2.")
+                      .replace("mlp.fc1.", "mlp.c_fc.")
+                      .replace("mlp.fc2.", "mlp.c_proj."))
+            out[f"transformer.resblocks.{i}.{sub}"] = np.asarray(v)
+        elif k2.startswith("final_layer_norm."):
+            out["ln_final." + k2[len("final_layer_norm."):]] = np.asarray(v)
+    return out
+
+
 def hf_clip_vision_subdict(
     sd: Mapping[str, np.ndarray], prefix: str = "vision_model."
 ) -> Dict[str, np.ndarray]:

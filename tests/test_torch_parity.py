@@ -149,3 +149,59 @@ def test_clip_vision_parity_with_transformers():
             px.transpose(0, 3, 1, 2))).image_embeds.numpy()
     out = np.asarray(ours.apply({"params": params}, jnp.asarray(img01)))
     np.testing.assert_allclose(out, hf_out, atol=3e-5, rtol=3e-5)
+
+
+def test_openclip_text_tower_parity_with_transformers():
+    """SDXL secondary tower differential parity: HF
+    CLIPTextModelWithProjection random weights (gelu act, like bigG) ->
+    hf_clip_text_to_openclip_subdict -> our open_clip tower; final LN
+    states and the EOS-pooled projected embedding must match."""
+    import torch
+    from transformers import CLIPTextConfig as HFTC
+    from transformers import CLIPTextModelWithProjection as HFTM
+
+    from cremage_tpu.models.open_clip import (
+        OpenCLIPTextConfig, OpenCLIPTextModel,
+    )
+
+    hf_cfg = HFTC(
+        vocab_size=99, hidden_size=32, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=16, hidden_act="gelu", projection_dim=32,
+        eos_token_id=2,
+    )
+    torch.manual_seed(3)
+    hf = HFTM(hf_cfg).eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    mapped = CK.hf_clip_text_to_openclip_subdict(sd)
+
+    ours = OpenCLIPTextModel(OpenCLIPTextConfig(
+        vocab_size=99, width=32, num_layers=2, num_heads=4,
+        max_positions=16, dtype=jnp.float32,
+    ))
+    tmpl = jax.eval_shape(
+        ours.init, jax.random.key(0), jnp.zeros((1, 8), jnp.int32)
+    )["params"]
+    params, missing, unused = CK.build_flax_params(tmpl, mapped, prefix="")
+    assert not missing, missing
+    assert not unused, unused
+
+    # HF's eos_token_id==2 config takes the legacy pooling path (argmax
+    # of token ids, assuming EOT is the highest vocab id, as in real
+    # CLIP vocabularies) — put the EOT (98) accordingly.
+    ids = np.array([[1, 5, 7, 9, 98, 0, 0, 0]], np.int64)
+    with torch.no_grad():
+        hf_out = hf(input_ids=torch.tensor(ids))
+    hidden, final = ours.apply({"params": params},
+                               jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(
+        np.asarray(final), hf_out.last_hidden_state.numpy(),
+        atol=3e-5, rtol=3e-5,
+    )
+    eos_idx = jnp.asarray(ids.argmax(axis=1))
+    pooled = ours.apply({"params": params}, final, eos_idx,
+                        method=OpenCLIPTextModel.project_pooled)
+    np.testing.assert_allclose(
+        np.asarray(pooled), hf_out.text_embeds.numpy(),
+        atol=3e-5, rtol=3e-5,
+    )
