@@ -273,6 +273,101 @@ def kandinsky_decoder_from_diffusers(
     return body, cond
 
 
+def hunyuan_from_diffusers(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """diffusers HunyuanDiT2DModel state dict -> our HunyuanDiT layout
+    (models/hunyuan.py; the reference consumes this checkpoint through
+    HunyuanDiTPipeline, modules/hunyuan_dit/txt2img.py).
+
+    diffusers keys:
+      pos_embed.proj                         -> x_embedder.proj
+      time_extra_emb.timestep_embedder.linear_1/2 -> t_embedder.mlp_0/2
+      time_extra_emb.pooler.positional_embedding  -> pooler.positional_embedding
+      time_extra_emb.pooler.{q,k,v,c}_proj   -> pooler.{q,k,v,c}_proj
+      time_extra_emb.extra_embedder.linear_1/2 -> extra_embedder.fc1/fc2
+      text_embedder.linear_1/2               -> text_embedder.linear_1/2
+      text_embedding_padding                 -> text_embedding_padding
+      blocks.N.norm1.norm                    -> blocks.N.norm1
+      blocks.N.norm1.linear                  -> blocks.N.default_modulation_1
+      blocks.N.attn1.to_{q,k,v}              -> blocks.N.attn1_qkv (fused)
+      blocks.N.attn1.norm_{q,k}              -> blocks.N.attn1_{q,k}_norm
+      blocks.N.attn1.to_out.0                -> blocks.N.attn1_proj
+      blocks.N.attn2.to_q                    -> blocks.N.attn2_q
+      blocks.N.attn2.to_{k,v}                -> blocks.N.attn2_kv (fused)
+      blocks.N.attn2.norm_{q,k}              -> blocks.N.attn2_{q,k}_norm
+      blocks.N.attn2.to_out.0                -> blocks.N.attn2_proj
+      blocks.N.norm2/norm3, ff.net.0.proj/ff.net.2, skip_norm/skip_linear
+                                             -> same names / mlp_fc1/fc2
+      norm_out.linear                        -> final_adaLN_1
+      proj_out                               -> final_linear
+    """
+    out: Dict[str, np.ndarray] = {}
+    fuse: Dict[str, Dict[str, np.ndarray]] = {}
+    top = [
+        ("pos_embed.proj.", "x_embedder.proj."),
+        ("time_extra_emb.timestep_embedder.linear_1.", "t_embedder.mlp_0."),
+        ("time_extra_emb.timestep_embedder.linear_2.", "t_embedder.mlp_2."),
+        ("time_extra_emb.pooler.", "pooler."),
+        ("time_extra_emb.extra_embedder.linear_1.", "extra_embedder.fc1."),
+        ("time_extra_emb.extra_embedder.linear_2.", "extra_embedder.fc2."),
+        ("text_embedder.linear_1.", "text_embedder.linear_1."),
+        ("text_embedder.linear_2.", "text_embedder.linear_2."),
+        ("norm_out.linear.", "final_adaLN_1."),
+        ("proj_out.", "final_linear."),
+    ]
+    blk = [
+        ("norm1.norm.", "norm1."),
+        ("norm1.linear.", "default_modulation_1."),
+        ("attn1.norm_q.", "attn1_q_norm."),
+        ("attn1.norm_k.", "attn1_k_norm."),
+        ("attn1.to_out.0.", "attn1_proj."),
+        ("attn2.to_q.", "attn2_q."),
+        ("attn2.norm_q.", "attn2_q_norm."),
+        ("attn2.norm_k.", "attn2_k_norm."),
+        ("attn2.to_out.0.", "attn2_proj."),
+        ("norm2.", "norm2."),
+        ("norm3.", "norm3."),
+        ("ff.net.0.proj.", "mlp_fc1."),
+        ("ff.net.2.", "mlp_fc2."),
+        ("skip_norm.", "skip_norm."),
+        ("skip_linear.", "skip_linear."),
+    ]
+    for k, v in sd.items():
+        v = np.asarray(v)
+        if k == "text_embedding_padding":
+            out[k] = v
+            continue
+        m = re.match(r"^blocks\.(\d+)\.(.+)$", k)
+        if m:
+            i, rest = m.group(1), m.group(2)
+            base = f"blocks.{i}."
+            mm = re.match(r"^attn1\.to_([qkv])\.(weight|bias)$", rest)
+            if mm:
+                fuse.setdefault(base + "attn1_qkv." + mm.group(2),
+                                {})[mm.group(1)] = v
+                continue
+            mm = re.match(r"^attn2\.to_([kv])\.(weight|bias)$", rest)
+            if mm:
+                fuse.setdefault(base + "attn2_kv." + mm.group(2),
+                                {})[mm.group(1)] = v
+                continue
+            for src, dst in blk:
+                if rest.startswith(src):
+                    out[base + dst + rest[len(src):]] = v
+                    break
+            continue
+        for src, dst in top:
+            if k.startswith(src):
+                out[dst + k[len(src):]] = v
+                break
+    for key, parts in fuse.items():
+        if set(parts) == {"q", "k", "v"}:
+            out[key] = np.concatenate([parts["q"], parts["k"], parts["v"]],
+                                      axis=0)
+        elif set(parts) == {"k", "v"}:
+            out[key] = np.concatenate([parts["k"], parts["v"]], axis=0)
+    return out
+
+
 def pixart_from_diffusers(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """diffusers PixArtTransformer2DModel state dict -> our PixArt layout.
 

@@ -2,15 +2,20 @@
 
 Behavior contract: reference `modules/hunyuan_dit/txt2img.py` —
 diffusers HunyuanDiTPipeline (bilingual CLIP 77x1024 + mT5 256x2048 text
-towers, optional quantized T5), v-prediction DiT.
+towers), v-prediction DiT.
 
-Core structure implemented here (per the public HunyuanDiT design):
-patchified latents, timestep modulation, N blocks of
-self-attn (RoPE 2D, qk-norm) + cross-attn over the concatenated
-[CLIP; mT5-projected] text tokens + MLP, with U-ViT long skip
-connections (second half of the blocks concatenates the mirrored first-
-half activations through a skip linear). Tencent checkpoint key mapping
-is tracked for a later round.
+Structure follows the diffusers HunyuanDiT2DModel the reference
+downloads, so the checkpoint maps mechanically
+(io/diffusers_keys.py::hunyuan_from_diffusers):
+- patchified latents (pos_embed.proj), 2D RoPE on head-dim halves;
+- per-block AdaLayerNormShift (SiLU -> Linear shift after norm1),
+  self-attention with per-head qk layer-norm, cross-attention over the
+  joint [CLIP; text_embedder(mT5)] 1024-wide token stream, gelu MLP;
+- U-ViT long skips (skip_norm + skip_linear on the decoder half);
+- time conditioning = timestep embedding + extra_embedder(attention-
+  pooled mT5 summary) (v1.2 flow: no size/style conds);
+- final AdaLayerNormContinuous (scale/shift, affine-free norm) +
+  linear projection to patch outputs.
 """
 from __future__ import annotations
 
@@ -33,11 +38,19 @@ class HunyuanConfig:
     hidden_size: int = 1408
     depth: int = 40
     num_heads: int = 16
-    clip_dim: int = 1024
+    clip_dim: int = 1024             # joint text-token width (cross dim)
     mt5_dim: int = 2048
+    pooled_dim: int = 1024           # attention-pool output width
+    pooler_heads: int = 8
     mlp_ratio: float = 4.3
+    text_len: int = 77               # CLIP token count (for padding param)
+    text_len_t5: int = 256           # mT5 token count (for padding param)
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+
+
+def _silu_fp32(x, dtype):
+    return nn.silu(x.astype(jnp.float32)).astype(dtype)
 
 
 class HunyuanBlock(nn.Module):
@@ -58,8 +71,8 @@ class HunyuanBlock(nn.Module):
                 LayerNorm(name="skip_norm")(
                     jnp.concatenate([x, skip_x], axis=-1)))
 
-        # per-block timestep modulation (HunyuanDiT default_modulation:
-        # SiLU -> Linear, shift added after norm1)
+        # AdaLayerNormShift: per-block timestep shift after norm1
+        # (diffusers blocks.N.norm1.linear / norm1.norm)
         t_mod = Dense(c, name="default_modulation_1", **dd)(silu(t_vec))
         y = LayerNorm(name="norm1")(x) + t_mod[:, None]
         qkv = Dense(3 * c, name="attn1_qkv", **dd)(y).reshape(b, n, 3, h, d)
@@ -105,46 +118,61 @@ class HunyuanDiT(nn.Module):
                       name="x_embedder_proj", **dd)(x.astype(cfg.dtype))
         tokens = tokens.reshape(b, hp * wp, c)
 
-        # 2D RoPE ids
+        # 2D RoPE: head dim split into (y, x) halves (diffusers
+        # get_2d_rotary_pos_embed semantics, flux rotation convention)
         ys, xs = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
-        ids = np.stack([np.zeros_like(ys), ys, xs], -1).reshape(-1, 3)
+        ids = np.stack([ys, xs], -1).reshape(-1, 2)
         d_head = c // cfg.num_heads
         freqs = jnp.asarray(rope_freqs(
-            ids, (d_head - 2 * (d_head // 4), d_head // 4, d_head // 4),
-            10000.0))
+            ids, (d_head - d_head // 2, d_head // 2), 10000.0))
 
         t_emb = timestep_embedding(t, 256).astype(cfg.dtype)
         t_vec = Dense(c, name="t_embedder_mlp_0", **dd)(t_emb)
         t_vec = Dense(c, name="t_embedder_mlp_2", **dd)(silu(t_vec))
 
-        # Extra conditioning (HunyuanDiT v1.2 combined-embedding flow:
-        # attention-pooled mT5 summary -> 2-layer extra embedder, added
-        # to the timestep vector; size/style conds were dropped in v1.2).
-        ph = 8
+        # Extra conditioning: attention-pooled mT5 summary (diffusers
+        # HunyuanDiTAttentionPool: mean token prepended, learned
+        # positional embedding, q from the mean token) -> extra_embedder
+        # (v1.2: no size/style conds).
+        ph = cfg.pooler_heads
         pd = cfg.mt5_dim // ph
-        bq = self.param("pooler_query", nn.initializers.normal(0.02),
-                        (1, 1, cfg.mt5_dim), cfg.param_dtype)
-        pq = jnp.broadcast_to(bq.astype(cfg.dtype), (b, 1, cfg.mt5_dim))
-        pk = Dense(cfg.mt5_dim, name="pooler_k_proj", **dd)(
-            mt5_text.astype(cfg.dtype))
-        pv = Dense(cfg.mt5_dim, name="pooler_v_proj", **dd)(
-            mt5_text.astype(cfg.dtype))
         lm = mt5_text.shape[1]
-        pooled = attention(
-            Dense(cfg.mt5_dim, name="pooler_q_proj", **dd)(pq)
-            .reshape(b, 1, ph, pd),
-            pk.reshape(b, lm, ph, pd), pv.reshape(b, lm, ph, pd),
-        ).reshape(b, cfg.mt5_dim)
-        pooled = Dense(1024, name="pooler_c_proj", **dd)(pooled)
+        mt5 = mt5_text.astype(cfg.dtype)
+        pooled_in = jnp.concatenate([mt5.mean(axis=1, keepdims=True), mt5],
+                                    axis=1)
+        pool_pos = self.param(
+            "pooler_positional_embedding",
+            nn.initializers.normal(cfg.mt5_dim ** -0.5),
+            (cfg.text_len_t5 + 1, cfg.mt5_dim), cfg.param_dtype)
+        pooled_in = pooled_in + pool_pos[: lm + 1].astype(cfg.dtype)
+        pq = Dense(cfg.mt5_dim, name="pooler_q_proj", **dd)(
+            pooled_in[:, :1]).reshape(b, 1, ph, pd)
+        pk = Dense(cfg.mt5_dim, name="pooler_k_proj", **dd)(
+            pooled_in).reshape(b, lm + 1, ph, pd)
+        pv = Dense(cfg.mt5_dim, name="pooler_v_proj", **dd)(
+            pooled_in).reshape(b, lm + 1, ph, pd)
+        pooled = attention(pq, pk, pv).reshape(b, cfg.mt5_dim)
+        pooled = Dense(cfg.pooled_dim, name="pooler_c_proj", **dd)(pooled)
         extra = Dense(4 * c, name="extra_embedder_fc1", **dd)(pooled)
         extra = Dense(c, name="extra_embedder_fc2", **dd)(
-            nn.silu(extra))
+            _silu_fp32(extra, cfg.dtype))
         t_vec = t_vec + extra
 
-        text = jnp.concatenate([
-            Dense(c, name="clip_proj", **dd)(clip_text.astype(cfg.dtype)),
-            Dense(c, name="mt5_proj", **dd)(mt5_text.astype(cfg.dtype)),
-        ], axis=1)
+        # Joint text stream: CLIP tokens pass through at clip_dim width;
+        # mT5 tokens projected by the text_embedder MLP (silu_fp32).
+        mt5_proj = Dense(4 * cfg.mt5_dim, name="text_embedder_linear_1",
+                         **dd)(mt5)
+        mt5_proj = Dense(cfg.clip_dim, name="text_embedder_linear_2", **dd)(
+            _silu_fp32(mt5_proj, cfg.dtype))
+        text = jnp.concatenate([clip_text.astype(cfg.dtype), mt5_proj],
+                               axis=1)
+        # learned padding rows (diffusers replaces masked-out token
+        # positions with these; with dense upstream conditioning the
+        # parameter is carried for checkpoint parity)
+        self.param("text_embedding_padding",
+                   nn.initializers.normal(0.02),
+                   (cfg.text_len + cfg.text_len_t5, cfg.clip_dim),
+                   cfg.param_dtype)
 
         skips = []
         half = cfg.depth // 2
@@ -157,11 +185,14 @@ class HunyuanDiT(nn.Module):
                 tokens = HunyuanBlock(cfg, skip=True, name=f"blocks_{i}")(
                     tokens, text, t_vec, freqs, skips.pop())
 
-        # final adaLN (HunyuanDiT final_layer.adaLN_modulation: SiLU ->
-        # Linear -> shift/scale on the final norm)
+        # final AdaLayerNormContinuous: affine-free LN, scale/shift from
+        # t_vec (diffusers norm_out.linear; chunk order [scale, shift])
         mod = Dense(2 * c, name="final_adaLN_1", **dd)(silu(t_vec))
-        shift, scale = jnp.split(mod, 2, axis=-1)
-        out = LayerNorm(name="final_norm")(tokens)
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        tf32 = tokens.astype(jnp.float32)
+        mean = tf32.mean(axis=-1, keepdims=True)
+        var = tf32.var(axis=-1, keepdims=True)
+        out = ((tf32 - mean) / jnp.sqrt(var + 1e-6)).astype(cfg.dtype)
         out = out * (1 + scale[:, None]) + shift[:, None]
         out = Dense(p * p * cfg.out_channels, name="final_linear", **dd)(out)
         out = out.reshape(b, hp, wp, p, p, cfg.out_channels)

@@ -624,3 +624,28 @@ def load_kandinsky_decoder(
                                           dtype=policy.param_dtype,
                                           strict=False)
     return (model, {"params": params}, cond, {"params": c_params})
+
+
+def load_hunyuan_dit(
+    dit_ckpt: str,
+    policy: DTypePolicy = DEFAULT_POLICY,
+):
+    """Hunyuan-DiT diffusers transformer file -> (HunyuanDiT, params)
+    (the reference downloads the diffusers HunyuanDiTPipeline,
+    modules/hunyuan_dit/txt2img.py)."""
+    from cremage_tpu.io.diffusers_keys import hunyuan_from_diffusers
+    from cremage_tpu.models.hunyuan import HunyuanConfig, HunyuanDiT
+
+    sd = hunyuan_from_diffusers(CK.load_state_dict(dit_ckpt))
+    model = HunyuanDiT(HunyuanConfig(dtype=policy.compute_dtype,
+                                     param_dtype=policy.param_dtype))
+    tmpl = _template(
+        model, jnp.zeros((1, 16, 16, 4), policy.compute_dtype),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 77, 1024), policy.compute_dtype),
+        jnp.zeros((1, 256, 2048), policy.compute_dtype),
+    )
+    params, _, _ = CK.build_flax_params(tmpl, sd, prefix="",
+                                        dtype=policy.param_dtype,
+                                        strict=False)
+    return model, {"params": params}

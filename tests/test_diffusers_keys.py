@@ -486,3 +486,92 @@ def test_kandinsky_decoder_from_diffusers_loads_and_runs():
     eps = kandinsky_decoder_eps(out)
     assert eps.shape == (1, 8, 8, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------- Hunyuan-DiT ------------------------------------------------
+
+def synth_diffusers_hunyuan(depth=4, c=32, clip=16, mt5=24, pooled=16,
+                            tl=5, tl5=6, mlp=2.0, out_ch=8, patch=2):
+    rng = np.random.RandomState(11)
+    sd = {}
+
+    def lin(name, i, o):
+        sd[name + ".weight"] = rng.randn(o, i).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def ln(name, n):
+        sd[name + ".weight"] = rng.randn(n).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(n).astype(np.float32)
+
+    d_head = c // 4
+    sd["pos_embed.proj.weight"] = rng.randn(c, 4, patch, patch).astype(np.float32)
+    sd["pos_embed.proj.bias"] = rng.randn(c).astype(np.float32)
+    lin("time_extra_emb.timestep_embedder.linear_1", 256, c)
+    lin("time_extra_emb.timestep_embedder.linear_2", c, c)
+    sd["time_extra_emb.pooler.positional_embedding"] = \
+        rng.randn(tl5 + 1, mt5).astype(np.float32)
+    for nm in ("q_proj", "k_proj", "v_proj"):
+        lin(f"time_extra_emb.pooler.{nm}", mt5, mt5)
+    lin("time_extra_emb.pooler.c_proj", mt5, pooled)
+    lin("time_extra_emb.extra_embedder.linear_1", pooled, 4 * c)
+    lin("time_extra_emb.extra_embedder.linear_2", 4 * c, c)
+    lin("text_embedder.linear_1", mt5, 4 * mt5)
+    lin("text_embedder.linear_2", 4 * mt5, clip)
+    sd["text_embedding_padding"] = rng.randn(tl + tl5, clip).astype(np.float32)
+    half = depth // 2
+    for i in range(depth):
+        b = f"blocks.{i}"
+        if i >= half:
+            ln(b + ".skip_norm", 2 * c)
+            lin(b + ".skip_linear", 2 * c, c)
+        ln(b + ".norm1.norm", c)
+        lin(b + ".norm1.linear", c, c)
+        for p in ("q", "k", "v"):
+            lin(f"{b}.attn1.to_{p}", c, c)
+        ln(b + ".attn1.norm_q", d_head)
+        ln(b + ".attn1.norm_k", d_head)
+        lin(b + ".attn1.to_out.0", c, c)
+        ln(b + ".norm2", c)
+        lin(b + ".attn2.to_q", c, c)
+        for p in ("k", "v"):
+            lin(f"{b}.attn2.to_{p}", clip, c)
+        ln(b + ".attn2.norm_q", d_head)
+        ln(b + ".attn2.norm_k", d_head)
+        lin(b + ".attn2.to_out.0", c, c)
+        ln(b + ".norm3", c)
+        lin(b + ".ff.net.0.proj", c, int(c * mlp))
+        lin(b + ".ff.net.2", int(c * mlp), c)
+    lin("norm_out.linear", c, 2 * c)
+    lin("proj_out", c, patch * patch * out_ch)
+    return sd
+
+
+def test_hunyuan_from_diffusers_loads_and_runs():
+    from cremage_tpu.io.diffusers_keys import hunyuan_from_diffusers
+    from cremage_tpu.models.hunyuan import HunyuanConfig, HunyuanDiT
+
+    sd = synth_diffusers_hunyuan()
+    converted = hunyuan_from_diffusers(sd)
+    assert converted["blocks.0.attn1_qkv.weight"].shape == (96, 32)
+    assert converted["blocks.0.attn2_kv.weight"].shape == (64, 16)
+
+    cfg = HunyuanConfig(hidden_size=32, depth=4, num_heads=4, clip_dim=16,
+                        mt5_dim=24, pooled_dim=16, mlp_ratio=2.0,
+                        text_len=5, text_len_t5=6, dtype=jnp.float32)
+    model = HunyuanDiT(cfg)
+    tmpl = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,)), jnp.zeros((1, 5, 16)), jnp.zeros((1, 6, 24)),
+    )["params"]
+    params, missing, unused = CK.build_flax_params(tmpl, converted, prefix="")
+    assert not missing, missing[:5]
+    assert not unused, unused[:5]
+    out = model.apply({"params": params}, jnp.ones((1, 8, 8, 4)) * 0.1,
+                      jnp.full((1,), 500.0), jnp.ones((1, 5, 16)) * 0.1,
+                      jnp.ones((1, 6, 24)) * 0.1)
+    assert out.shape == (1, 8, 8, 8)
+    assert np.isfinite(np.asarray(out)).all()
+    # fused-qkv fidelity: q rows land first
+    qkv = np.asarray(params["blocks_0"]["attn1_qkv"]["weight"])  # (in,3c)
+    np.testing.assert_allclose(qkv[:, :32],
+                               sd["blocks.0.attn1.to_q.weight"].T)
