@@ -26,6 +26,16 @@ BASELINE_IMG_PER_S = 0.125
 
 def zeros_params(model, *example_args):
     shapes = jax.eval_shape(model.init, jax.random.key(0), *example_args)
+    # BENCH_PARAM_DTYPE=bf16 stores weights in bfloat16 (halves weight
+    # HBM traffic; norm statistics still compute in fp32 inside the
+    # models). Default keeps the template dtype (fp32 master weights).
+    if os.environ.get("BENCH_PARAM_DTYPE", "").lower() in ("bf16", "bfloat16"):
+        return jax.tree.map(
+            lambda s: jnp.zeros(
+                s.shape,
+                jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+            shapes,
+        )
     return jax.tree.map(
         lambda s: jnp.zeros(s.shape, s.dtype), shapes,
     )

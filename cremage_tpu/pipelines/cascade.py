@@ -62,9 +62,11 @@ def stage_b_config(c_latent_channels: int = 16, **kw) -> UNetConfig:
 
 @dataclasses.dataclass
 class CascadeBundle:
-    stage_c: UNetModel
+    # real cores: models/cascade.py StageC/StageB (Würstchen block
+    # anatomy); a UNet stand-in is also accepted (channel-concat path)
+    stage_c: Any
     stage_c_params: Any
-    stage_b: UNetModel
+    stage_b: Any
     stage_b_params: Any
     vqgan: AutoencoderKL          # Stage A (KL interface stand-in for VQ)
     vqgan_params: Any
@@ -96,13 +98,18 @@ class CascadePipeline:
         def progress(i):
             self._current_status(f"{tag} {int(i) + 1} / {steps}")
 
+        from cremage_tpu.models.cascade import StageB as _StageB
+
         def run(params, x, c_ctx, uc_ctx, c_vec, uc_vec, concat, key):
             def eps_model(xx, tt, cond):
                 ctx, vec = cond
-                if concat is not None:
-                    cc = concat
-                    if cc.shape[0] != xx.shape[0]:
-                        cc = jnp.concatenate([cc] * (xx.shape[0] // cc.shape[0]))
+                cc = concat
+                if cc is not None and cc.shape[0] != xx.shape[0]:
+                    cc = jnp.concatenate([cc] * (xx.shape[0] // cc.shape[0]))
+                if isinstance(model, _StageB):
+                    # real Würstchen Stage B: effnet latent + pooled text
+                    return model.apply(params, xx, tt, cc, vec)
+                if cc is not None:   # UNet stand-in: channel concat
                     xx = jnp.concatenate([xx, cc.astype(xx.dtype)], axis=-1)
                 return model.apply(params, xx, tt, ctx, vec)
 
@@ -158,7 +165,7 @@ class CascadePipeline:
             x = noise_like(jax.random.fold_in(key, 2),
                            (bsz, hb, wb, 4)) * float(sig_b[0])
             status_cb("Stage B")
-            b_lat = fn_b(b.stage_b_params, x, ctx, nctx, None, None, c_up,
+            b_lat = fn_b(b.stage_b_params, x, ctx, nctx, vec, nvec, c_up,
                          jax.random.fold_in(key, 2))
 
             status_cb("Stage A decode")

@@ -182,6 +182,34 @@ def test_cascade_txt2img():
     assert img.shape == (64, 64, 3) and np.isfinite(img).all()
 
 
+def test_cascade_real_wuerstchen_cores_end_to_end():
+    """Full pipeline through the real Würstchen block anatomy (depthwise
+    ResBlock + GRN, timestep gates, added-KV attention)."""
+    from cremage_tpu.models.cascade import (
+        StageB, StageBConfig, StageC, StageCConfig,
+    )
+
+    sc = StageC(StageCConfig(c_hidden=(32, 64), blocks=(1, 1), num_heads=4,
+                             c_cond=32, clip_text_dim=TD,
+                             clip_text_pooled_dim=TD, dtype=jnp.float32))
+    scp = sc.init(jax.random.key(0), jnp.zeros((1, 2, 2, 16)),
+                  jnp.zeros((1,)), jnp.zeros((1, 7, TD)), jnp.zeros((1, TD)))
+    sb = StageB(StageBConfig(c_hidden=(16, 32), blocks=(1, 1), num_heads=4,
+                             c_cond=32, clip_text_pooled_dim=TD,
+                             attn_levels=(1,), dtype=jnp.float32))
+    sbp = sb.init(jax.random.key(1), jnp.zeros((1, 8, 8, 4)),
+                  jnp.zeros((1,)), jnp.zeros((1, 8, 8, 16)),
+                  jnp.zeros((1, TD)))
+    vae, vp = tiny_vae()
+    bundle = CascadeBundle(stage_c=sc, stage_c_params=scp, stage_b=sb,
+                           stage_b_params=sbp, vqgan=vae, vqgan_params=vp,
+                           text_encode=fake_text_encode,
+                           c_compression=32, b_compression=8)
+    pipe = CascadePipeline(bundle)
+    img, _ = pipe.generate(opts())[0]
+    assert img.shape == (64, 64, 3) and np.isfinite(img).all()
+
+
 # ---------------- Hunyuan ----------------------------------------------------
 
 def test_hunyuan_txt2img():
