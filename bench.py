@@ -84,7 +84,10 @@ def bench_sdxl():
         x = jax.random.normal(key, (batch, h, w, 4), jnp.float32)
         lat = EDM.run_sgm_sampler("EulerEDMSampler", denoise, x, sigmas,
                                   key=key)
-        return decode_from_latent(vae, vae_params, lat.astype(jnp.bfloat16))
+        img = decode_from_latent(vae, vae_params, lat.astype(jnp.bfloat16))
+        # uint8 on device — see the SD1.5 lane note on tunnel transfer
+        return jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5 + 0.5,
+                        0, 255).astype(jnp.uint8)
 
     t0 = time.perf_counter()
     np.asarray(generate(params, vae_params, c, uc, jax.random.key(0)))
@@ -146,7 +149,11 @@ def main():
         x0 = jax.random.normal(key, (batch, h, w, 4), jnp.float32) * float(sigmas[0])
         lat = K.sample_euler_ancestral(cfg_fn, x0, sigmas, key=key)
         img = decode_from_latent(vae, vae_params, lat.astype(jnp.bfloat16))
-        return img
+        # quantize to uint8 ON DEVICE: the serving path ships 8-bit
+        # images, and the measured device->host link moves ~23 MB/s, so
+        # pulling fp32 pixels would bill ~200 ms/batch of pure transfer
+        return jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5 + 0.5,
+                        0, 255).astype(jnp.uint8)
 
     # warmup/compile (force full execution via host transfer)
     t0 = time.perf_counter()
