@@ -241,3 +241,23 @@ def test_img2img_low_strength_stays_close(bundle):
         return np.abs(img - rt01).mean()
 
     assert dist(0.2) < dist(0.95)
+
+
+def test_hires_fix_lanczos_upscaler(bundle):
+    """Hires fix with the image-space Lanczos upscaler (the reference's
+    non-latent upscaler menu entry): base render -> lanczos upscale ->
+    img2img refinement at the target size."""
+    pipe = SD15Pipeline(bundle)
+    opts = base_opts(use_hires_fix=True, hires_fix_scale_factor=2.0,
+                     hires_fix_upscaler="Lanczos", strength=0.4)
+    img, _ = pipe.generate(opts)[0]
+    assert img.shape == (128, 128, 3)
+    assert np.isfinite(img).all()
+
+
+def test_clip_skip_changes_generation(bundle):
+    """clip_skip must reach the text encoder and change the image."""
+    pipe = SD15Pipeline(bundle)
+    a = pipe.generate(base_opts(clip_skip=1))[0][0]
+    b = pipe.generate(base_opts(clip_skip=2))[0][0]
+    assert np.abs(a - b).max() > 1e-5
