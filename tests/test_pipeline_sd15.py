@@ -261,3 +261,26 @@ def test_clip_skip_changes_generation(bundle):
     a = pipe.generate(base_opts(clip_skip=1))[0][0]
     b = pipe.generate(base_opts(clip_skip=2))[0][0]
     assert np.abs(a - b).max() > 1e-5
+
+
+def test_textual_inversion_end_to_end(tmp_path):
+    """<embedding:file> in the prompt must load the TI vector from
+    embedding_dir and change the conditioning (reference A1111-style
+    embeddings through the chunking layer)."""
+    from safetensors.numpy import save_file
+
+    b = make_bundle()
+    vec = np.random.RandomState(9).randn(2, HID).astype(np.float32)
+    save_file({"emb_params": vec}, str(tmp_path / "myti.safetensors"))
+
+    te = TextEncoder(b.text.model, b.text.params, b.text.tokenizer,
+                     embedding_dir=str(tmp_path))
+    b2 = dataclasses.replace(b, text=te)
+    pipe_ti = SD15Pipeline(b2)
+    pipe_plain = SD15Pipeline(b)
+
+    a = pipe_ti.generate(base_opts(
+        prompt="a <embedding:myti.safetensors> cat"))[0][0]
+    c = pipe_plain.generate(base_opts(prompt="a cat"))[0][0]
+    assert np.isfinite(a).all()
+    assert np.abs(a - c).max() > 1e-5
