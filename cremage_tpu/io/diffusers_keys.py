@@ -273,6 +273,25 @@ def kandinsky_decoder_from_diffusers(
     return body, cond
 
 
+def movq_decoder_from_diffusers(
+    sd: Mapping[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """diffusers VQModel (norm_type='spatial', Kandinsky MoVQ) ->
+    models/vq.py MoVQDecoder (+ 'quantize.embedding' codebook /
+    'post_quant_conv' passthrough). Decoder module names flatten to the
+    diffusers decoder.* strings, so this is a prefix strip plus the
+    to_out.0 attention leaf."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("decoder."):
+            out[k[len("decoder."):]] = np.asarray(v)
+        elif k == "quantize.embedding.weight":
+            out["quantize.embedding"] = np.asarray(v)
+        elif k.startswith("post_quant_conv."):
+            out[k] = np.asarray(v)
+    return out
+
+
 def hunyuan_from_diffusers(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """diffusers HunyuanDiT2DModel state dict -> our HunyuanDiT layout
     (models/hunyuan.py; the reference consumes this checkpoint through

@@ -57,3 +57,129 @@ def jax_stop_grad(x):
     import jax
 
     return jax.lax.stop_gradient(x)
+
+
+# ---------------------------------------------------------------------------
+# MoVQ decoder (Kandinsky 2.2's VQ image decoder)
+# ---------------------------------------------------------------------------
+
+class SpatialNorm(nn.Module):
+    """MoVQ spatially-modulated normalization (diffusers SpatialNorm):
+    GroupNorm(f) * conv_y(resize(zq)) + conv_b(resize(zq)) — the decoder
+    re-injects the quantized latent at every norm site."""
+
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, f, zq):
+        from cremage_tpu.models.layers import Conv, GroupNorm
+
+        b, h, w, _ = f.shape
+        zh = zq.shape[1]
+        if zh != h:
+            scale = h // zh
+            bb, eh, ew, ec = zq.shape
+            zq = jnp.broadcast_to(
+                zq[:, :, None, :, None, :], (bb, eh, scale, ew, scale, ec)
+            ).reshape(bb, eh * scale, ew * scale, ec)
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        normed = GroupNorm(32, name="norm_layer")(f)
+        y = Conv(f.shape[-1], kernel_size=1, padding=0, name="conv_y",
+                 **dd)(zq.astype(self.dtype))
+        bconv = Conv(f.shape[-1], kernel_size=1, padding=0, name="conv_b",
+                     **dd)(zq.astype(self.dtype))
+        return normed.astype(self.dtype) * y + bconv
+
+
+class _MoVQResBlock(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, zq):
+        from cremage_tpu.models.layers import Conv, silu
+
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        cin = x.shape[-1]
+        h = SpatialNorm(name="norm1", **dd)(x, zq)
+        h = Conv(self.out_channels, kernel_size=3, name="conv1", **dd)(
+            silu(h))
+        h = SpatialNorm(name="norm2", **dd)(h, zq)
+        h = Conv(self.out_channels, kernel_size=3, name="conv2", **dd)(
+            silu(h))
+        if cin != self.out_channels:
+            x = Conv(self.out_channels, kernel_size=1, padding=0,
+                     name="conv_shortcut", **dd)(x)
+        return x + h
+
+
+class _MoVQAttn(nn.Module):
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, zq):
+        from cremage_tpu.models.layers import Dense
+        from cremage_tpu.ops.attention import attention
+
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        b, hh, ww, c = x.shape
+        h = SpatialNorm(name="spatial_norm", **dd)(x, zq)
+        t = h.reshape(b, hh * ww, c)
+        q = Dense(c, name="to_q", **dd)(t).reshape(b, hh * ww, 1, c)
+        k = Dense(c, name="to_k", **dd)(t).reshape(b, hh * ww, 1, c)
+        v = Dense(c, name="to_v", **dd)(t).reshape(b, hh * ww, 1, c)
+        a = attention(q, k, v).reshape(b, hh * ww, c)
+        out = Dense(c, name="to_out_0", **dd)(a)
+        return x + out.reshape(b, hh, ww, c)
+
+
+@dataclasses.dataclass(frozen=True)
+class MoVQConfig:
+    latent_channels: int = 4
+    out_channels: int = 3
+    block_out_channels: tuple = (128, 256, 256, 512)
+    layers_per_block: int = 2
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+
+class MoVQDecoder(nn.Module):
+    """Kandinsky 2.2 MoVQ decoder (diffusers VQModel with
+    norm_type='spatial'); module names flatten to the diffusers
+    decoder.* key strings (reference downloads this inside the
+    kandinsky decoder pipeline, modules/kandinsky/txt2img.py)."""
+
+    cfg: MoVQConfig
+
+    @nn.compact
+    def __call__(self, zq):
+        from cremage_tpu.models.layers import Conv, silu
+
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        boc = cfg.block_out_channels
+        h = Conv(boc[-1], kernel_size=3, name="conv_in", **dd)(
+            zq.astype(cfg.dtype))
+        h = _MoVQResBlock(boc[-1], name="mid_block_resnets_0", **dd)(h, zq)
+        h = _MoVQAttn(name="mid_block_attentions_0", **dd)(h, zq)
+        h = _MoVQResBlock(boc[-1], name="mid_block_resnets_1", **dd)(h, zq)
+        n = len(boc)
+        for pos, lv in enumerate(reversed(range(n))):
+            for i in range(cfg.layers_per_block + 1):
+                h = _MoVQResBlock(
+                    boc[lv], name=f"up_blocks_{pos}_resnets_{i}", **dd,
+                )(h, zq)
+            if lv != 0:
+                bb, hh2, ww2, cc = h.shape
+                h = jnp.broadcast_to(
+                    h[:, :, None, :, None, :], (bb, hh2, 2, ww2, 2, cc)
+                ).reshape(bb, hh2 * 2, ww2 * 2, cc)
+                h = Conv(cc, kernel_size=3,
+                         name=f"up_blocks_{pos}_upsamplers_0_conv", **dd)(h)
+        h = SpatialNorm(name="conv_norm_out", **dd)(h, zq)
+        h = Conv(cfg.out_channels, kernel_size=3, name="conv_out",
+                 dtype=jnp.float32, param_dtype=cfg.param_dtype)(silu(h))
+        return h

@@ -649,3 +649,26 @@ def load_hunyuan_dit(
                                         dtype=policy.param_dtype,
                                         strict=False)
     return model, {"params": params}
+
+
+def load_movq_decoder(
+    movq_ckpt: str,
+    policy: DTypePolicy = DEFAULT_POLICY,
+):
+    """Kandinsky 2.2 MoVQ file -> (MoVQDecoder, params, codebook).
+    The codebook ('quantize.embedding') is returned for index-decoding;
+    the latent pathway feeds the continuous z directly."""
+    from cremage_tpu.io.diffusers_keys import movq_decoder_from_diffusers
+    from cremage_tpu.models.vq import MoVQConfig, MoVQDecoder
+
+    sd = movq_decoder_from_diffusers(CK.load_state_dict(movq_ckpt))
+    codebook = sd.pop("quantize.embedding", None)
+    sd = {k: v for k, v in sd.items()
+          if not k.startswith("post_quant_conv.")}
+    dec = MoVQDecoder(MoVQConfig(dtype=policy.compute_dtype,
+                                 param_dtype=policy.param_dtype))
+    tmpl = _template(dec, jnp.zeros((1, 8, 8, 4), policy.compute_dtype))
+    params, _, _ = CK.build_flax_params(tmpl, sd, prefix="",
+                                        dtype=policy.param_dtype,
+                                        strict=False)
+    return dec, {"params": params}, codebook

@@ -73,3 +73,4 @@ def test_loader_signatures_importable():
     assert callable(L.load_kandinsky_prior)
     assert callable(L.load_kandinsky_decoder)
     assert callable(L.load_hunyuan_dit)
+    assert callable(L.load_movq_decoder)

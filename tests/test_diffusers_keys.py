@@ -575,3 +575,77 @@ def test_hunyuan_from_diffusers_loads_and_runs():
     qkv = np.asarray(params["blocks_0"]["attn1_qkv"]["weight"])  # (in,3c)
     np.testing.assert_allclose(qkv[:, :32],
                                sd["blocks.0.attn1.to_q.weight"].T)
+
+
+# ---------------- MoVQ decoder (Kandinsky stage A) ----------------------------
+
+def synth_diffusers_movq(boc=(32, 64), lpb=1, z=4, out_ch=3):
+    rng = np.random.RandomState(13)
+    sd = {}
+
+    def conv(name, i, o, k=3):
+        sd[name + ".weight"] = rng.randn(o, i, k, k).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def lin(name, i, o):
+        sd[name + ".weight"] = rng.randn(o, i).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def spatial(prefix, c):
+        sd[prefix + ".norm_layer.weight"] = rng.randn(c).astype(np.float32)
+        sd[prefix + ".norm_layer.bias"] = rng.randn(c).astype(np.float32)
+        conv(prefix + ".conv_y", z, c, k=1)
+        conv(prefix + ".conv_b", z, c, k=1)
+
+    def resnet(prefix, cin, cout):
+        spatial(prefix + ".norm1", cin)
+        conv(prefix + ".conv1", cin, cout)
+        spatial(prefix + ".norm2", cout)
+        conv(prefix + ".conv2", cout, cout)
+        if cin != cout:
+            conv(prefix + ".conv_shortcut", cin, cout, k=1)
+
+    conv("decoder.conv_in", z, boc[-1])
+    resnet("decoder.mid_block.resnets.0", boc[-1], boc[-1])
+    spatial("decoder.mid_block.attentions.0.spatial_norm", boc[-1])
+    for nm in ("to_q", "to_k", "to_v"):
+        lin(f"decoder.mid_block.attentions.0.{nm}", boc[-1], boc[-1])
+    lin("decoder.mid_block.attentions.0.to_out.0", boc[-1], boc[-1])
+    resnet("decoder.mid_block.resnets.1", boc[-1], boc[-1])
+    n = len(boc)
+    cur = boc[-1]
+    for pos, lv in enumerate(reversed(range(n))):
+        for i in range(lpb + 1):
+            resnet(f"decoder.up_blocks.{pos}.resnets.{i}", cur, boc[lv])
+            cur = boc[lv]
+        if lv != 0:
+            conv(f"decoder.up_blocks.{pos}.upsamplers.0.conv", cur, cur)
+    spatial("decoder.conv_norm_out", boc[0])
+    conv("decoder.conv_out", boc[0], out_ch)
+    sd["quantize.embedding.weight"] = rng.randn(16, z).astype(np.float32)
+    conv("post_quant_conv", z, z, k=1)
+    return sd
+
+
+def test_movq_decoder_from_diffusers_loads_and_runs():
+    from cremage_tpu.io.diffusers_keys import movq_decoder_from_diffusers
+    from cremage_tpu.models.vq import MoVQConfig, MoVQDecoder
+
+    sd = synth_diffusers_movq()
+    converted = movq_decoder_from_diffusers(sd)
+    codebook = converted.pop("quantize.embedding")
+    assert codebook.shape == (16, 4)
+    converted = {k: v for k, v in converted.items()
+                 if not k.startswith("post_quant_conv.")}
+
+    cfg = MoVQConfig(block_out_channels=(32, 64), layers_per_block=1,
+                     dtype=jnp.float32)
+    dec = MoVQDecoder(cfg)
+    tmpl = jax.eval_shape(dec.init, jax.random.key(0),
+                          jnp.zeros((1, 8, 8, 4)))["params"]
+    params, missing, unused = CK.build_flax_params(tmpl, converted, prefix="")
+    assert not missing, missing[:5]
+    assert not unused, unused[:5]
+    out = dec.apply({"params": params}, jnp.ones((1, 8, 8, 4)) * 0.2)
+    assert out.shape == (1, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
