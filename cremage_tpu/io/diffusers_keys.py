@@ -273,6 +273,63 @@ def kandinsky_decoder_from_diffusers(
     return body, cond
 
 
+def cascade_unet_from_diffusers(
+    sd: Mapping[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """diffusers StableCascadeUNet (Stage C or B) -> models/cascade.py
+    StageC/StageB layout.
+
+    The leaf names match by construction (depthwise.*, channelwise.0/2/4,
+    mapper/mapper_<cond>, kv_mapper.1, attention.to_{q,k,v}/to_out.0,
+    embedding.1, clip_*_mapper, clf.1, down/up scaler convs). The only
+    structural difference: diffusers stores each level as ONE flat list
+    of mixed block types (down_blocks.{lv}.{j}) while we group them as
+    (res, time, attn) triples (down_blocks.{lv}.{i}._{role}). Blocks are
+    classified by their leaves (depthwise -> res, mapper -> time,
+    kv_mapper/attention -> attn) and renumbered per level in encounter
+    order — a new group starts at each res block, so levels without
+    attention (Stage B's narrow levels) renumber correctly too.
+    """
+    out: Dict[str, np.ndarray] = {}
+    # collect per-(side, level) the flat block indices and their keys
+    blocks: Dict[tuple, Dict[int, Dict[str, np.ndarray]]] = {}
+    for k, v in sd.items():
+        m = re.match(r"^(down_blocks|up_blocks)\.(\d+)\.(\d+)\.(.+)$", k)
+        if m:
+            side, lv, j, rest = (m.group(1), int(m.group(2)),
+                                 int(m.group(3)), m.group(4))
+            blocks.setdefault((side, lv), {}).setdefault(j, {})[rest] = v
+            continue
+        m = re.match(r"^(down_downscalers|up_upscalers)\.(\d+)\.(.+)$", k)
+        if m:
+            side = ("downscalers" if m.group(1).startswith("down")
+                    else "upscalers")
+            out[f"{side}.{m.group(2)}.{m.group(3)}"] = np.asarray(v)
+            continue
+        # embedding.1 / clf.1 / clip_*_mapper / effnet mappers: verbatim
+        out[k] = np.asarray(v)
+
+    def role_of(leaves) -> str:
+        if any(l.startswith("depthwise") or l.startswith("channelwise")
+               for l in leaves):
+            return "res"
+        if any(l.startswith("mapper") for l in leaves):
+            return "time"
+        return "attn"
+
+    for (side, lv), jmap in blocks.items():
+        group = -1
+        for j in sorted(jmap):
+            leaves = jmap[j]
+            role = role_of(leaves)
+            if role == "res":
+                group += 1
+            for leaf, v in leaves.items():
+                out[f"{side}.{lv}.{max(group, 0)}.{role}.{leaf}"] = \
+                    np.asarray(v)
+    return out
+
+
 def movq_decoder_from_diffusers(
     sd: Mapping[str, np.ndarray],
 ) -> Dict[str, np.ndarray]:

@@ -672,3 +672,28 @@ def load_movq_decoder(
                                         dtype=policy.param_dtype,
                                         strict=False)
     return dec, {"params": params}, codebook
+
+
+def load_cascade_stage_c(
+    ckpt: str,
+    policy: DTypePolicy = DEFAULT_POLICY,
+):
+    """Stable Cascade Stage C diffusers file -> (StageC, params)
+    (reference modules/stable_cascade/txt2img.py StableCascadePrior
+    Pipeline)."""
+    from cremage_tpu.io.diffusers_keys import cascade_unet_from_diffusers
+    from cremage_tpu.models.cascade import StageC, StageCConfig
+
+    sd = cascade_unet_from_diffusers(CK.load_state_dict(ckpt))
+    model = StageC(StageCConfig(dtype=policy.compute_dtype,
+                                param_dtype=policy.param_dtype))
+    tmpl = _template(
+        model, jnp.zeros((1, 24, 24, 16), policy.compute_dtype),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 77, 1280), policy.compute_dtype),
+        jnp.zeros((1, 1280), policy.compute_dtype),
+    )
+    params, _, _ = CK.build_flax_params(tmpl, sd, prefix="",
+                                        dtype=policy.param_dtype,
+                                        strict=False)
+    return model, {"params": params}

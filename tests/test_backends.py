@@ -74,3 +74,4 @@ def test_loader_signatures_importable():
     assert callable(L.load_kandinsky_decoder)
     assert callable(L.load_hunyuan_dit)
     assert callable(L.load_movq_decoder)
+    assert callable(L.load_cascade_stage_c)

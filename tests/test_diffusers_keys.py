@@ -649,3 +649,84 @@ def test_movq_decoder_from_diffusers_loads_and_runs():
     out = dec.apply({"params": params}, jnp.ones((1, 8, 8, 4)) * 0.2)
     assert out.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------- Stable Cascade (Würstchen) ----------------------------------
+
+def synth_diffusers_cascade_c(ch=(32, 64), c_cond=32, c_r=64, txt=16):
+    """Tiny diffusers StableCascadeUNet-layout dict for Stage C: flat
+    per-level block lists (res, time, attn), sequential scalers."""
+    rng = np.random.RandomState(17)
+    sd = {}
+
+    def lin(name, i, o):
+        sd[name + ".weight"] = rng.randn(o, i).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def conv(name, i, o, k=1):
+        sd[name + ".weight"] = rng.randn(o, i, k, k).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def res(prefix, c, skip=0):
+        sd[prefix + ".depthwise.weight"] = rng.randn(c, 1, 3, 3).astype(np.float32)
+        sd[prefix + ".depthwise.bias"] = rng.randn(c).astype(np.float32)
+        lin(prefix + ".channelwise.0", c + skip, 4 * c)
+        sd[prefix + ".channelwise.2.gamma"] = rng.randn(1, 1, 1, 4 * c).astype(np.float32)
+        sd[prefix + ".channelwise.2.beta"] = rng.randn(1, 1, 1, 4 * c).astype(np.float32)
+        lin(prefix + ".channelwise.4", 4 * c, c)
+
+    def tstep(prefix, c):
+        for nm in ("mapper", "mapper_sca", "mapper_crp"):
+            lin(f"{prefix}.{nm}", c_r, 2 * c)
+
+    def attn(prefix, c):
+        lin(prefix + ".kv_mapper.1", c_cond, c)
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(f"{prefix}.attention.{nm}", c, c)
+        lin(prefix + ".attention.to_out.0", c, c)
+
+    conv("embedding.1", 16, ch[0])
+    lin("clip_txt_mapper", txt, c_cond)
+    lin("clip_txt_pooled_mapper", txt, 4 * c_cond)
+    for lv, c in enumerate(ch):
+        res(f"down_blocks.{lv}.0", c)
+        tstep(f"down_blocks.{lv}.1", c)
+        attn(f"down_blocks.{lv}.2", c)
+    conv("down_downscalers.1.1", ch[0], ch[1], k=2)
+    for pos, lv in enumerate(reversed(range(len(ch)))):
+        c = ch[lv]
+        res(f"up_blocks.{pos}.0", c, skip=c if pos > 0 else 0)
+        tstep(f"up_blocks.{pos}.1", c)
+        attn(f"up_blocks.{pos}.2", c)
+    conv("up_upscalers.0.1", ch[1], ch[0], k=1)
+    conv("clf.1", ch[0], 16)
+    return sd
+
+
+def test_cascade_unet_from_diffusers_loads_and_runs():
+    from cremage_tpu.io.diffusers_keys import cascade_unet_from_diffusers
+    from cremage_tpu.models.cascade import StageC, StageCConfig
+
+    sd = synth_diffusers_cascade_c()
+    converted = cascade_unet_from_diffusers(sd)
+    # block renumbering: flat j=0/1/2 -> group 0 roles
+    assert "down_blocks.0.0.res.depthwise.weight" in converted
+    assert "down_blocks.0.0.time.mapper.weight" in converted
+    assert "down_blocks.0.0.attn.kv_mapper.1.weight" in converted
+
+    cfg = StageCConfig(c_hidden=(32, 64), blocks=(1, 1), num_heads=4,
+                       c_cond=32, clip_text_dim=16,
+                       clip_text_pooled_dim=16, dtype=jnp.float32)
+    model = StageC(cfg)
+    tmpl = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 4, 4, 16)),
+        jnp.zeros((1,)), jnp.zeros((1, 7, 16)), jnp.zeros((1, 16)),
+    )["params"]
+    params, missing, unused = CK.build_flax_params(tmpl, converted, prefix="")
+    assert not missing, missing[:5]
+    assert not unused, unused[:5]
+    out = model.apply({"params": params}, jnp.ones((1, 4, 4, 16)) * 0.1,
+                      jnp.full((1,), 0.5), jnp.ones((1, 7, 16)) * 0.1,
+                      jnp.ones((1, 16)) * 0.1)
+    assert out.shape == (1, 4, 4, 16)
+    assert np.isfinite(np.asarray(out)).all()
