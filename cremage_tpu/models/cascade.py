@@ -289,7 +289,7 @@ class StageB(nn.Module):
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         b = x.shape[0]
 
-        pooled = Dense(4 * cfg.c_cond, name="clip_mapper", **dd)(
+        pooled = Dense(4 * cfg.c_cond, name="clip_txt_pooled_mapper", **dd)(
             clip_text_pooled.astype(cfg.dtype)).reshape(b, 4, cfg.c_cond)
         cond = _channel_ln(pooled)
 

@@ -730,3 +730,75 @@ def test_cascade_unet_from_diffusers_loads_and_runs():
                       jnp.ones((1, 16)) * 0.1)
     assert out.shape == (1, 4, 4, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cascade_stage_b_from_diffusers_loads_and_runs():
+    """Stage B round-trip: narrow levels without attention, effnet
+    channel conditioning, single 'sca' extra cond."""
+    from cremage_tpu.io.diffusers_keys import cascade_unet_from_diffusers
+    from cremage_tpu.models.cascade import StageB, StageBConfig
+
+    rng = np.random.RandomState(19)
+    sd = {}
+    ch, c_cond, c_r, txt = (16, 32), 32, 64, 16
+
+    def lin(name, i, o):
+        sd[name + ".weight"] = rng.randn(o, i).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def conv(name, i, o, k=1):
+        sd[name + ".weight"] = rng.randn(o, i, k, k).astype(np.float32)
+        sd[name + ".bias"] = rng.randn(o).astype(np.float32)
+
+    def res(prefix, c, skip=0):
+        sd[prefix + ".depthwise.weight"] = rng.randn(c, 1, 3, 3).astype(np.float32)
+        sd[prefix + ".depthwise.bias"] = rng.randn(c).astype(np.float32)
+        lin(prefix + ".channelwise.0", c + skip, 4 * c)
+        sd[prefix + ".channelwise.2.gamma"] = rng.randn(1, 1, 1, 4 * c).astype(np.float32)
+        sd[prefix + ".channelwise.2.beta"] = rng.randn(1, 1, 1, 4 * c).astype(np.float32)
+        lin(prefix + ".channelwise.4", 4 * c, c)
+
+    def tstep(prefix, c):
+        for nm in ("mapper", "mapper_sca"):
+            lin(f"{prefix}.{nm}", c_r, 2 * c)
+
+    def attn(prefix, c):
+        lin(prefix + ".kv_mapper.1", c_cond, c)
+        for nm in ("to_q", "to_k", "to_v"):
+            lin(f"{prefix}.attention.{nm}", c, c)
+        lin(prefix + ".attention.to_out.0", c, c)
+
+    conv("embedding.1", 4 + 16, ch[0])   # VQ latent + effnet channels
+    lin("clip_txt_pooled_mapper", txt, 4 * c_cond)
+    # level 0: res + time only (no attention); level 1: res + time + attn
+    res("down_blocks.0.0", ch[0])
+    tstep("down_blocks.0.1", ch[0])
+    res("down_blocks.1.0", ch[1])
+    tstep("down_blocks.1.1", ch[1])
+    attn("down_blocks.1.2", ch[1])
+    conv("down_downscalers.1.1", ch[0], ch[1], k=2)
+    res("up_blocks.0.0", ch[1])
+    tstep("up_blocks.0.1", ch[1])
+    attn("up_blocks.0.2", ch[1])
+    res("up_blocks.1.0", ch[0], skip=ch[0])
+    tstep("up_blocks.1.1", ch[0])
+    conv("up_upscalers.0.1", ch[1], ch[0], k=1)
+    conv("clf.1", ch[0], 4)
+
+    converted = cascade_unet_from_diffusers(sd)
+    cfg = StageBConfig(c_hidden=ch, blocks=(1, 1), num_heads=4,
+                       c_cond=c_cond, clip_text_pooled_dim=txt,
+                       attn_levels=(1,), conds=("sca",), dtype=jnp.float32)
+    model = StageB(cfg)
+    tmpl = jax.eval_shape(
+        model.init, jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,)), jnp.zeros((1, 8, 8, 16)), jnp.zeros((1, txt)),
+    )["params"]
+    params, missing, unused = CK.build_flax_params(tmpl, converted, prefix="")
+    assert not missing, missing[:5]
+    assert not unused, unused[:5]
+    out = model.apply({"params": params}, jnp.ones((1, 8, 8, 4)) * 0.1,
+                      jnp.full((1,), 0.5), jnp.ones((1, 8, 8, 16)) * 0.1,
+                      jnp.ones((1, txt)) * 0.1)
+    assert out.shape == (1, 8, 8, 4)
+    assert np.isfinite(np.asarray(out)).all()
