@@ -278,3 +278,13 @@ def test_expand_prompt():
     out = H.expand_prompt("cat", "pre, ", True, ", post", True)
     assert out == "pre, cat, post"
     assert H.expand_prompt("cat", "pre, ", False, ", post", False) == "cat"
+
+
+def test_score_multiline_word_count():
+    """Reference golden (prompt_score_parser_compute_prompt_score_test
+    test_compute_prompt_score_9): 12 newline-separated 6-word lines plus
+    trailing whitespace flatten to 72 scored words."""
+    text = "\n".join(["Cute puppy on the kitchen counter"] * 12) + \
+        "\n\n        \n        \n        "
+    out = compute_prompt_score(text)
+    assert len(out) == 72
