@@ -1,27 +1,36 @@
-"""Benchmark: SD1.5 512x512 20-step Euler-a txt2img throughput per chip.
+"""Benchmarks: one JSON line per lane, all lanes by default.
 
-Prints one JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Lanes (BASELINE.json driver metric):
+  sd15  SD1.5 512^2 20-step Euler-a txt2img      images/s/chip
+  sdxl  SDXL 1024^2 30-step EulerEDM txt2img     images/s/chip
+  svd   SVD 14-frame 576x1024 25-step img2vid    frames/s/chip
 
-Baseline anchor (BASELINE.md): the reference publishes no SD1.5/SDXL
-throughput numbers; its best published single-image rate is FLUX on a
-4090 at ~0.125 img/s. The driver metric is images/sec/chip; vs_baseline
-is computed against 0.125 img/s until a measured CUDA reference lands.
+Each line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Notes for the axon-tunneled chip: compiles are slow (~30-70s each) and
-block_until_ready does not reliably block, so params are built host-side
-(no init compile) and timing forces device->host transfers.
+vs_baseline anchors (BASELINE.md): the reference publishes no SD1.5/
+SDXL/SVD throughput numbers; its only published rate is FLUX on a 4090
+at ~0.125 img/s.  sd15/svd are anchored to that (the only published
+number — apples-to-oranges, stated here for transparency); sdxl is
+anchored to the north-star 0.25 img/s/chip (2 img/s on v5e-8).
+
+Notes for the axon-tunneled chip: compiles are slow (~30s-8min each)
+and block_until_ready does not reliably block, so params are built
+host-side (no init compile) and timing forces device->host transfers
+(np.asarray).  Select lanes with BENCH_LANES=sd15,sdxl,svd (also
+accepts legacy BENCH_MODEL=sdxl).
 """
 import json
 import os
 import time
+import traceback
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 
-BASELINE_IMG_PER_S = 0.125
+FLUX_4090_ANCHOR = 0.125        # img/s — only published reference rate
+SDXL_NORTH_STAR = 0.25          # img/s/chip — 2 img/s on v5e-8
 
 
 def zeros_params(model, *example_args):
@@ -41,77 +50,16 @@ def zeros_params(model, *example_args):
     )
 
 
-def bench_sdxl():
-    """Optional SDXL 1024^2 lane (BENCH_MODEL=sdxl): 30-step EulerEDM with
-    CFG + VAE decode — the BASELINE.json north-star configuration."""
-    from cremage_tpu.core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    from cremage_tpu.models.unet import UNetModel, sdxl_base_unet_config
-    from cremage_tpu.models.vae import (
-        AutoencoderKL, decode_from_latent, sdxl_vae_config,
-    )
-    from cremage_tpu.samplers import edm as EDM
-
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    steps = int(os.environ.get("BENCH_STEPS", "30"))
-    h = w = 128  # 1024/8
-
-    unet = UNetModel(sdxl_base_unet_config())
-    params = zeros_params(
-        unet, jnp.zeros((1, h, w, 4), jnp.bfloat16), jnp.zeros((1,)),
-        jnp.zeros((1, 77, 2048), jnp.bfloat16), jnp.zeros((1, 2816)),
-    )
-    vae = AutoencoderKL(sdxl_vae_config())
-    vae_params = zeros_params(vae, jnp.zeros((1, 512, 512, 3), jnp.bfloat16))
-
-    sigmas = EDM.LegacyDDPMDiscretization()(steps)
-    c = {"crossattn": jax.random.normal(jax.random.key(1),
-                                        (batch, 77, 2048), jnp.bfloat16),
-         "vector": jax.random.normal(jax.random.key(2), (batch, 2816),
-                                     jnp.bfloat16)}
-    uc = jax.tree.map(jnp.zeros_like, c)
-
-    @jax.jit
-    def generate(params, vae_params, c, uc, key):
-        def network(xx, tt, cond):
-            return unet.apply(params, xx, tt, cond["crossattn"],
-                              cond["vector"])
-
-        denoiser = EDM.DiscreteDenoiserSGM(
-            network, EDM.LegacyDDPMDiscretization()(1000, do_append_zero=False))
-        denoise = EDM.vanilla_cfg(denoiser, c, uc, scale=7.0)
-        x = jax.random.normal(key, (batch, h, w, 4), jnp.float32)
-        lat = EDM.run_sgm_sampler("EulerEDMSampler", denoise, x, sigmas,
-                                  key=key)
-        img = decode_from_latent(vae, vae_params, lat.astype(jnp.bfloat16))
-        # uint8 on device — see the SD1.5 lane note on tunnel transfer
-        return jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5 + 0.5,
-                        0, 255).astype(jnp.uint8)
-
-    t0 = time.perf_counter()
-    np.asarray(generate(params, vae_params, c, uc, jax.random.key(0)))
-    compile_s = time.perf_counter() - t0
-    n_rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
-    t0 = time.perf_counter()
-    for i in range(n_rounds):
-        np.asarray(generate(params, vae_params, c, uc, jax.random.key(i + 1)))
-    dt = time.perf_counter() - t0
-    imgs_per_s = batch * n_rounds / dt
+def _emit(metric, value, unit, baseline):
     print(json.dumps({
-        "metric": "sdxl_txt2img_1024_30step_euler_edm_images_per_sec_per_chip",
-        "value": round(imgs_per_s, 4),
-        "unit": "images/s",
-        "vs_baseline": round(imgs_per_s / BASELINE_IMG_PER_S, 2),
-    }))
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 2),
+    }), flush=True)
 
 
-def main():
-    if os.environ.get("BENCH_MODEL", "sd15").lower() == "sdxl":
-        return bench_sdxl()
-    from cremage_tpu.core.cache import enable_compilation_cache
-
-    enable_compilation_cache()
+def bench_sd15():
     from cremage_tpu.models.unet import UNetModel, sd15_unet_config
     from cremage_tpu.models.vae import AutoencoderKL, VAEConfig, decode_from_latent
     from cremage_tpu.samplers import kdiffusion as K
@@ -156,25 +104,179 @@ def main():
                         0, 255).astype(jnp.uint8)
 
     # warmup/compile (force full execution via host transfer)
-    t0 = time.perf_counter()
     np.asarray(generate(params, vae_params, c, uc, jax.random.key(0)))
-    compile_s = time.perf_counter() - t0
 
     n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
     t0 = time.perf_counter()
     for i in range(n_rounds):
-        out = np.asarray(generate(params, vae_params, c, uc, jax.random.key(i + 1)))
+        np.asarray(generate(params, vae_params, c, uc, jax.random.key(i + 1)))
     dt = time.perf_counter() - t0
 
-    imgs_per_s = batch * n_rounds / dt
-    print(json.dumps({
-        "metric": "sd15_txt2img_512_20step_euler_a_images_per_sec_per_chip",
-        "value": round(imgs_per_s, 4),
-        "unit": "images/s",
-        "vs_baseline": round(imgs_per_s / BASELINE_IMG_PER_S, 2),
-    }))
-    # extra context on stderr-ish (still stdout but second line is ignored
-    # by the driver, which reads the first JSON line)
+    _emit("sd15_txt2img_512_20step_euler_a_images_per_sec_per_chip",
+          batch * n_rounds / dt, "images/s", FLUX_4090_ANCHOR)
+
+
+def bench_sdxl():
+    """SDXL 1024^2 30-step EulerEDM with CFG + VAE decode — the
+    BASELINE.json north-star configuration."""
+    from cremage_tpu.models.unet import UNetModel, sdxl_base_unet_config
+    from cremage_tpu.models.vae import (
+        AutoencoderKL, decode_from_latent, sdxl_vae_config,
+    )
+    from cremage_tpu.samplers import edm as EDM
+
+    batch = int(os.environ.get("BENCH_BATCH_SDXL", "1"))
+    steps = int(os.environ.get("BENCH_STEPS_SDXL", "30"))
+    h = w = 128  # 1024/8
+
+    unet = UNetModel(sdxl_base_unet_config())
+    params = zeros_params(
+        unet, jnp.zeros((1, h, w, 4), jnp.bfloat16), jnp.zeros((1,)),
+        jnp.zeros((1, 77, 2048), jnp.bfloat16), jnp.zeros((1, 2816)),
+    )
+    vae = AutoencoderKL(sdxl_vae_config())
+    vae_params = zeros_params(vae, jnp.zeros((1, 512, 512, 3), jnp.bfloat16))
+
+    sigmas = EDM.LegacyDDPMDiscretization()(steps)
+    c = {"crossattn": jax.random.normal(jax.random.key(1),
+                                        (batch, 77, 2048), jnp.bfloat16),
+         "vector": jax.random.normal(jax.random.key(2), (batch, 2816),
+                                     jnp.bfloat16)}
+    uc = jax.tree.map(jnp.zeros_like, c)
+
+    @jax.jit
+    def generate(params, vae_params, c, uc, key):
+        def network(xx, tt, cond):
+            return unet.apply(params, xx, tt, cond["crossattn"],
+                              cond["vector"])
+
+        denoiser = EDM.DiscreteDenoiserSGM(
+            network, EDM.LegacyDDPMDiscretization()(1000, do_append_zero=False))
+        denoise = EDM.vanilla_cfg(denoiser, c, uc, scale=7.0)
+        x = jax.random.normal(key, (batch, h, w, 4), jnp.float32)
+        lat = EDM.run_sgm_sampler("EulerEDMSampler", denoise, x, sigmas,
+                                  key=key)
+        img = decode_from_latent(vae, vae_params, lat.astype(jnp.bfloat16))
+        return jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5 + 0.5,
+                        0, 255).astype(jnp.uint8)
+
+    np.asarray(generate(params, vae_params, c, uc, jax.random.key(0)))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS_SDXL", "2"))
+    t0 = time.perf_counter()
+    for i in range(n_rounds):
+        np.asarray(generate(params, vae_params, c, uc, jax.random.key(i + 1)))
+    dt = time.perf_counter() - t0
+
+    _emit("sdxl_txt2img_1024_30step_euler_edm_images_per_sec_per_chip",
+          batch * n_rounds / dt, "images/s", SDXL_NORTH_STAR)
+
+
+def bench_svd():
+    """SVD img2vid: 14 frames at 576x1024 (the model's native video
+    resolution), 25-step EulerEDM with the LinearPredictionGuider —
+    reference tool defaults (`tools/video_generator.py`)."""
+    from cremage_tpu.models.video_unet import VideoUNet, svd_unet_config
+    from cremage_tpu.models.vae import (
+        AutoencoderKL, VAEConfig, decode_from_latent,
+    )
+    from cremage_tpu.samplers import edm as EDM
+
+    frames = int(os.environ.get("BENCH_FRAMES", "14"))
+    steps = int(os.environ.get("BENCH_STEPS_SVD", "25"))
+    h, w = (int(s) for s in
+            os.environ.get("BENCH_SVD_HW", "72x128").split("x"))  # 576x1024/8
+
+    unet = VideoUNet(svd_unet_config(), num_frames=frames)
+    x1 = jnp.zeros((frames, h, w, 8), jnp.bfloat16)
+    t1 = jnp.zeros((frames,), jnp.float32)
+    c1 = jnp.zeros((frames, 1, 1024), jnp.bfloat16)
+    v1 = jnp.zeros((frames, 768), jnp.float32)
+    params = zeros_params(unet, x1, t1, c1, v1)
+    vae = AutoencoderKL(VAEConfig())
+    vae_params = zeros_params(vae, jnp.zeros((1, 64, 64, 3), jnp.bfloat16))
+
+    sigmas = EDM.EDMDiscretization(0.002, 700.0, 7.0)(steps)
+    ctx = jax.random.normal(jax.random.key(1), (frames, 1, 1024), jnp.bfloat16)
+    vector = jax.random.normal(jax.random.key(2), (frames, 768), jnp.float32)
+    concat = jax.random.normal(jax.random.key(3), (frames, h, w, 4),
+                               jnp.float32)
+
+    @jax.jit
+    def generate(params, vae_params, ctx, vector, concat, key):
+        def network(xx, c_noise, cond):
+            xin = jnp.concatenate([xx, cond["concat"].astype(xx.dtype)],
+                                  axis=-1)
+            return unet.apply(params, xin, c_noise, cond["crossattn"],
+                              cond["vector"])
+
+        def denoiser(xx, sigma, cond):
+            sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32),
+                                     (xx.shape[0],))
+            s = sigma.reshape(-1, 1, 1, 1)
+            c_skip = 1.0 / (s**2 + 1.0)
+            c_out = -s / jnp.sqrt(s**2 + 1.0)
+            c_in = 1.0 / jnp.sqrt(s**2 + 1.0)
+            v = network(xx * c_in, 0.25 * jnp.log(sigma), cond)
+            return v.astype(jnp.float32) * c_out + xx * c_skip
+
+        c = {"crossattn": ctx, "vector": vector, "concat": concat}
+        uc = {"crossattn": jnp.zeros_like(ctx), "vector": vector,
+              "concat": jnp.zeros_like(concat)}
+        denoise = EDM.linear_prediction_guider(
+            denoiser, c, uc, scale=2.5, num_frames=frames,
+            min_scale=1.0, max_scale=2.5)
+        x = jax.random.normal(key, (frames, h, w, 4), jnp.float32)
+        lat = EDM.run_sgm_sampler("EulerEDMSampler", denoise,
+                                  x * float(sigmas[0]), sigmas, key=key)
+
+        # decode one frame per step (lax.map) — batch-14 1024x576 decode
+        # would hold multi-GB activations
+        def decode_one(z):
+            img = decode_from_latent(vae, vae_params,
+                                     z[None].astype(jnp.bfloat16))
+            return jnp.clip((img[0].astype(jnp.float32) + 1.0) * 127.5 + 0.5,
+                            0, 255).astype(jnp.uint8)
+
+        return jax.lax.map(decode_one, lat)
+
+    np.asarray(generate(params, vae_params, ctx, vector, concat,
+                        jax.random.key(0)))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS_SVD", "1"))
+    t0 = time.perf_counter()
+    for i in range(n_rounds):
+        np.asarray(generate(params, vae_params, ctx, vector, concat,
+                            jax.random.key(i + 1)))
+    dt = time.perf_counter() - t0
+
+    _emit("svd_img2vid_576x1024_14frame_25step_frames_per_sec_per_chip",
+          frames * n_rounds / dt, "frames/s", FLUX_4090_ANCHOR)
+
+
+LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd}
+
+
+def main():
+    lanes = os.environ.get("BENCH_LANES",
+                           os.environ.get("BENCH_MODEL", "sd15,sdxl,svd"))
+    names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
+    if len(names) == 1:
+        from cremage_tpu.core.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        try:
+            LANES[names[0]]()
+        except Exception:
+            traceback.print_exc()
+        return
+    # one subprocess per lane: each model's params fill most of HBM, so
+    # lanes must start from a clean device (and a crashing lane must not
+    # take down the rest)
+    import subprocess
+    import sys
+
+    for name in names:
+        env = dict(os.environ, BENCH_LANES=name)
+        subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
 
 
 if __name__ == "__main__":

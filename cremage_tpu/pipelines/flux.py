@@ -24,6 +24,7 @@ from cremage_tpu.models.flux import (
 )
 from cremage_tpu.models.t5 import T5Encoder
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
 from cremage_tpu.samplers import flow as F
 from cremage_tpu.services.safety import ImageSafetyChecker
@@ -46,7 +47,7 @@ class FluxConditioner:
         self.clip_l = clip_l
         self.tokenizer = tokenizer
         self.t5 = t5
-        self.t5_tokenize = t5_tokenize
+        self.t5_tokenize = as_t5_tokenize(t5_tokenize, t5_len)
         self.t5_len = t5_len
 
     def encode(self, prompt: str) -> Dict[str, np.ndarray]:

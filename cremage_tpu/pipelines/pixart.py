@@ -57,6 +57,9 @@ def _noop(msg):
 class PixArtPipeline:
     def __init__(self, bundle: PixArtBundle,
                  safety: Optional[ImageSafetyChecker] = None):
+        from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
+
+        bundle.t5_tokenize = as_t5_tokenize(bundle.t5_tokenize, bundle.t5_len)
         self.bundle = bundle
         self.safety = safety or ImageSafetyChecker()
         self._cache: Dict[Tuple, Callable] = {}

@@ -31,6 +31,7 @@ from cremage_tpu.models.t5 import T5Encoder
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
 from cremage_tpu.prompt.chunking import generate_weighted_chunks, make_ti_fetch
 from cremage_tpu.prompt.parser import compute_prompt_score
+from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
 from cremage_tpu.samplers import flow as F
 from cremage_tpu.services.safety import ImageSafetyChecker
@@ -57,7 +58,7 @@ class SD3Conditioner:
         self.open_clip = open_clip
         self.tokenizer = tokenizer
         self.t5 = t5
-        self.t5_tokenize = t5_tokenize
+        self.t5_tokenize = as_t5_tokenize(t5_tokenize, t5_len)
         self.t5_len = t5_len
         self.t5_dim = t5[0].cfg.d_model if t5 else t5_dim
         self.embedding_dir = embedding_dir
