@@ -209,14 +209,42 @@ class ApiServer:
         self.worker.stop()
 
 
+def make_text_safety(model_dir: Optional[str] = None, deny_terms=()):
+    """TextSafetyChecker for the worker's pre-queue prompt gate: the
+    native BERT classifier when a model dir is given (the reference
+    downloads HowToSD/text_prompt_safety_checker), else a deny-list."""
+    from cremage_tpu.services.safety import TextSafetyChecker
+
+    predictor = None
+    if model_dir:
+        from cremage_tpu.services.text_safety_bert import load_bert_predictor
+
+        predictor = load_bert_predictor(model_dir)
+    return TextSafetyChecker(predictor=predictor, deny_terms=deny_terms)
+
+
 def main():  # pragma: no cover
     import argparse
 
     p = argparse.ArgumentParser("cremage-tpu-server")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8787)
+    p.add_argument("--text-safety-model-dir", default=None,
+                   help="dir with the BERT prompt-safety classifier "
+                        "(vocab.txt + model weights)")
+    p.add_argument("--deny-term", action="append", default=[],
+                   help="prompt deny-list fallback term (repeatable)")
+    p.add_argument("--config", default=None,
+                   help="config.yaml path (created with defaults if absent)")
     args = p.parse_args()
-    ApiServer(host=args.host, port=args.port).start(block=True)
+    from cremage_tpu.app.backends import register_default_backends
+    from cremage_tpu.core.config import load_preferences
+
+    prefs = load_preferences(args.config) if args.config else None
+    worker = EngineWorker(text_safety=make_text_safety(
+        args.text_safety_model_dir, args.deny_term))
+    register_default_backends(worker, prefs)
+    ApiServer(worker=worker, host=args.host, port=args.port).start(block=True)
 
 
 if __name__ == "__main__":  # pragma: no cover

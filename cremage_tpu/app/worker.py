@@ -39,13 +39,17 @@ class EngineWorker:
     generate(parameters: dict, status_cb, result_cb). Factories run
     lazily on first use (model load happens in the worker thread)."""
 
-    def __init__(self):
+    def __init__(self, text_safety=None):
         self.job_queue: "queue.Queue[dict]" = queue.Queue()
         self.status_queue: "queue.Queue[Any]" = queue.Queue()
         self._factories: Dict[str, Callable[[], Callable]] = {}
         self._backends: Dict[str, Callable] = {}
         self._thread: Optional[threading.Thread] = None
         self._running = False
+        # services.safety.TextSafetyChecker; gates inference jobs before
+        # they enqueue, like the reference's pre-queue prompt check
+        # (generate_handler.py:77-83)
+        self.text_safety = text_safety
 
     def register_backend(self, model_type: str,
                          factory: Callable[[], Callable]) -> None:
@@ -66,6 +70,21 @@ class EngineWorker:
             self._thread = None
 
     def submit(self, job: dict) -> None:
+        if (self.text_safety is not None
+                and job.get("type") == MP_MESSAGE_TYPE_INFERENCE):
+            params = job.get("parameters", {})
+            prompt = params.get("prompt", params.get("positive_prompt", ""))
+            if params.get("safety_check", True) and prompt \
+                    and self.text_safety.should_block(prompt):
+                # reference behavior: the job never reaches the queue
+                # (generate_handler.py:77-83 error dialog + return)
+                self.status_queue.put({"job_done": {
+                    "ok": False,
+                    "error": "Safety check detected potentially sensitive "
+                             "word(s) in prompt. To disable safety check, "
+                             "set safety_check=false.",
+                }})
+                return
         self.job_queue.put(job)
 
     # -------------------------------------------------------------

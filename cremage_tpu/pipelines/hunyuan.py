@@ -43,6 +43,44 @@ def _noop(msg):
     pass
 
 
+def make_hunyuan_text_encode(
+    clip_pair, clip_vocab, mt5_pair=None, mt5_spiece=None,
+    clip_len: int = 77, mt5_len: int = 256, mt5_dim: int = 2048,
+):
+    """Build the bundle's `text_encode` from native towers: the
+    Chinese-CLIP BertModel branch (77 WordPiece tokens, reference
+    diffusers HunyuanDiTPipeline text_encoder) and the mT5 branch (256
+    SentencePiece tokens, text_encoder_2) — no transformers tokenizers.
+
+    clip_pair: (models.bert.BertModel, params); clip_vocab: vocab.txt
+    path/dict; mt5_pair: (models.t5.T5Encoder, params) or None;
+    mt5_spiece: spiece.model path/bytes (required when mt5_pair given).
+    """
+    from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
+    from cremage_tpu.prompt.wordpiece import WordPieceTokenizer
+
+    wp = WordPieceTokenizer(clip_vocab)
+    t5_tokenize = as_t5_tokenize(mt5_spiece, mt5_len)
+
+    def text_encode(prompt: str) -> Tuple[np.ndarray, np.ndarray]:
+        model, params = clip_pair
+        ids, mask = wp.encode(prompt, max_length=clip_len)
+        last, _ = model.apply(params, jnp.asarray(ids[None]),
+                              jnp.asarray(mask[None]))
+        clip_tokens = np.asarray(last, np.float32)[0]
+        if mt5_pair is not None and t5_tokenize is not None:
+            t5, t5_params = mt5_pair
+            tids = np.asarray(t5_tokenize(prompt), np.int64)[:mt5_len]
+            tids = np.pad(tids, (0, mt5_len - len(tids)))
+            mt5 = np.asarray(
+                t5.apply(t5_params, jnp.asarray(tids[None])), np.float32)[0]
+        else:
+            mt5 = np.zeros((mt5_len, mt5_dim), np.float32)
+        return clip_tokens, mt5
+
+    return text_encode
+
+
 class HunyuanPipeline:
     def __init__(self, bundle: HunyuanBundle,
                  safety: Optional[ImageSafetyChecker] = None):
