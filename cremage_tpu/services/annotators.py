@@ -11,12 +11,13 @@ Implementation strategy on TPU/this environment:
   parity;
 - scribble: reference derives it from HED + threshold; here derived from
   soft edges (cv2) with the same binarize step;
-- hed / depth / normal / openpose / mlsd / seg are neural annotators in
-  the reference (vendored torch models with downloaded weights). They are
-  registered behind the same API and raise a clear WeightsUnavailable
-  error until their Flax ports + weights land — the reference also
-  downloads these weights at first use, so "no weights yet" is an
-  existing product state, not a regression.
+- hed: Flax net (models/hed.py), weights runtime-downloaded;
+- depth / normal: Flax MiDaS dpt_hybrid (models/dpt.py) with the
+  MidasDetector post-processing (min-max depth, Sobel-gradient normals
+  with bg threshold);
+- openpose / mlsd / seg are registered behind the same API and raise a
+  clear WeightsUnavailable error until their Flax ports land (the
+  reference also downloads all annotator weights at first use).
 
 All functions take/return HWC uint8 RGB numpy arrays (reference
 convention) with the input padded to a multiple of 64 by the caller.
@@ -88,6 +89,78 @@ def generate_hed(img: np.ndarray, weights_path: str | None = None) -> np.ndarray
     return hed_annotate(img01, weights_path)
 
 
+_MIDAS_CACHE: Dict[str, tuple] = {}
+
+
+def _midas_infer(img: np.ndarray, weights_path: str | None, cfg=None):
+    """Shared dpt_hybrid inference for depth + normal (reference
+    MidasDetector.__call__, modules/annotator/midas/__init__.py:17):
+    x/127.5 - 1 in, raw inverse depth out at input resolution."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from cremage_tpu.io import checkpoint as CK
+    from cremage_tpu.models.dpt import DPTDepthModel, dpt_hybrid_config
+
+    weights_path = weights_path or os.environ.get("MIDAS_MODEL_PATH", "")
+    if not weights_path or not os.path.exists(weights_path):
+        raise WeightsUnavailable("depth (MiDaS dpt_hybrid)")
+    if weights_path not in _MIDAS_CACHE:
+        model = DPTDepthModel(cfg or dpt_hybrid_config())
+        sd = CK.load_state_dict(weights_path)
+        tmpl = jax.eval_shape(model.init, jax.random.key(0),
+                              jnp.zeros((1, 64, 64, 3)))["params"]
+        params, missing, _ = CK.build_flax_params(tmpl, sd, prefix="",
+                                                  strict=False)
+        if missing:
+            raise KeyError(f"MiDaS ckpt missing {missing[:5]} ...")
+        apply = jax.jit(lambda p, x: model.apply({"params": p}, x))
+        _MIDAS_CACHE[weights_path] = (apply, params)
+    apply, params = _MIDAS_CACHE[weights_path]
+    x = _to_uint8(img).astype(np.float32) / 127.5 - 1.0
+    # DPT needs H/W multiples of 32; pad reflect and crop back
+    h, w = x.shape[:2]
+    ph, pw = (-h) % 32, (-w) % 32
+    if ph or pw:
+        x = np.pad(x, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+    depth = np.asarray(apply(params, jnp.asarray(x[None])), np.float32)[0]
+    return depth[:h, :w]
+
+
+@ANNOTATORS.register("depth")
+def generate_depth(img: np.ndarray, weights_path: str | None = None,
+                   cfg=None) -> np.ndarray:
+    """MiDaS depth map: min-max normalized inverse depth as uint8 RGB."""
+    depth = _midas_infer(img, weights_path, cfg)
+    d = depth - depth.min()
+    d = d / max(float(d.max()), 1e-8)
+    d8 = (d * 255.0).clip(0, 255).astype(np.uint8)
+    return np.stack([d8] * 3, axis=-1)
+
+
+@ANNOTATORS.register("normal")
+def generate_normal(img: np.ndarray, bg_threshold: float = 0.4,
+                    a: float = 2.0 * np.pi,
+                    weights_path: str | None = None, cfg=None) -> np.ndarray:
+    """Normal map from depth gradients (MidasDetector semantics: Sobel
+    x/y zeroed where normalized depth < bg_th, z = a, L2-normalized)."""
+    import cv2
+
+    depth = _midas_infer(img, weights_path, cfg)
+    d = depth - depth.min()
+    d = d / max(float(d.max()), 1e-8)
+    x = cv2.Sobel(depth, cv2.CV_32F, 1, 0, ksize=3)
+    y = cv2.Sobel(depth, cv2.CV_32F, 0, 1, ksize=3)
+    z = np.ones_like(x) * a
+    x[d < bg_threshold] = 0
+    y[d < bg_threshold] = 0
+    normal = np.stack([x, y, z], axis=2)
+    normal /= np.sum(normal ** 2.0, axis=2, keepdims=True) ** 0.5
+    return (normal * 127.5 + 127.5).clip(0, 255).astype(np.uint8)
+
+
 def _needs_weights(name: str) -> Callable:
     def fn(img: np.ndarray, **kw):
         raise WeightsUnavailable(name)
@@ -96,7 +169,7 @@ def _needs_weights(name: str) -> Callable:
     return fn
 
 
-for _name in ("depth", "normal", "openpose", "mlsd", "seg"):
+for _name in ("openpose", "mlsd", "seg"):
     if _name not in ANNOTATORS:
         ANNOTATORS.register(_name, _needs_weights(_name))
 
