@@ -187,10 +187,33 @@ def tokenize_preview(prompt: str) -> Dict:
     }
 
 
-def segment_for_inpaint(image01: np.ndarray, labels: Sequence[str]) -> np.ndarray:
-    """Clothes-segmentation mask (reference uses NVIDIA Segformer clothes
-    parser, a runtime download). Weight-gated."""
-    raise RuntimeError(
-        "segmentation model weights unavailable; download the Segformer "
-        "clothes parser (runtime download in the reference as well)"
-    )
+# reference tools/image_segmenter.py CLASS_TO_LABEL_MAP (clothes parser)
+SEGMENT_CLASS_TO_LABEL = {
+    0: "Background", 1: "Hat", 2: "Hair", 3: "Sunglasses",
+    4: "Upper-clothes", 5: "Skirt", 6: "Pants", 7: "Dress", 8: "Belt",
+    9: "Left-shoe", 10: "Right-shoe", 11: "Face", 12: "Left-leg",
+    13: "Right-leg", 14: "Left-arm", 15: "Right-arm", 16: "Bag",
+    17: "Scarf",
+}
+_LABEL_TO_CLASS = {v.lower(): k for k, v in SEGMENT_CLASS_TO_LABEL.items()}
+
+
+def segment_for_inpaint(image01: np.ndarray, labels: Sequence[str],
+                        weights_path: str | None = None,
+                        cfg=None) -> np.ndarray:
+    """Binary inpaint mask over the requested clothes-parser classes
+    (reference tools/image_segmenter.py:32,90 — Segformer b2 clothes).
+    Weights via SEGFORMER_MODEL_PATH or the explicit argument (runtime
+    download in the reference as well)."""
+    import os
+
+    from cremage_tpu.services.annotators import _segformer_for
+
+    weights_path = weights_path or os.environ.get("SEGFORMER_MODEL_PATH", "")
+    seg = _segformer_for(weights_path, cfg)
+    img = (np.clip(image01, 0, 1) * 255).astype(np.uint8)
+    cls = seg.class_map(img)
+    want = {_LABEL_TO_CLASS[l.lower()] for l in labels
+            if l.lower() in _LABEL_TO_CLASS}
+    mask = np.isin(cls, list(want)).astype(np.float32)
+    return mask

@@ -161,17 +161,125 @@ def generate_normal(img: np.ndarray, bg_threshold: float = 0.4,
     return (normal * 127.5 + 127.5).clip(0, 255).astype(np.uint8)
 
 
-def _needs_weights(name: str) -> Callable:
-    def fn(img: np.ndarray, **kw):
-        raise WeightsUnavailable(name)
-
-    fn.__name__ = f"generate_{name}"
-    return fn
+_OPENPOSE_CACHE: Dict[str, object] = {}
 
 
-for _name in ("openpose", "mlsd", "seg"):
-    if _name not in ANNOTATORS:
-        ANNOTATORS.register(_name, _needs_weights(_name))
+@ANNOTATORS.register("openpose")
+def generate_openpose(img: np.ndarray,
+                      weights_path: str | None = None) -> np.ndarray:
+    """OpenPose body skeleton map (reference OpenposeDetector:
+    body_pose_model + PAF limb assembly + stick-figure rendering on a
+    black canvas)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from cremage_tpu.io import checkpoint as CK
+    from cremage_tpu.models.openpose import BodyConfig, BodyEstimator, \
+        BodyPoseModel
+
+    weights_path = weights_path or os.environ.get("OPENPOSE_MODEL_PATH", "")
+    if not weights_path or not os.path.exists(weights_path):
+        raise WeightsUnavailable("openpose (body_pose_model)")
+    if weights_path not in _OPENPOSE_CACHE:
+        sd = CK.load_state_dict(weights_path)
+        c0 = int(np.asarray(sd["conv1_1.weight"]).shape[0])
+        stages = max(int(k.split("stage")[1].split("_")[0])
+                     for k in sd if "stage" in k)
+        cfg = BodyConfig(c0=c0, stages=stages)
+        model = BodyPoseModel(cfg)
+        tmpl = jax.eval_shape(model.init, jax.random.key(0),
+                              jnp.zeros((1, 32, 32, 3)))["params"]
+        params, missing, _ = CK.build_flax_params(tmpl, sd, prefix="",
+                                                  strict=False)
+        if missing:
+            raise KeyError(f"openpose ckpt missing {missing[:5]} ...")
+        _OPENPOSE_CACHE[weights_path] = BodyEstimator(params, cfg)
+    return _OPENPOSE_CACHE[weights_path](_to_uint8(img))
+
+
+_MLSD_CACHE: Dict[str, object] = {}
+
+
+@ANNOTATORS.register("mlsd")
+def generate_mlsd(img: np.ndarray, value_threshold: float = 0.1,
+                  distance_threshold: float = 20.0,
+                  weights_path: str | None = None, cfg=None,
+                  input_size: int = 512) -> np.ndarray:
+    """M-LSD line map (reference MLSDdetector: MobileV2_MLSD_Large +
+    tpMap line decoding, 1px white lines on black)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from cremage_tpu.io import checkpoint as CK
+    from cremage_tpu.models.mlsd import MLSDConfig, MLSDDetector, \
+        MobileV2MLSDLarge
+
+    weights_path = weights_path or os.environ.get("MLSD_MODEL_PATH", "")
+    if not weights_path or not os.path.exists(weights_path):
+        raise WeightsUnavailable("mlsd (mlsd_large_512_fp32)")
+    if weights_path not in _MLSD_CACHE:
+        cfg = cfg or MLSDConfig()
+        sd = {k: v for k, v in CK.load_state_dict(weights_path).items()
+              if not k.endswith("num_batches_tracked")}
+        model = MobileV2MLSDLarge(cfg)
+        tmpl = jax.eval_shape(model.init, jax.random.key(0),
+                              jnp.zeros((1, 64, 64, 4)))["params"]
+        params, missing, _ = CK.build_flax_params(tmpl, sd, prefix="",
+                                                  strict=False)
+        if missing:
+            raise KeyError(f"mlsd ckpt missing {missing[:5]} ...")
+        _MLSD_CACHE[weights_path] = MLSDDetector(params, cfg, input_size)
+    return _MLSD_CACHE[weights_path](_to_uint8(img), value_threshold,
+                                     distance_threshold)
+
+
+_SEGFORMER_CACHE: Dict[str, object] = {}
+
+
+def _segformer_for(weights_path: str, cfg=None):
+    """Cached SegformerSegmenter for a weights file (HF layout)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from cremage_tpu.io import checkpoint as CK
+    from cremage_tpu.models.segformer import (
+        SegformerModel, SegformerSegmenter, segformer_b2_clothes_config,
+    )
+
+    if not weights_path or not os.path.exists(weights_path):
+        raise WeightsUnavailable("seg (Segformer)")
+    if weights_path not in _SEGFORMER_CACHE:
+        cfg = cfg or segformer_b2_clothes_config()
+        sd = {k: v for k, v in CK.load_state_dict(weights_path).items()
+              if not k.endswith("num_batches_tracked")}
+        model = SegformerModel(cfg)
+        tmpl = jax.eval_shape(model.init, jax.random.key(0),
+                              jnp.zeros((1, 64, 64, 3)))["params"]
+        params, missing, _ = CK.build_flax_params(tmpl, sd, prefix="",
+                                                  strict=False)
+        if missing:
+            raise KeyError(f"segformer ckpt missing {missing[:5]} ...")
+        _SEGFORMER_CACHE[weights_path] = SegformerSegmenter(params, cfg)
+    return _SEGFORMER_CACHE[weights_path]
+
+
+@ANNOTATORS.register("seg")
+def generate_seg(img: np.ndarray, weights_path: str | None = None,
+                 cfg=None) -> np.ndarray:
+    """Segmentation control map. Documented substitution: the reference
+    vendors a 43k-LoC Uniformer/mmseg stack for this; here a SegFormer
+    semantic segmenter (same control-image role) colors the argmax
+    class map with a stable palette."""
+    import os
+
+    weights_path = weights_path or os.environ.get("SEGFORMER_MODEL_PATH", "")
+    return _segformer_for(weights_path, cfg)(_to_uint8(img))
 
 
 def annotate(name: str, img: np.ndarray, **kwargs) -> np.ndarray:
