@@ -30,7 +30,7 @@ from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
 from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
-from cremage_tpu.services.safety import ImageSafetyChecker
+from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
 
 logger = logging.getLogger(__name__)
@@ -86,7 +86,7 @@ class CascadePipeline:
     def __init__(self, bundle: CascadeBundle,
                  safety: Optional[ImageSafetyChecker] = None):
         self.bundle = bundle
-        self.safety = safety or ImageSafetyChecker()
+        self.safety = safety or default_image_safety()
         self._cache: Dict[Tuple, Callable] = {}
         self._current_status: Callable = _noop
 

@@ -27,7 +27,7 @@ from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
 from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
 from cremage_tpu.samplers import flow as F
-from cremage_tpu.services.safety import ImageSafetyChecker
+from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
 
 logger = logging.getLogger(__name__)
@@ -83,7 +83,7 @@ class FluxPipeline:
     def __init__(self, bundle: FluxBundle,
                  safety: Optional[ImageSafetyChecker] = None):
         self.bundle = bundle
-        self.safety = safety or ImageSafetyChecker()
+        self.safety = safety or default_image_safety()
         self._cache: Dict[Tuple, Callable] = {}
         self._current_status: Callable = _noop
 

@@ -39,7 +39,7 @@ from cremage_tpu.samplers import schedules as S
 from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
 from cremage_tpu.core.registry import SAMPLERS
 from cremage_tpu.prompt.wildcards import resolve_wildcards
-from cremage_tpu.services.safety import ImageSafetyChecker
+from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
 
 logger = logging.getLogger(__name__)
@@ -79,7 +79,7 @@ class SD15Pipeline:
         face_fixer: Optional[Callable] = None,
     ):
         self.bundle = bundle
-        self.safety = safety or ImageSafetyChecker()
+        self.safety = safety or default_image_safety()
         self.face_fixer = face_fixer
         self._gen_cache: Dict[Tuple, Callable] = {}
 

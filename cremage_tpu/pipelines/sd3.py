@@ -34,7 +34,7 @@ from cremage_tpu.prompt.parser import compute_prompt_score
 from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
 from cremage_tpu.samplers import flow as F
-from cremage_tpu.services.safety import ImageSafetyChecker
+from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
 
 logger = logging.getLogger(__name__)
@@ -145,7 +145,7 @@ class SD3Pipeline:
     def __init__(self, bundle: SD3Bundle,
                  safety: Optional[ImageSafetyChecker] = None):
         self.bundle = bundle
-        self.safety = safety or ImageSafetyChecker()
+        self.safety = safety or default_image_safety()
         self._cache: Dict[Tuple, Callable] = {}
         self._current_status: Callable = _noop
 

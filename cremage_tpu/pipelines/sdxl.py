@@ -45,7 +45,7 @@ from cremage_tpu.prompt.tokenizer import CLIPTokenizer
 from cremage_tpu.samplers import edm as EDM
 from cremage_tpu.samplers import schedules as S
 from cremage_tpu.core.registry import GUIDERS
-from cremage_tpu.services.safety import ImageSafetyChecker
+from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
 
 logger = logging.getLogger(__name__)
@@ -223,7 +223,7 @@ class SDXLPipeline:
                  safety: Optional[ImageSafetyChecker] = None,
                  face_fixer: Optional[Callable] = None):
         self.bundle = bundle
-        self.safety = safety or ImageSafetyChecker()
+        self.safety = safety or default_image_safety()
         self.face_fixer = face_fixer
         self._cache: Dict[Tuple, Callable] = {}
         self._current_status: Callable = _noop_status

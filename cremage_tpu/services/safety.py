@@ -83,3 +83,24 @@ class TextSafetyChecker:
 
     def should_block(self, text: str) -> bool:
         return self.predict(text) > self.threshold
+
+
+def default_image_safety(weights_path: Optional[str] = None,
+                         replacement: Optional[np.ndarray] = None,
+                         cfg=None) -> ImageSafetyChecker:
+    """ImageSafetyChecker wired to the CompVis safety checker when its
+    weights are available (SAFETY_CHECKER_PATH or explicit path); a
+    pass-through checker otherwise — matching the reference, which
+    downloads CompVis/stable-diffusion-safety-checker at runtime."""
+    import os
+
+    weights_path = weights_path or os.environ.get("SAFETY_CHECKER_PATH", "")
+    classifier = None
+    if weights_path and os.path.exists(weights_path):
+        from cremage_tpu.models.safety_checker import load_safety_classifier
+
+        classifier = load_safety_classifier(weights_path, cfg)
+    if replacement is None:
+        # reference load_replacement: black image (+ overlay message)
+        replacement = np.zeros((8, 8, 3), np.float32)
+    return ImageSafetyChecker(classifier=classifier, replacement=replacement)
