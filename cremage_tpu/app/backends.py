@@ -86,9 +86,44 @@ def sd15_factory(prefs: Preferences) -> Callable:
             init_image=_load_image(params, "init_img"),
             mask_image=_load_image(params, "mask_img"),
             control_image=_load_image(params, "control_image_path"),
+            face_embedding=_face_embedding_for(params, opts, status_cb),
         )
 
     return generate
+
+
+_FACE_EMBEDDER_CACHE: dict = {}
+
+
+def _face_embedding_for(params: dict, opts, status_cb):
+    """FaceID-from-a-photo: embed opts.face_input_img with the ArcFace
+    path (reference ip_adapter_faceid.py:680-720 InsightFace
+    normed_embedding).  Precomputed params['face_embedding'] wins."""
+    if params.get("face_embedding") is not None:
+        return np.asarray(params["face_embedding"], np.float32)
+    face_img = getattr(opts, "face_input_img", "")
+    if not (face_img and os.path.exists(face_img) and opts.face_model):
+        return None
+    arc = params.get("arcface_model") or os.environ.get(
+        "ARCFACE_MODEL_PATH", "")
+    if not arc or not os.path.exists(arc):
+        raise FileNotFoundError(
+            "FaceID needs the ArcFace recognition weights (w600k_r50.onnx "
+            "or torch iresnet50); set ARCFACE_MODEL_PATH")
+    if arc not in _FACE_EMBEDDER_CACHE:
+        from cremage_tpu.models.arcface import load_face_embedder
+
+        _FACE_EMBEDDER_CACHE[arc] = load_face_embedder(arc)
+    status_cb("extracting face embedding")
+    from PIL import Image
+
+    img01 = np.asarray(Image.open(face_img).convert("RGB"),
+                       np.float32) / 255.0
+    emb = _FACE_EMBEDDER_CACHE[arc](img01)
+    if emb is None:
+        raise ValueError("no face detected in face_input_img "
+                         "(after the 200px-border retry)")
+    return emb
 
 
 def sdxl_factory(prefs: Preferences) -> Callable:
