@@ -63,6 +63,10 @@ def load_torch_ckpt(path: str) -> Dict[str, np.ndarray]:
     obj = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(obj, dict) and "state_dict" in obj:
         obj = obj["state_dict"]
+    # training containers (e.g. the unblur CremageModelV6 ckpt,
+    # face_unblur.py:106 loads sd['model_state_dict'])
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
     out = {}
     for k, v in obj.items():
         if hasattr(v, "numpy"):

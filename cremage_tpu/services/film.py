@@ -65,7 +65,7 @@ def interpolate_recursively(
     """Each pass doubles the in-between density (FILM's recursion:
     interpolation_frames=3 => 3 passes => 2^3-1 = 7 mid frames/pair in
     the reference tool; it uses recursive midpoints identically)."""
-    pair_fn = pair_fn or interpolate_pair
+    pair_fn = pair_fn or default_pair_fn()
     out = list(frames)
     for _ in range(passes):
         nxt = []
@@ -113,3 +113,22 @@ def write_mp4(frames: List[np.ndarray], path: str, fps: int = 25) -> None:
                                   cv2.COLOR_RGB2BGR))
     finally:
         vw.release()
+
+
+_FILM_CACHE: dict = {}
+
+
+def default_pair_fn() -> Callable:
+    """The learned FILM net when its weights are present
+    (FILM_MODEL_PATH, a runtime download in the reference too), else
+    the classical optical-flow fallback."""
+    import os
+
+    path = os.environ.get("FILM_MODEL_PATH", "")
+    if path and os.path.exists(path):
+        if path not in _FILM_CACHE:
+            from cremage_tpu.services.film_net import load_film_interpolator
+
+            _FILM_CACHE[path] = load_film_interpolator(path)
+        return _FILM_CACHE[path]
+    return interpolate_pair

@@ -9,10 +9,9 @@ resolutions), weights auto-downloaded; exposed as FaceFixer buttons.
 
 Here: the alignment/unalignment geometry is implemented exactly (5-point
 similarity transform to the canonical template, inverse paste-back);
-`UnblurNet` is a Flax encoder-decoder in the same design family behind a
-loadable-weights seam — the reference's torch weight conversion for
-UnblurCremageModelV6 is tracked for a later round, so `unblur_face_image`
-is weight-gated until then.
+the restoration net is the full CremageModelV6 port
+(models/unblur_v6.py) with its torch weight converter, loaded from
+UNBLUR_MODEL_PATH / COLORIZE_MODEL_PATH.
 """
 from __future__ import annotations
 
@@ -66,53 +65,6 @@ def paste_back_aligned(
     return np.clip(base01 * (1 - mask) + warped * mask, 0, 1)
 
 
-class _Block(nn.Module):
-    ch: int
-    stride: int = 2
-
-    @nn.compact
-    def __call__(self, x):
-        from cremage_tpu.models.layers import Conv
-
-        h = Conv(self.ch, stride=self.stride, dtype=jnp.float32,
-                 param_dtype=jnp.float32, name="conv1")(x)
-        h = nn.relu(h)
-        h = Conv(self.ch, dtype=jnp.float32, param_dtype=jnp.float32,
-                 name="conv2")(h)
-        skip = x
-        if self.stride != 1 or x.shape[-1] != self.ch:
-            skip = Conv(self.ch, kernel_size=1, padding=0,
-                        stride=self.stride, dtype=jnp.float32,
-                        param_dtype=jnp.float32, name="skip")(x)
-        return nn.relu(h + skip)
-
-
-class UnblurNet(nn.Module):
-    """Encoder-decoder restoration CNN for 256^2 aligned faces."""
-
-    base: int = 16
-    depth: int = 5
-
-    @nn.compact
-    def __call__(self, x):
-        from cremage_tpu.models.layers import Conv
-
-        skips = []
-        h = x
-        for i in range(self.depth):
-            skips.append(h)  # stage-input resolution (/2^i)
-            h = _Block(self.base * 2**i, name=f"down_{i}")(h)
-        h = _Block(self.base * 2**self.depth, stride=1, name="mid")(h)
-        for i in reversed(range(self.depth)):
-            b, hh, ww, c = h.shape
-            h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
-            h = jnp.concatenate([h, skips[i]], axis=-1)
-            h = _Block(self.base * 2**i, stride=1, name=f"up_{i}")(h)
-        out = Conv(3, dtype=jnp.float32, param_dtype=jnp.float32,
-                   name="conv_out")(h)
-        return jnp.clip(x + out, 0.0, 1.0)  # residual restoration
-
-
 _net_cache = {}
 
 
@@ -120,28 +72,32 @@ def unblur_face_image(
     image01: np.ndarray,
     landmarks: Sequence[Tuple[float, float]],
     weights_path: Optional[str] = None,
+    cfg=None,
 ) -> np.ndarray:
-    """Align -> restore -> paste back. Weight-gated until the reference's
-    UnblurCremageModelV6 conversion lands."""
-    if not weights_path:
+    """Align -> CremageModelV6 restore -> paste back (face_unblur.py
+    semantics; weights via UNBLUR_MODEL_PATH or the argument — a
+    runtime download in the reference)."""
+    import os
+
+    weights_path = weights_path or os.environ.get("UNBLUR_MODEL_PATH", "")
+    if not weights_path or not os.path.exists(weights_path):
         raise RuntimeError(
-            "unblur weights unavailable (the reference auto-downloads its "
-            "UnblurCremageModelV6 weights; conversion pending)")
+            "unblur weights unavailable; set UNBLUR_MODEL_PATH (the "
+            "reference auto-downloads its UnblurCremageModelV6 weights)")
     aligned, M = align_face_256(image01, landmarks)
     if weights_path not in _net_cache:
-        from cremage_tpu.io.checkpoint import build_flax_params, load_state_dict
+        from cremage_tpu.models.unblur_v6 import load_unblur_model
 
-        net = UnblurNet()
-        tmpl = jax.eval_shape(net.init, jax.random.key(0),
-                              jnp.zeros((1, 256, 256, 3)))["params"]
-        sd = load_state_dict(weights_path)
-        params, _, _ = build_flax_params(tmpl, sd, prefix="", strict=False)
-        _net_cache[weights_path] = (net, {"params": params})
-    net, params = _net_cache[weights_path]
-    out = np.asarray(net.apply(params, jnp.asarray(aligned[None])), np.float32)[0]
+        _net_cache[weights_path] = load_unblur_model(weights_path, cfg)
+    out = _net_cache[weights_path](aligned)
     return paste_back_aligned(image01, out, M)
 
 
-def colorize_face_image(image01, landmarks, weights_path=None):
-    """Colorize variant (reference exposes both buttons on FaceFixer)."""
-    return unblur_face_image(image01, landmarks, weights_path)
+def colorize_face_image(image01, landmarks, weights_path=None, cfg=None):
+    """Colorize variant (reference exposes both buttons on FaceFixer;
+    same CremageModelV6 architecture, different weights —
+    COLORIZE_MODEL_PATH)."""
+    import os
+
+    weights_path = weights_path or os.environ.get("COLORIZE_MODEL_PATH", "")
+    return unblur_face_image(image01, landmarks, weights_path, cfg)

@@ -20,15 +20,6 @@ def test_align_roundtrip():
     assert np.abs(out - img).mean() < 0.05
 
 
-def test_unblur_net_shapes():
-    net = U.UnblurNet(base=8, depth=3)
-    x = jnp.zeros((1, 64, 64, 3))
-    params = net.init(jax.random.key(0), x)
-    out = net.apply(params, x)
-    assert out.shape == (1, 64, 64, 3)
-    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
-
-
 def test_unblur_weight_gate():
     with pytest.raises(RuntimeError):
         U.unblur_face_image(np.zeros((64, 64, 3), np.float32),
