@@ -67,6 +67,9 @@ def load_torch_ckpt(path: str) -> Dict[str, np.ndarray]:
     # face_unblur.py:106 loads sd['model_state_dict'])
     if isinstance(obj, dict) and "model_state_dict" in obj:
         obj = obj["model_state_dict"]
+    # GFPGAN releases nest under params_ema (preferred) / params
+    if isinstance(obj, dict) and "params_ema" in obj:
+        obj = obj["params_ema"]
     out = {}
     for k, v in obj.items():
         if hasattr(v, "numpy"):

@@ -150,3 +150,33 @@ def smart_upscale(image01: np.ndarray, scale: float,
         except FileNotFoundError:
             logger.warning("ESRGAN weights missing; falling back to Lanczos")
     return lanczos_upscale(image01, scale)
+
+
+_GFP_CACHE: dict = {}
+
+
+def gfp_restore(image01: np.ndarray, weights_path: str | None = None,
+                scale: float = 1.0, cfg=None,
+                yunet_path: str | None = None) -> np.ndarray:
+    """GFPGAN face restoration (+ optional background upscale) — the
+    reference's gfp_wrapper (tools/gfpgan_wrapper.py:78): restore the
+    detected faces with GFPGANv1Clean, upscale the rest."""
+    import os
+
+    weights_path = weights_path or os.environ.get("GFPGAN_MODEL_PATH", "")
+    if not weights_path or not os.path.exists(weights_path):
+        raise FileNotFoundError(
+            "GFPGAN weights unavailable; set GFPGAN_MODEL_PATH "
+            "(GFPGANv1.{2,3,4}.pth — a runtime download in the reference)")
+    if weights_path not in _GFP_CACHE:
+        from cremage_tpu.models.gfpgan import load_gfp_restorer
+
+        _GFP_CACHE[weights_path] = load_gfp_restorer(
+            weights_path, cfg, yunet_path=yunet_path)
+    out = _GFP_CACHE[weights_path](np.asarray(image01, np.float32))
+    if scale != 1.0:
+        out = lanczos_upscale(out, scale)
+    return out
+
+
+UPSCALERS.register("GFPGAN", gfp_restore)
