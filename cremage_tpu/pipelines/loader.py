@@ -42,7 +42,14 @@ def load_sd15_bundle(
     face_strength: float = 1.0,
     policy: DTypePolicy = DEFAULT_POLICY,
     use_cache: bool = True,
+    unet_cfg_override=None,
+    vae_cfg_override=None,
+    clip_cfg_override=None,
 ) -> SD15Bundle:
+    """Config overrides load non-standard (e.g. tiny test) checkpoints
+    through the full real conversion path; they bypass the caches."""
+    if unet_cfg_override or vae_cfg_override or clip_cfg_override:
+        use_cache = False
     cache_key = (ckpt, vae_ckpt, tuple(loras), embedding_dir, inpainting,
                  control_ckpt, faceid_ckpt, face_strength,
                  str(policy.param_dtype))
@@ -63,12 +70,27 @@ def load_sd15_bundle(
         vae_sd = CK.vae_state_dict_from_standalone(CK.load_state_dict(vae_ckpt))
         sd = CK.overlay(sd, vae_sd, key_filter=CK.PREFIX_VAE)
 
+    import dataclasses as _dc
+
     dd = dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
     num_ipa = 4 if faceid_ckpt else 0
-    unet_cfg = sd15_unet_config(
-        in_channels=9 if inpainting else 4,
-        ipa_num_tokens=num_ipa, ipa_scale=1.0 if faceid_ckpt else 0.0, **dd,
-    )
+    vae_cfg = (_dc.replace(vae_cfg_override, **dd)
+               if vae_cfg_override is not None else VAEConfig(**dd))
+    clip_cfg = (_dc.replace(clip_cfg_override, **dd)
+                if clip_cfg_override is not None else CLIPTextConfig(**dd))
+    if unet_cfg_override is not None:
+        unet_cfg = _dc.replace(
+            unet_cfg_override,
+            in_channels=9 if inpainting else unet_cfg_override.in_channels,
+            ipa_num_tokens=num_ipa,
+            ipa_scale=1.0 if faceid_ckpt else 0.0, **dd,
+        )
+    else:
+        unet_cfg = sd15_unet_config(
+            in_channels=9 if inpainting else 4,
+            ipa_num_tokens=num_ipa,
+            ipa_scale=1.0 if faceid_ckpt else 0.0, **dd,
+        )
     unet = UNetModel(unet_cfg)
     proj_params = None
     if cached is not None:
@@ -76,26 +98,27 @@ def load_sd15_bundle(
         vae_params = cached["vae"]
         clip_params = cached["clip"]
         proj_params = cached.get("faceid_proj")
-        vae = AutoencoderKL(VAEConfig(**dd))
-        clip = CLIPTextModel(CLIPTextConfig(**dd))
+        vae = AutoencoderKL(vae_cfg)
+        clip = CLIPTextModel(clip_cfg)
         logger.info("params cache hit for %s", ckpt)
     else:
         x = jnp.zeros((1, 8, 8, unet_cfg.in_channels), policy.compute_dtype)
-        unet_tmpl = _template(unet, x, jnp.zeros((1,)),
-                              jnp.zeros((1, 77 + num_ipa, 768)))
+        unet_tmpl = _template(
+            unet, x, jnp.zeros((1,)),
+            jnp.zeros((1, 77 + num_ipa, unet_cfg.context_dim)))
         unet_params, miss, _ = CK.build_flax_params(
             unet_tmpl, sd, CK.PREFIX_UNET, dtype=policy.param_dtype,
             strict=not faceid_ckpt,  # to_k_ipa/to_v_ipa: FaceID ckpt
         )
 
-        vae = AutoencoderKL(VAEConfig(**dd))
+        vae = AutoencoderKL(vae_cfg)
         vae_tmpl = _template(vae, jnp.zeros((1, 64, 64, 3),
                                             policy.compute_dtype))
         vae_params, _, _ = CK.build_flax_params(
             vae_tmpl, sd, CK.PREFIX_VAE, dtype=policy.param_dtype
         )
 
-        clip = CLIPTextModel(CLIPTextConfig(**dd))
+        clip = CLIPTextModel(clip_cfg)
         clip_tmpl = _template(clip, jnp.zeros((1, 77), jnp.int32))
         clip_sd = CK.clip_text_subdict(sd, CK.PREFIX_CLIP_SD15)
         clip_params, _, _ = CK.build_flax_params(

@@ -1,0 +1,124 @@
+"""Real-checkpoint parity harness, end-to-end on a dummy checkpoint:
+
+tiny random SD1.5 params -> io/export.py (ldm-format safetensors) ->
+load_sd15_bundle (the real conversion path) -> tools/parity_lpips.py
+render + compare. Proves the whole harness runs before any real
+weights are available (VERDICT round-1 item 5)."""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from cremage_tpu.io import checkpoint as CK
+from cremage_tpu.io import export as EX
+from cremage_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+from cremage_tpu.models.unet import UNetConfig, UNetModel
+from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+
+HID = 32
+
+UNET_CFG = UNetConfig(
+    in_channels=4, out_channels=4, model_channels=32, num_res_blocks=1,
+    attention_resolutions=(1,), channel_mult=(1, 2), num_heads=4,
+    transformer_depth=(1, 1), transformer_depth_middle=1, context_dim=HID,
+    dtype=jnp.float32,
+)
+VAE_CFG = VAEConfig(ch=32, ch_mult=(1, 1, 1, 1), num_res_blocks=1,
+                    dtype=jnp.float32)
+CLIP_CFG = CLIPTextConfig(hidden_size=HID, num_layers=2, num_heads=4,
+                          intermediate_size=64, dtype=jnp.float32)
+
+
+def _tiny_params():
+    unet = UNetModel(UNET_CFG)
+    unet_p = unet.init(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+        jnp.zeros((1, 77, HID)))["params"]
+    vae = AutoencoderKL(VAE_CFG)
+    vae_p = vae.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)))["params"]
+    clip = CLIPTextModel(CLIP_CFG)
+    clip_p = clip.init(jax.random.key(2),
+                       jnp.zeros((1, 77), jnp.int32))["params"]
+    return unet_p, vae_p, clip_p
+
+
+@pytest.fixture(scope="module")
+def dummy_ckpt(tmp_path_factory):
+    unet_p, vae_p, clip_p = _tiny_params()
+    path = str(tmp_path_factory.mktemp("ckpt") / "tiny_sd15.safetensors")
+    EX.save_sd15_checkpoint(path, unet_p, vae_p, clip_p)
+    return path, (unet_p, vae_p, clip_p)
+
+
+def test_export_emits_real_ldm_keys(dummy_ckpt):
+    path, _ = dummy_ckpt
+    sd = CK.load_safetensors(path)
+    # spot-check exact published SD1.5 key spellings
+    assert "model.diffusion_model.input_blocks.0.0.weight" in sd
+    assert ("model.diffusion_model.input_blocks.1.1."
+            "transformer_blocks.0.attn1.to_q.weight") in sd
+    assert ("model.diffusion_model.input_blocks.1.1."
+            "transformer_blocks.0.ff.net.0.proj.weight") in sd
+    assert "first_stage_model.decoder.mid.block_1.norm1.weight" in sd
+    assert ("cond_stage_model.transformer.text_model."
+            "encoder.layers.0.self_attn.q_proj.weight") in sd
+    assert ("cond_stage_model.transformer.text_model."
+            "embeddings.token_embedding.weight") in sd
+    # torch layouts: conv OIHW, Linear (out, in)
+    w = sd["model.diffusion_model.input_blocks.0.0.weight"]
+    assert w.shape == (32, 4, 3, 3)
+    q = sd["cond_stage_model.transformer.text_model."
+           "encoder.layers.0.self_attn.q_proj.weight"]
+    assert q.shape == (HID, HID)
+
+
+def test_roundtrip_through_loader_is_exact(dummy_ckpt):
+    from cremage_tpu.core.dtypes import FP32_POLICY
+    from cremage_tpu.pipelines.loader import load_sd15_bundle
+
+    path, (unet_p, vae_p, clip_p) = dummy_ckpt
+    bundle = load_sd15_bundle(
+        path, unet_cfg_override=UNET_CFG, vae_cfg_override=VAE_CFG,
+        clip_cfg_override=CLIP_CFG, use_cache=False, policy=FP32_POLICY,
+    )
+    for orig, loaded in [
+        (unet_p, bundle.unet_params["params"]),
+        (vae_p, bundle.vae_params["params"]),
+        (clip_p, bundle.text.params["params"]),
+    ]:
+        flat_o = dict(CK._flatten_params(orig))
+        flat_l = dict(CK._flatten_params(loaded))
+        assert set(flat_o) == set(flat_l)
+        for k in flat_o:
+            np.testing.assert_array_equal(
+                np.asarray(flat_o[k], np.float32), np.asarray(flat_l[k]),
+                err_msg=str(k))
+
+
+def test_harness_end_to_end_self_parity(dummy_ckpt, tmp_path):
+    """Render goldens from the dummy ckpt, re-run in compare mode: the
+    same seeds must reproduce exactly (PSNR fallback path, no LPIPS
+    weights in CI)."""
+    from tools.parity_lpips import run_parity
+
+    path, _ = dummy_ckpt
+    kw = dict(
+        prompts=("a cat",), seeds=(7,), steps=2, size=64,
+        loader_kwargs=dict(unet_cfg_override=UNET_CFG,
+                           vae_cfg_override=VAE_CFG,
+                           clip_cfg_override=CLIP_CFG),
+    )
+    rep = run_parity("sd15", path, str(tmp_path / "out1"),
+                     save_ref=str(tmp_path / "gold"), **kw)
+    assert rep["mode"] == "save_ref" and rep["count"] == 1
+
+    rep2 = run_parity("sd15", path, str(tmp_path / "out2"),
+                      ref_dir=str(tmp_path / "gold"), **kw)
+    assert rep2["mode"] == "compare"
+    assert not rep2["missing_refs"]
+    assert rep2["pass"], rep2
