@@ -17,11 +17,16 @@ compute, fp32 norms):
   the conditioning tokens, then attention of spatial tokens over
   [cond tokens; spatial tokens] (self_attn=True layout).
 
-Stage C stacks (ResBlock, TimestepBlock, AttnBlock) groups at two
-channel widths with a stride-2 conv between; Stage B mixes the same
-blocks at 4 widths. The exact official block counts/widths are config
-values; key-map leaf verification against real Würstchen weights is
-tracked in COVERAGE.md (no downloads in this environment).
+Structure follows the published StableCascadeUNet layout exactly
+(checkpoint-key parity is pinned by tests/test_keylist_golden.py):
+per level, a flat run of (Res, Timestep[, Attn]) groups; stride-2
+k2 conv downscalers and k2s2 *transposed*-conv upscalers between
+levels (affine-free LN before each); optional repeat-mappers (1x1
+convs) that re-run a level's blocks with the skip re-applied
+(Stage B's up path repeats (3,3,2,2)); Stage B additionally
+pixel-unshuffles its 4-ch VQ latent (patch 2) and injects the Stage C
+latent and an optional pixels image through separate 2-conv GELU
+mappers with bilinear align-corners resizing.
 """
 from __future__ import annotations
 
@@ -45,6 +50,52 @@ def _channel_ln(x, eps: float = 1e-6):
     return ((xf - mean) / jnp.sqrt(var + eps)).astype(x.dtype)
 
 
+def _pixel_unshuffle(x, r: int):
+    """NHWC pixel-unshuffle with torch channel order c*r*r + di*r + dj."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    return x.transpose(0, 1, 3, 5, 2, 4).reshape(b, h // r, w // r,
+                                                 c * r * r)
+
+
+def _pixel_shuffle(x, r: int):
+    """Inverse of _pixel_unshuffle (torch PixelShuffle semantics)."""
+    b, h, w, cr2 = x.shape
+    c = cr2 // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    return x.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * r, w * r, c)
+
+
+def _resize_bilinear_ac(x, out_h: int, out_w: int):
+    """Bilinear resize with torch align_corners=True sampling (the mode
+    Stage B uses for effnet/pixels injection)."""
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    xf = x.astype(jnp.float32)
+
+    def grid(n_in, n_out):
+        if n_out == 1 or n_in == 1:
+            pos = jnp.zeros((n_out,), jnp.float32)
+        else:
+            pos = jnp.linspace(0.0, float(n_in - 1), n_out)
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_in - 1)
+        i1 = jnp.minimum(i0 + 1, n_in - 1)
+        t = pos - i0.astype(jnp.float32)
+        return i0, i1, t
+
+    y0, y1, ty = grid(h, out_h)
+    x0, x1, tx = grid(w, out_w)
+    top = xf[:, y0]
+    bot = xf[:, y1]
+    rows = top * (1 - ty)[None, :, None, None] + bot * ty[None, :, None, None]
+    left = rows[:, :, x0]
+    right = rows[:, :, x1]
+    out = (left * (1 - tx)[None, None, :, None]
+           + right * tx[None, None, :, None])
+    return out.astype(x.dtype)
+
+
 class GlobalResponseNorm(nn.Module):
     """GRN (ConvNeXt-v2): per-channel response normalized by the spatial
     L2 energy; gamma/beta learned."""
@@ -63,6 +114,31 @@ class GlobalResponseNorm(nn.Module):
         nx = gx / (gx.mean(axis=-1, keepdims=True) + 1e-6)
         out = gamma * (xf * nx) + beta + xf
         return out.astype(x.dtype)
+
+
+class ConvTranspose2x2(nn.Module):
+    """k=2 s=2 transposed conv (the Würstchen level upscaler). Weight is
+    stored (2, 2, out, in) — exactly what the shape-directed converter
+    produces from torch ConvTranspose2d's (in, out, 2, 2)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        w = self.param("weight", nn.initializers.lecun_normal(),
+                       (2, 2, self.features, in_ch), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        y = jnp.einsum(
+            "bhwc,kloc->bhkwlo",
+            x.astype(self.dtype), w.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        b, h, _, wdim, _, o = y.shape
+        return y.reshape(b, h * 2, wdim * 2, o) + bias.astype(self.dtype)
 
 
 class CascadeResBlock(nn.Module):
@@ -150,12 +226,92 @@ class CascadeAttnBlock(nn.Module):
         return x + out.reshape(bsz, hh, ww, c)
 
 
+def _run_trunk(h, r_embed, cond, *, c_hidden, blocks, num_heads, c_cond,
+               c_r, conds, attn_levels, down_repeats, up_repeats, dtype,
+               param_dtype):
+    """Shared down/up trunk: flat (Res, Time[, Attn]) groups per level,
+    LN+conv scalers between levels, repeat-mappers re-running a level.
+    Plain helper (NOT a Module): must run inside the caller's compact
+    scope so params land at the root, matching checkpoint keys."""
+    dd = dict(dtype=dtype, param_dtype=param_dtype)
+
+    def group(pre, c, skip_channels, with_attn):
+        res = CascadeResBlock(c, skip_channels=skip_channels,
+                              name=pre + "_res", **dd)
+        tim = CascadeTimestepBlock(c, c_r, conds, name=pre + "_time", **dd)
+        att = (CascadeAttnBlock(c, c_cond, num_heads, name=pre + "_attn",
+                                **dd)
+               if with_attn else None)
+        return res, tim, att
+
+    n_levels = len(c_hidden)
+    skips = []
+    for lv in range(n_levels):
+        c = c_hidden[lv]
+        if lv > 0:
+            h = Conv(c, kernel_size=2, stride=2, padding=0,
+                     name=f"downscalers_{lv}_1", **dd)(_channel_ln(h))
+        groups = [
+            group(f"down_blocks_{lv}_{i}", c, 0, lv in attn_levels)
+            for i in range(blocks[lv])
+        ]
+        reps = down_repeats[lv]
+        mappers = [
+            Conv(c, kernel_size=1, padding=0,
+                 name=f"down_repeat_mappers_{lv}_{j}", **dd)
+            for j in range(reps - 1)
+        ]
+        for j in range(reps):
+            for res, tim, att in groups:
+                h = res(h)
+                h = tim(h, r_embed)
+                if att is not None:
+                    h = att(h, cond)
+            if j < reps - 1:
+                h = mappers[j](h)
+        skips.append(h)
+
+    for pos, lv in enumerate(reversed(range(n_levels))):
+        c = c_hidden[lv]
+        skip = skips[lv] if pos > 0 else None
+        groups = [
+            group(f"up_blocks_{pos}_{i}", c,
+                  c if (skip is not None and i == 0) else 0,
+                  lv in attn_levels)
+            for i in range(blocks[::-1][pos])
+        ]
+        reps = up_repeats[pos]
+        mappers = [
+            Conv(c, kernel_size=1, padding=0,
+                 name=f"up_repeat_mappers_{pos}_{j}", **dd)
+            for j in range(reps - 1)
+        ]
+        for j in range(reps):
+            for i, (res, tim, att) in enumerate(groups):
+                # the first res block re-concats the skip on EVERY
+                # repeat (StableCascade _up_decode semantics)
+                h = res(h, skip if i == 0 else None)
+                h = tim(h, r_embed)
+                if att is not None:
+                    h = att(h, cond)
+            if j < reps - 1:
+                h = mappers[j](h)
+        if lv > 0:
+            h = ConvTranspose2x2(c_hidden[lv - 1],
+                                 name=f"upscalers_{pos}_1",
+                                 **dd)(_channel_ln(h))
+    return h
+
+
 @dataclasses.dataclass(frozen=True)
 class StageCConfig:
     in_channels: int = 16
     out_channels: int = 16
+    patch_size: int = 1
     c_hidden: Tuple[int, ...] = (2048, 2048)
     blocks: Tuple[int, ...] = (8, 24)          # groups per level (down)
+    down_repeats: Tuple[int, ...] = (1, 1)
+    up_repeats: Tuple[int, ...] = (1, 1)       # per up position
     num_heads: int = 32
     c_cond: int = 2048
     clip_text_dim: int = 1280
@@ -205,56 +361,28 @@ class StageC(nn.Module):
                        for c in cfg.conds]
         r_embed = self._r_embed(r, cond_values)
 
+        p = cfg.patch_size
+        h = x.astype(cfg.dtype)
+        if p > 1:
+            h = _pixel_unshuffle(h, p)
         h = Conv(cfg.c_hidden[0], kernel_size=1, padding=0,
-                 name="embedding_1", **dd)(x.astype(cfg.dtype))
+                 name="embedding_1", **dd)(h)
         h = _channel_ln(h)
 
-        skips = []
-        n_levels = len(cfg.c_hidden)
-        for lv in range(n_levels):
-            c = cfg.c_hidden[lv]
-            if lv > 0:
-                h = Conv(c, kernel_size=2, stride=2, padding=0,
-                         name=f"downscalers_{lv}_1", **dd)(_channel_ln(h))
-            for i in range(cfg.blocks[lv]):
-                pre = f"down_blocks_{lv}_{i}"
-                h = CascadeResBlock(c, name=pre + "_res", dtype=cfg.dtype,
-                                    param_dtype=cfg.param_dtype)(h)
-                h = CascadeTimestepBlock(
-                    c, cfg.c_r, cfg.conds, name=pre + "_time",
-                    dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h, r_embed)
-                h = CascadeAttnBlock(
-                    c, cfg.c_cond, cfg.num_heads, name=pre + "_attn",
-                    dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h, cond)
-            skips.append(h)
+        h = _run_trunk(
+            h, r_embed, cond,
+            c_hidden=cfg.c_hidden, blocks=cfg.blocks,
+            num_heads=cfg.num_heads, c_cond=cfg.c_cond, c_r=cfg.c_r,
+            conds=cfg.conds, attn_levels=tuple(range(len(cfg.c_hidden))),
+            down_repeats=cfg.down_repeats, up_repeats=cfg.up_repeats,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        )
 
-        for pos, lv in enumerate(reversed(range(n_levels))):
-            c = cfg.c_hidden[lv]
-            skip = skips[lv] if pos > 0 else None
-            for i in range(cfg.blocks[::-1][pos]):
-                pre = f"up_blocks_{pos}_{i}"
-                h = CascadeResBlock(
-                    c, skip_channels=c if (skip is not None and i == 0) else 0,
-                    name=pre + "_res", dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype,
-                )(h, skip if i == 0 else None)
-                h = CascadeTimestepBlock(
-                    c, cfg.c_r, cfg.conds, name=pre + "_time",
-                    dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h, r_embed)
-                h = CascadeAttnBlock(
-                    c, cfg.c_cond, cfg.num_heads, name=pre + "_attn",
-                    dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h, cond)
-            if lv > 0:
-                h = Conv(cfg.c_hidden[lv - 1], kernel_size=1, padding=0,
-                         name=f"upscalers_{pos}_1", **dd)(_channel_ln(h))
-                bb, hh2, ww2, cc = h.shape
-                h = jnp.broadcast_to(
-                    h[:, :, None, :, None, :], (bb, hh2, 2, ww2, 2, cc)
-                ).reshape(bb, hh2 * 2, ww2 * 2, cc)
-
-        out = Conv(cfg.out_channels, kernel_size=1, padding=0,
+        out = Conv(cfg.out_channels * p * p, kernel_size=1, padding=0,
                    name="clf_1", dtype=jnp.float32,
                    param_dtype=cfg.param_dtype)(_channel_ln(h))
+        if p > 1:
+            out = _pixel_shuffle(out, p)
         return out
 
 
@@ -262,9 +390,13 @@ class StageC(nn.Module):
 class StageBConfig:
     in_channels: int = 4               # VQ latent
     effnet_channels: int = 16          # Stage C latent (cond)
+    pixels_channels: int = 3           # optional low-res pixel guidance
     out_channels: int = 4
+    patch_size: int = 2
     c_hidden: Tuple[int, ...] = (320, 640, 1280, 1280)
     blocks: Tuple[int, ...] = (2, 6, 28, 6)
+    down_repeats: Tuple[int, ...] = (1, 1, 1, 1)
+    up_repeats: Tuple[int, ...] = (3, 3, 2, 2)  # per up position
     num_heads: int = 20
     c_cond: int = 1280
     clip_text_pooled_dim: int = 1280
@@ -278,13 +410,15 @@ class StageBConfig:
 
 
 class StageB(nn.Module):
-    """Würstchen Stage B: diffuses the 4-ch VQ latent conditioned on the
-    (upsampled) Stage C latent and pooled CLIP text."""
+    """Würstchen Stage B: diffuses the 4-ch VQ latent (pixel-unshuffled,
+    patch 2) conditioned on the Stage C latent (effnet_mapper), pooled
+    CLIP text, and an optional pixels image (pixels_mapper)."""
 
     cfg: StageBConfig
 
     @nn.compact
-    def __call__(self, x, r, effnet, clip_text_pooled, sca=None):
+    def __call__(self, x, r, effnet, clip_text_pooled, sca=None,
+                 pixels=None):
         cfg = self.cfg
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         b = x.shape[0]
@@ -300,65 +434,43 @@ class StageB(nn.Module):
                 sca if (c == "sca" and sca is not None) else zeros, cfg.c_r))
         r_embed = jnp.concatenate(parts, axis=-1)
 
-        # effnet conditioning enters as channels at the input resolution
-        eff = jnp.asarray(effnet).astype(cfg.dtype)
-        if eff.shape[1] != x.shape[1]:
-            scale = x.shape[1] // eff.shape[1]
-            bb, eh, ew, ec = eff.shape
-            eff = jnp.broadcast_to(
-                eff[:, :, None, :, None, :], (bb, eh, scale, ew, scale, ec)
-            ).reshape(bb, eh * scale, ew * scale, ec)
-        h = jnp.concatenate([x.astype(cfg.dtype), eff], axis=-1)
+        p = cfg.patch_size
+        h = _pixel_unshuffle(x.astype(cfg.dtype), p)
         h = Conv(cfg.c_hidden[0], kernel_size=1, padding=0,
                  name="embedding_1", **dd)(h)
         h = _channel_ln(h)
+        hh, ww = h.shape[1], h.shape[2]
 
-        skips = []
-        n_levels = len(cfg.c_hidden)
-        for lv in range(n_levels):
-            c = cfg.c_hidden[lv]
-            if lv > 0:
-                h = Conv(c, kernel_size=2, stride=2, padding=0,
-                         name=f"downscalers_{lv}_1", **dd)(_channel_ln(h))
-            for i in range(cfg.blocks[lv]):
-                pre = f"down_blocks_{lv}_{i}"
-                h = CascadeResBlock(c, name=pre + "_res", dtype=cfg.dtype,
-                                    param_dtype=cfg.param_dtype)(h)
-                h = CascadeTimestepBlock(
-                    c, cfg.c_r, cfg.conds, name=pre + "_time",
-                    dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h, r_embed)
-                if lv in cfg.attn_levels:
-                    h = CascadeAttnBlock(
-                        c, cfg.c_cond, cfg.num_heads, name=pre + "_attn",
-                        dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h, cond)
-            skips.append(h)
+        # Stage C latent injected through a 2-conv GELU mapper at the
+        # trunk resolution (bilinear align-corners resize, as upstream)
+        eff = _resize_bilinear_ac(jnp.asarray(effnet).astype(cfg.dtype),
+                                  hh, ww)
+        eff = Conv(4 * cfg.c_hidden[0], kernel_size=1, padding=0,
+                   name="effnet_mapper_0", **dd)(eff)
+        eff = nn.gelu(eff, approximate=False)
+        eff = Conv(cfg.c_hidden[0], kernel_size=1, padding=0,
+                   name="effnet_mapper_2", **dd)(eff)
+        h = h + _channel_ln(eff)
 
-        for pos, lv in enumerate(reversed(range(n_levels))):
-            c = cfg.c_hidden[lv]
-            skip = skips[lv] if pos > 0 else None
-            for i in range(cfg.blocks[::-1][pos]):
-                pre = f"up_blocks_{pos}_{i}"
-                h = CascadeResBlock(
-                    c, skip_channels=c if (skip is not None and i == 0) else 0,
-                    name=pre + "_res", dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype,
-                )(h, skip if i == 0 else None)
-                h = CascadeTimestepBlock(
-                    c, cfg.c_r, cfg.conds, name=pre + "_time",
-                    dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h, r_embed)
-                if lv in cfg.attn_levels:
-                    h = CascadeAttnBlock(
-                        c, cfg.c_cond, cfg.num_heads, name=pre + "_attn",
-                        dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h, cond)
-            if lv > 0:
-                h = Conv(cfg.c_hidden[lv - 1], kernel_size=1, padding=0,
-                         name=f"upscalers_{pos}_1", **dd)(_channel_ln(h))
-                bb, hh2, ww2, cc = h.shape
-                h = jnp.broadcast_to(
-                    h[:, :, None, :, None, :], (bb, hh2, 2, ww2, 2, cc)
-                ).reshape(bb, hh2 * 2, ww2 * 2, cc)
+        if pixels is None:
+            pixels = jnp.zeros((b, 8, 8, cfg.pixels_channels), cfg.dtype)
+        px = Conv(4 * cfg.c_hidden[0], kernel_size=1, padding=0,
+                  name="pixels_mapper_0", **dd)(pixels.astype(cfg.dtype))
+        px = nn.gelu(px, approximate=False)
+        px = Conv(cfg.c_hidden[0], kernel_size=1, padding=0,
+                  name="pixels_mapper_2", **dd)(px)
+        h = h + _resize_bilinear_ac(_channel_ln(px), hh, ww)
 
-        out = Conv(cfg.out_channels, kernel_size=1, padding=0,
+        h = _run_trunk(
+            h, r_embed, cond,
+            c_hidden=cfg.c_hidden, blocks=cfg.blocks,
+            num_heads=cfg.num_heads, c_cond=cfg.c_cond, c_r=cfg.c_r,
+            conds=cfg.conds, attn_levels=cfg.attn_levels,
+            down_repeats=cfg.down_repeats, up_repeats=cfg.up_repeats,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        )
+
+        out = Conv(cfg.out_channels * p * p, kernel_size=1, padding=0,
                    name="clf_1", dtype=jnp.float32,
                    param_dtype=cfg.param_dtype)(_channel_ln(h))
-        return out
+        return _pixel_shuffle(out, p)

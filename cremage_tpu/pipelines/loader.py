@@ -697,6 +697,31 @@ def load_movq_decoder(
     return dec, {"params": params}, codebook
 
 
+def load_cascade_stage_b(
+    ckpt: str,
+    policy: DTypePolicy = DEFAULT_POLICY,
+):
+    """Stable Cascade Stage B diffusers file -> (StageB, params)
+    (reference modules/stable_cascade/txt2img.py
+    StableCascadeDecoderPipeline)."""
+    from cremage_tpu.io.diffusers_keys import cascade_unet_from_diffusers
+    from cremage_tpu.models.cascade import StageB, StageBConfig
+
+    sd = cascade_unet_from_diffusers(CK.load_state_dict(ckpt))
+    model = StageB(StageBConfig(dtype=policy.compute_dtype,
+                                param_dtype=policy.param_dtype))
+    tmpl = _template(
+        model, jnp.zeros((1, 16, 16, 4), policy.compute_dtype),
+        jnp.zeros((1,)),
+        jnp.zeros((1, 4, 4, 16), policy.compute_dtype),
+        jnp.zeros((1, 1280), policy.compute_dtype),
+    )
+    params, _, _ = CK.build_flax_params(tmpl, sd, prefix="",
+                                        dtype=policy.param_dtype,
+                                        strict=False)
+    return model, {"params": params}
+
+
 def load_cascade_stage_c(
     ckpt: str,
     policy: DTypePolicy = DEFAULT_POLICY,

@@ -74,7 +74,8 @@ def test_pixart_diffusers_conversion_loads_and_runs():
                                sd["transformer_blocks.0.attn1.to_k.weight"].T)
 
 
-def synth_diffusers_sd_unet(mc=32, levels=(1, 2), nrb=1, ctx=16):
+def synth_diffusers_sd_unet(mc=32, levels=(1, 2), nrb=1, ctx=16,
+                            attn_levels=None):
     """Tiny diffusers-layout UNet sd matching our tiny UNetConfig."""
     rng = np.random.RandomState(1)
     sd = {}
@@ -122,10 +123,13 @@ def synth_diffusers_sd_unet(mc=32, levels=(1, 2), nrb=1, ctx=16):
     conv("conv_in", 4, mc)
     chans = [mc * m for m in levels]
     cin = mc
+    if attn_levels is None:
+        attn_levels = tuple(range(len(levels)))
     for lv, cout in enumerate(chans):
         for b in range(nrb):
             resnet(f"down_blocks.{lv}.resnets.{b}", cin, cout, temb)
-            attn_block(f"down_blocks.{lv}.attentions.{b}", cout)
+            if lv in attn_levels:
+                attn_block(f"down_blocks.{lv}.attentions.{b}", cout)
             cin = cout
         if lv != len(chans) - 1:
             conv(f"down_blocks.{lv}.downsamplers.0.conv", cout, cout)
@@ -150,7 +154,8 @@ def synth_diffusers_sd_unet(mc=32, levels=(1, 2), nrb=1, ctx=16):
         for b in range(nrb + 1):
             skip = hs.pop()
             resnet(f"up_blocks.{pos}.resnets.{b}", cur + skip, cout, temb)
-            attn_block(f"up_blocks.{pos}.attentions.{b}", cout)
+            if lv in attn_levels:
+                attn_block(f"up_blocks.{pos}.attentions.{b}", cout)
             cur = cout
             if lv > 0 and b == nrb:
                 conv(f"up_blocks.{pos}.upsamplers.0.conv", cout, cout)
@@ -688,6 +693,7 @@ def synth_diffusers_cascade_c(ch=(32, 64), c_cond=32, c_r=64, txt=16):
     conv("embedding.1", 16, ch[0])
     lin("clip_txt_mapper", txt, c_cond)
     lin("clip_txt_pooled_mapper", txt, 4 * c_cond)
+    lin("clip_img_mapper", 8, 4 * c_cond)
     for lv, c in enumerate(ch):
         res(f"down_blocks.{lv}.0", c)
         tstep(f"down_blocks.{lv}.1", c)
@@ -698,7 +704,9 @@ def synth_diffusers_cascade_c(ch=(32, 64), c_cond=32, c_r=64, txt=16):
         res(f"up_blocks.{pos}.0", c, skip=c if pos > 0 else 0)
         tstep(f"up_blocks.{pos}.1", c)
         attn(f"up_blocks.{pos}.2", c)
-    conv("up_upscalers.0.1", ch[1], ch[0], k=1)
+    # upscaler is a ConvTranspose2d k2 s2: torch weight (in, out, 2, 2)
+    sd["up_upscalers.0.1.weight"] = rng.randn(ch[1], ch[0], 2, 2).astype(np.float32)
+    sd["up_upscalers.0.1.bias"] = rng.randn(ch[0]).astype(np.float32)
     conv("clf.1", ch[0], 16)
     return sd
 
@@ -721,13 +729,14 @@ def test_cascade_unet_from_diffusers_loads_and_runs():
     tmpl = jax.eval_shape(
         model.init, jax.random.key(0), jnp.zeros((1, 4, 4, 16)),
         jnp.zeros((1,)), jnp.zeros((1, 7, 16)), jnp.zeros((1, 16)),
+        jnp.zeros((1, 8)),
     )["params"]
     params, missing, unused = CK.build_flax_params(tmpl, converted, prefix="")
     assert not missing, missing[:5]
     assert not unused, unused[:5]
     out = model.apply({"params": params}, jnp.ones((1, 4, 4, 16)) * 0.1,
                       jnp.full((1,), 0.5), jnp.ones((1, 7, 16)) * 0.1,
-                      jnp.ones((1, 16)) * 0.1)
+                      jnp.ones((1, 16)) * 0.1, jnp.ones((1, 8)) * 0.1)
     assert out.shape == (1, 4, 4, 16)
     assert np.isfinite(np.asarray(out)).all()
 
@@ -768,7 +777,11 @@ def test_cascade_stage_b_from_diffusers_loads_and_runs():
             lin(f"{prefix}.attention.{nm}", c, c)
         lin(prefix + ".attention.to_out.0", c, c)
 
-    conv("embedding.1", 4 + 16, ch[0])   # VQ latent + effnet channels
+    conv("embedding.1", 4 * 4, ch[0])   # pixel-unshuffled VQ latent (p=2)
+    conv("effnet_mapper.0", 16, 4 * ch[0])
+    conv("effnet_mapper.2", 4 * ch[0], ch[0])
+    conv("pixels_mapper.0", 3, 4 * ch[0])
+    conv("pixels_mapper.2", 4 * ch[0], ch[0])
     lin("clip_txt_pooled_mapper", txt, 4 * c_cond)
     # level 0: res + time only (no attention); level 1: res + time + attn
     res("down_blocks.0.0", ch[0])
@@ -782,13 +795,17 @@ def test_cascade_stage_b_from_diffusers_loads_and_runs():
     attn("up_blocks.0.2", ch[1])
     res("up_blocks.1.0", ch[0], skip=ch[0])
     tstep("up_blocks.1.1", ch[0])
-    conv("up_upscalers.0.1", ch[1], ch[0], k=1)
-    conv("clf.1", ch[0], 4)
+    sd["up_upscalers.0.1.weight"] = rng.randn(ch[1], ch[0], 2, 2).astype(np.float32)
+    sd["up_upscalers.0.1.bias"] = rng.randn(ch[0]).astype(np.float32)
+    conv("up_repeat_mappers.0.0", ch[1], ch[1])  # up_repeats=(2, 1)
+    conv("clf.1", ch[0], 4 * 4)                  # PixelShuffle(p=2) head
 
     converted = cascade_unet_from_diffusers(sd)
     cfg = StageBConfig(c_hidden=ch, blocks=(1, 1), num_heads=4,
                        c_cond=c_cond, clip_text_pooled_dim=txt,
-                       attn_levels=(1,), conds=("sca",), dtype=jnp.float32)
+                       attn_levels=(1,), conds=("sca",),
+                       down_repeats=(1, 1), up_repeats=(2, 1),
+                       dtype=jnp.float32)
     model = StageB(cfg)
     tmpl = jax.eval_shape(
         model.init, jax.random.key(0), jnp.zeros((1, 8, 8, 4)),

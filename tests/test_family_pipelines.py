@@ -196,7 +196,8 @@ def test_cascade_real_wuerstchen_cores_end_to_end():
                   jnp.zeros((1,)), jnp.zeros((1, 7, TD)), jnp.zeros((1, TD)))
     sb = StageB(StageBConfig(c_hidden=(16, 32), blocks=(1, 1), num_heads=4,
                              c_cond=32, clip_text_pooled_dim=TD,
-                             attn_levels=(1,), dtype=jnp.float32))
+                             attn_levels=(1,), down_repeats=(1, 1),
+                             up_repeats=(1, 1), dtype=jnp.float32))
     sbp = sb.init(jax.random.key(1), jnp.zeros((1, 8, 8, 4)),
                   jnp.zeros((1,)), jnp.zeros((1, 8, 8, 16)),
                   jnp.zeros((1, TD)))
