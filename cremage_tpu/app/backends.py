@@ -133,14 +133,21 @@ def sdxl_factory(prefs: Preferences) -> Callable:
 
     def generate(params, status_cb, result_cb):
         opts = _opts_from_params(params)
-        ckpt = opts.ckpt or _model_path(prefs, "sdxl_ldm_model_path",
-                                        "sdxl_ldm_model")
+        # dedicated 9-ch inpaint UNet when an SDXL inpaint model is
+        # configured (reference sdxl_inpaint.py AutoPipelineForInpainting);
+        # otherwise the base model with latent-mask blending
+        inpaint = (opts.mode == MODE_INPAINTING
+                   and prefs.sdxl_ldm_inpaint_model not in ("", "None"))
+        ckpt = opts.ckpt or _model_path(
+            prefs, "sdxl_ldm_model_path",
+            "sdxl_ldm_inpaint_model" if inpaint else "sdxl_ldm_model")
         bundle = load_sdxl_bundle(
             ckpt,
             vae_ckpt=opts.vae_ckpt or None,
             refiner_ckpt=opts.refiner_ckpt or None,
             loras=parse_lora_option_string(opts.lora_models, opts.lora_weights),
             embedding_dir=opts.embedding_path or prefs.sdxl_embedding_path or None,
+            inpainting=inpaint,
         )
         pipe = SDXLPipeline(bundle)
         if opts.auto_face_fix:

@@ -211,6 +211,7 @@ def load_sdxl_bundle(
     refiner_ckpt: Optional[str] = None,
     loras: Sequence[Tuple[str, float]] = (),
     embedding_dir: Optional[str] = None,
+    inpainting: bool = False,
     policy: DTypePolicy = DEFAULT_POLICY,
     use_cache: bool = True,
 ):
@@ -222,7 +223,7 @@ def load_sdxl_bundle(
     from cremage_tpu.pipelines.sdxl import SDXLBundle, SDXLConditioner
 
     cache_key = ("sdxl", ckpt, vae_ckpt, refiner_ckpt, tuple(loras),
-                 embedding_dir, str(policy.param_dtype))
+                 embedding_dir, inpainting, str(policy.param_dtype))
     if use_cache and cache_key in _bundle_cache:
         return _bundle_cache[cache_key]
 
@@ -232,10 +233,16 @@ def load_sdxl_bundle(
         sd = CK.overlay(sd, vae_sd, key_filter=CK.PREFIX_VAE)
 
     dd = dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
+    # inpainting=True expects the dedicated 9-channel SDXL inpaint UNet
+    # (diffusers stable-diffusion-xl-1.0-inpainting-0.1)
     unet_cfg = sdxl_base_unet_config(**dd)
+    if inpainting:
+        import dataclasses as _dc
+        unet_cfg = _dc.replace(unet_cfg, in_channels=9)
     unet = UNetModel(unet_cfg)
     unet_tmpl = _template(
-        unet, jnp.zeros((1, 8, 8, 4), policy.compute_dtype), jnp.zeros((1,)),
+        unet, jnp.zeros((1, 8, 8, unet_cfg.in_channels),
+                        policy.compute_dtype), jnp.zeros((1,)),
         jnp.zeros((1, 77, 2048)), jnp.zeros((1, 2816)),
     )
     unet_params, _, _ = CK.build_flax_params(
@@ -301,7 +308,7 @@ def load_sdxl_bundle(
         unet=unet, unet_params={"params": unet_params},
         conditioner=conditioner, vae=vae, vae_params={"params": vae_params},
         refiner_unet=refiner_unet, refiner_params=refiner_params,
-        refiner_conditioner=refiner_cond,
+        refiner_conditioner=refiner_cond, inpaint=inpainting,
     )
     if use_cache:
         _bundle_cache.clear()

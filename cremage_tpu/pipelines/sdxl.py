@@ -212,6 +212,7 @@ class SDXLBundle:
     refiner_unet: Optional[UNetModel] = None
     refiner_params: Any = None
     refiner_conditioner: Optional[SDXLConditioner] = None
+    inpaint: bool = False          # 9-channel dedicated inpaint UNet
 
 
 def _noop_status(msg: str) -> None:
@@ -257,8 +258,14 @@ class SDXLPipeline:
             total = len(sigmas) - 1
             self._current_status(f"Sampling {int(i) + 1} / {total}")
 
-        def run(params, x, c, uc, key):
+        def run(params, x, c, uc, key, extra=None):
             def network(xx, tt, cond):
+                if extra is not None:
+                    ee = extra
+                    if ee.shape[0] != xx.shape[0]:   # CFG-doubled batch
+                        ee = jnp.concatenate(
+                            [ee] * (xx.shape[0] // ee.shape[0]))
+                    xx = jnp.concatenate([xx, ee.astype(xx.dtype)], axis=-1)
                 return unet.apply(params, xx, tt,
                                   cond["crossattn"], cond["vector"])
 
@@ -278,7 +285,8 @@ class SDXLPipeline:
         bucket = ("sdxl", id(unet), sampler_name, steps, t_enc, tuple(shape),
                   tuple(cond_shape), float(opts.scale), opts.guider,
                   opts.discretization, float(opts.sampler_eta),
-                  float(opts.sampler_s_churn), num_frames)
+                  float(opts.sampler_s_churn), num_frames,
+                  self.bundle.inpaint)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)
@@ -294,6 +302,34 @@ class SDXLPipeline:
             self.bundle.unet, opts, x.shape, c["crossattn"].shape, None
         )
         return fn(self.bundle.unet_params, x, c, uc, key)
+
+    def inpaint_latents(self, opts, init_image, mask, c, uc, key,
+                        status_cb=_noop_status):
+        """Dedicated 9-channel SDXL inpaint (diffusers
+        stable-diffusion-xl-1.0-inpainting-0.1 layout): the UNet sees
+        [x, mask_lat, masked_image_latent] — same concat contract as the
+        SD1.5 inpaint UNet (`modules/sd/inpaint.py:45-120`); the
+        reference reaches it through AutoPipelineForInpainting
+        (`modules/sdxl/sdxl_pipeline/sdxl_inpaint.py:71`)."""
+        assert self.bundle.inpaint, "bundle was not built with inpaint UNet"
+        self._current_status = status_cb
+        b = c["crossattn"].shape[0]
+        mask_b = (np.asarray(mask) >= 0.5).astype(np.float32)
+        masked = np.asarray(init_image) * (1.0 - mask_b[..., None])
+        img = jnp.asarray(masked)[None].astype(jnp.bfloat16)
+        masked_lat = encode_to_latent(self.bundle.vae,
+                                      self.bundle.vae_params, img)
+        h8, w8 = masked_lat.shape[1:3]
+        mask_lat = jax.image.resize(
+            jnp.asarray(mask_b)[None, :, :, None], (1, h8, w8, 1), "nearest")
+        extra = jnp.concatenate(
+            [mask_lat.astype(jnp.float32), masked_lat.astype(jnp.float32)],
+            axis=-1)
+        extra = jnp.broadcast_to(extra, (b,) + extra.shape[1:])
+        x = noise_like(key, (b, h8, w8, 4))
+        fn, _ = self._sampler_program(
+            self.bundle.unet, opts, x.shape, c["crossattn"].shape, None)
+        return fn(self.bundle.unet_params, x, c, uc, key, extra), mask_b
 
     def refine_latents(self, opts, lat, key, status_cb=_noop_status):
         """Refiner pass (apply_refiner): img2img on base latents with
@@ -322,12 +358,13 @@ class SDXLPipeline:
         init_image: Optional[np.ndarray] = None,
         mask_image: Optional[np.ndarray] = None,
     ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
-        """mask_image (H,W) with 1 = repaint: SDXL inpainting uses the
-        latent-masking technique (each result is composited back over the
-        original outside the mask) — the reference reaches SDXL inpaint
-        through diffusers AutoPipelineForInpainting
-        (`modules/sdxl/sdxl_pipeline/sdxl_inpaint.py:71`), which applies
-        the same masked-latent blend for non-inpaint checkpoints."""
+        """mask_image (H,W) with 1 = repaint. Two inpaint paths, matching
+        the reference's AutoPipelineForInpainting behavior
+        (`modules/sdxl/sdxl_pipeline/sdxl_inpaint.py:71`): a dedicated
+        9-channel inpaint UNet (bundle.inpaint — load_sdxl_bundle
+        inpainting=True) sees [x, mask, masked-latent]; otherwise the
+        latent-masking technique runs on the base model, and every result
+        is composited back over the original outside the mask."""
         base_seed = resolve_seed(opts.seed)
         results = []
         img_index = 0
@@ -337,7 +374,11 @@ class SDXLPipeline:
             c, uc = self.bundle.conditioner.encode_pair(opts, b)
             key = key_for_image(base_seed, img_index)
 
-            if init_image is not None:
+            if (init_image is not None and mask_image is not None
+                    and self.bundle.inpaint):
+                lat, _ = self.inpaint_latents(opts, init_image, mask_image,
+                                              c, uc, key, status_cb)
+            elif init_image is not None:
                 img = jnp.asarray(init_image)[None].astype(jnp.bfloat16)
                 lat0 = encode_to_latent(self.bundle.vae, self.bundle.vae_params,
                                         img)

@@ -108,10 +108,11 @@ def test_all_sgm_samplers_run(name):
 
 # ---------------- conditioner + pipeline ------------------------------------
 
-def make_sdxl_bundle(with_refiner=False):
+def make_sdxl_bundle(with_refiner=False, inpaint=False):
     adm = G_HID + 3 * 512
     unet_cfg = UNetConfig(
-        in_channels=4, out_channels=4, model_channels=32, num_res_blocks=1,
+        in_channels=9 if inpaint else 4,
+        out_channels=4, model_channels=32, num_res_blocks=1,
         attention_resolutions=(2,), channel_mult=(1, 2), num_heads=4,
         transformer_depth=(1, 1), transformer_depth_middle=1,
         context_dim=L_HID + G_HID, adm_in_channels=adm,
@@ -119,7 +120,8 @@ def make_sdxl_bundle(with_refiner=False):
     )
     unet = UNetModel(unet_cfg)
     unet_params = unet.init(
-        jax.random.key(0), jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
+        jax.random.key(0), jnp.zeros((1, 8, 8, unet_cfg.in_channels)),
+        jnp.zeros((1,)),
         jnp.zeros((1, 77, L_HID + G_HID)), jnp.zeros((1, adm)),
     )
     clip = CLIPTextModel(CLIPTextConfig(
@@ -153,7 +155,7 @@ def make_sdxl_bundle(with_refiner=False):
         unet=unet, unet_params=unet_params, conditioner=cond,
         vae=vae, vae_params=vae_params,
         refiner_unet=refiner_unet, refiner_params=refiner_params,
-        refiner_conditioner=refiner_cond,
+        refiner_conditioner=refiner_cond, inpaint=inpaint,
     )
 
 
@@ -227,6 +229,46 @@ def test_sdxl_edm_discretization_option(sdxl_bundle):
     pipe = SDXLPipeline(sdxl_bundle)
     results = pipe.generate(xl_opts(discretization="EDMDiscretization"))
     assert np.isfinite(results[0][0]).all()
+
+
+def _inpaint_fixture_args():
+    rng = np.random.RandomState(3)
+    init = rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    mask = np.zeros((64, 64), np.float32)
+    mask[16:48, 16:48] = 1.0
+    return init, mask
+
+
+def test_sdxl_inpaint_dedicated_9ch_unet():
+    """Dedicated SDXL inpaint UNet: [x, mask, masked-latent] concat
+    (diffusers stable-diffusion-xl-1.0-inpainting-0.1 layout, reached in
+    the reference via sdxl_inpaint.py:71 AutoPipelineForInpainting)."""
+    bundle = make_sdxl_bundle(inpaint=True)
+    pipe = SDXLPipeline(bundle)
+    init, mask = _inpaint_fixture_args()
+    results = pipe.generate(xl_opts(sampling_steps=3), init_image=init,
+                            mask_image=mask)
+    img = results[0][0]
+    assert img.shape == (64, 64, 3) and np.isfinite(img).all()
+    # outside the mask the composite restores the original exactly
+    init01 = (init + 1) / 2
+    outside = mask < 0.5
+    np.testing.assert_allclose(img[outside], init01[outside], atol=1e-5)
+    # inside the mask the model repainted (should differ from source)
+    assert np.abs(img[~outside] - init01[~outside]).mean() > 1e-3
+
+
+def test_sdxl_inpaint_latent_blend_fallback(sdxl_bundle):
+    """Non-inpaint checkpoint: latent-mask technique, composited back
+    over the original outside the mask (documented divergence pin)."""
+    pipe = SDXLPipeline(sdxl_bundle)
+    init, mask = _inpaint_fixture_args()
+    results = pipe.generate(xl_opts(strength=0.6, sampling_steps=3),
+                            init_image=init, mask_image=mask)
+    img = results[0][0]
+    init01 = (init + 1) / 2
+    outside = mask < 0.5
+    np.testing.assert_allclose(img[outside], init01[outside], atol=1e-5)
 
 
 def test_openclip_key_splitting():
