@@ -34,11 +34,57 @@ from cremage_tpu.app.worker import EngineWorker, MP_MESSAGE_TYPE_INFERENCE
 logger = logging.getLogger(__name__)
 
 
+class BadRequest(ValueError):
+    """Maps to HTTP 400 (vs 500 for internal failures)."""
+
+
+# request validation bounds (reference GTK UI constrains these through
+# its widgets; a headless API must enforce them server-side)
+MAX_EDGE = 4096
+MAX_STEPS = 1000
+MAX_BATCH = 64
+MAX_B64_BYTES = 64 * 1024 * 1024
+
+
+def _validate_generate(body) -> Optional[str]:
+    from cremage_tpu.core.config import GENERATOR_MODEL_TYPES
+
+    if not isinstance(body, dict):
+        return "body must be a JSON object"
+    gmt = body.get("generator_model_type")
+    if gmt is not None and gmt not in GENERATOR_MODEL_TYPES:
+        return (f"unknown generator_model_type {gmt!r}; "
+                f"one of {GENERATOR_MODEL_TYPES}")
+    for dim in ("H", "W"):
+        v = body.get(dim)
+        if v is None:
+            continue
+        if not isinstance(v, int) or not (8 <= v <= MAX_EDGE) or v % 8:
+            return f"{dim} must be a multiple of 8 in [8, {MAX_EDGE}]"
+    steps = body.get("sampling_steps")
+    if steps is not None and (not isinstance(steps, int)
+                              or not 1 <= steps <= MAX_STEPS):
+        return f"sampling_steps must be an int in [1, {MAX_STEPS}]"
+    for k in ("n_samples", "n_iter"):
+        v = body.get(k)
+        if v is not None and (not isinstance(v, int)
+                              or not 1 <= v <= MAX_BATCH):
+            return f"{k} must be an int in [1, {MAX_BATCH}]"
+    return None
+
+
 def _b64_to_image(data: str) -> np.ndarray:
     from PIL import Image
 
-    raw = base64.b64decode(data)
-    img = Image.open(io.BytesIO(raw)).convert("RGB")
+    if len(data) > MAX_B64_BYTES:
+        raise BadRequest(f"image payload exceeds {MAX_B64_BYTES} bytes")
+    try:
+        raw = base64.b64decode(data)
+        img = Image.open(io.BytesIO(raw)).convert("RGB")
+    except Exception as e:
+        raise BadRequest(f"undecodable image payload: {e}") from e
+    if max(img.size) > MAX_EDGE:
+        raise BadRequest(f"image edge exceeds {MAX_EDGE}")
     return np.asarray(img, np.float32) / 255.0
 
 
@@ -74,6 +120,9 @@ class ApiServer:
                 "metrics": METRICS.snapshot(),
             }
         if path == "/v1/generate" and method == "POST":
+            err = _validate_generate(body)
+            if err:
+                raise BadRequest(err)
             self._job_counter += 1
             job = dict(body)
             job.setdefault("type", MP_MESSAGE_TYPE_INFERENCE)
@@ -172,6 +221,8 @@ class ApiServer:
                         return self._reply(400, {"error": "bad json"})
                 try:
                     out = server.handle(method, self.path, body)
+                except BadRequest as e:
+                    return self._reply(400, {"error": str(e)})
                 except Exception as e:  # structured errors
                     logger.exception("request failed")
                     return self._reply(500, {"error": f"{type(e).__name__}: {e}"})

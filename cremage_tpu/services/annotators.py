@@ -15,16 +15,23 @@ Implementation strategy on TPU/this environment:
 - depth / normal: Flax MiDaS dpt_hybrid (models/dpt.py) with the
   MidasDetector post-processing (min-max depth, Sobel-gradient normals
   with bg threshold);
-- openpose / mlsd / seg are registered behind the same API and raise a
-  clear WeightsUnavailable error until their Flax ports land (the
-  reference also downloads all annotator weights at first use).
+- openpose: Flax body_pose_model + PAF limb assembly (models/openpose.py);
+- mlsd: Flax MobileV2_MLSD_Large + tpMap decode (models/mlsd.py);
+- seg: SegFormer clothes segmenter (documented substitution for the
+  vendored Uniformer stack — same control-image role).
+
+Weights resolve per annotator as: explicit argument -> env var ->
+local cache -> lazy HF download (the reference downloads the same
+files at first use, annotator/*/__init__.py load_file_from_url),
+gated by the enable_hf_internet_connection preference.
 
 All functions take/return HWC uint8 RGB numpy arrays (reference
 convention) with the input padded to a multiple of 64 by the caller.
 """
 from __future__ import annotations
 
-from typing import Callable, Dict
+import os
+from typing import Callable, Dict, Optional
 
 import numpy as np
 
@@ -37,6 +44,49 @@ class WeightsUnavailable(RuntimeError):
             f"annotator {name!r} needs model weights; download them into the "
             f"models directory (the reference downloads these lazily too)"
         )
+
+
+# (env var, HF repo, filename) — the exact files the reference fetches
+# (modules/annotator/{hed,mlsd,midas,openpose}/__init__.py; seg is the
+# documented SegFormer substitution).
+_WEIGHT_SOURCES = {
+    "hed": ("HED_MODEL_PATH", "lllyasviel/Annotators", "ControlNetHED.pth"),
+    "midas": ("MIDAS_MODEL_PATH", "lllyasviel/ControlNet",
+              "annotator/ckpts/dpt_hybrid-midas-501f0c75.pt"),
+    "openpose": ("OPENPOSE_MODEL_PATH", "lllyasviel/ControlNet",
+                 "annotator/ckpts/body_pose_model.pth"),
+    "mlsd": ("MLSD_MODEL_PATH", "lllyasviel/ControlNet",
+             "annotator/ckpts/mlsd_large_512_fp32.pth"),
+    "seg": ("SEGFORMER_MODEL_PATH", "mattmdjaga/segformer_b2_clothes",
+            "model.safetensors"),
+}
+
+
+def annotator_cache_dir() -> str:
+    return os.environ.get(
+        "CREMAGE_ANNOTATOR_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "cremage_tpu",
+                     "annotators"))
+
+
+def resolve_annotator_weights(kind: str,
+                              explicit: Optional[str] = None) -> str:
+    """explicit arg -> env var -> cache dir -> lazy HF download."""
+    if explicit:
+        return explicit
+    env, repo, fname = _WEIGHT_SOURCES[kind]
+    p = os.environ.get(env, "")
+    if p:
+        return p
+    local = os.path.join(annotator_cache_dir(), os.path.basename(fname))
+    if os.path.exists(local):
+        return local
+    from cremage_tpu.io.downloader import download_model_if_not_exist
+
+    try:
+        return download_model_if_not_exist(local, repo, fname)
+    except Exception as e:
+        raise WeightsUnavailable(f"{kind} ({e})") from e
 
 
 def _to_uint8(img: np.ndarray) -> np.ndarray:
@@ -78,12 +128,10 @@ def generate_hed(img: np.ndarray, weights_path: str | None = None) -> np.ndarray
     """HED soft edges via the Flax net (models/hed.py); weights from
     HED_MODEL_PATH or the explicit argument (runtime download in the
     reference too)."""
-    import os
-
     from cremage_tpu.models.hed import hed_annotate
 
-    weights_path = weights_path or os.environ.get("HED_MODEL_PATH", "")
-    if not weights_path or not os.path.exists(weights_path):
+    weights_path = resolve_annotator_weights("hed", weights_path)
+    if not os.path.exists(weights_path):
         raise WeightsUnavailable("hed")
     img01 = _to_uint8(img).astype(np.float32) / 255.0
     return hed_annotate(img01, weights_path)
@@ -96,16 +144,14 @@ def _midas_infer(img: np.ndarray, weights_path: str | None, cfg=None):
     """Shared dpt_hybrid inference for depth + normal (reference
     MidasDetector.__call__, modules/annotator/midas/__init__.py:17):
     x/127.5 - 1 in, raw inverse depth out at input resolution."""
-    import os
-
     import jax
     import jax.numpy as jnp
 
     from cremage_tpu.io import checkpoint as CK
     from cremage_tpu.models.dpt import DPTDepthModel, dpt_hybrid_config
 
-    weights_path = weights_path or os.environ.get("MIDAS_MODEL_PATH", "")
-    if not weights_path or not os.path.exists(weights_path):
+    weights_path = resolve_annotator_weights("midas", weights_path)
+    if not os.path.exists(weights_path):
         raise WeightsUnavailable("depth (MiDaS dpt_hybrid)")
     if weights_path not in _MIDAS_CACHE:
         model = DPTDepthModel(cfg or dpt_hybrid_config())
@@ -170,8 +216,6 @@ def generate_openpose(img: np.ndarray,
     """OpenPose body skeleton map (reference OpenposeDetector:
     body_pose_model + PAF limb assembly + stick-figure rendering on a
     black canvas)."""
-    import os
-
     import jax
     import jax.numpy as jnp
 
@@ -179,8 +223,8 @@ def generate_openpose(img: np.ndarray,
     from cremage_tpu.models.openpose import BodyConfig, BodyEstimator, \
         BodyPoseModel
 
-    weights_path = weights_path or os.environ.get("OPENPOSE_MODEL_PATH", "")
-    if not weights_path or not os.path.exists(weights_path):
+    weights_path = resolve_annotator_weights("openpose", weights_path)
+    if not os.path.exists(weights_path):
         raise WeightsUnavailable("openpose (body_pose_model)")
     if weights_path not in _OPENPOSE_CACHE:
         sd = CK.load_state_dict(weights_path)
@@ -209,8 +253,6 @@ def generate_mlsd(img: np.ndarray, value_threshold: float = 0.1,
                   input_size: int = 512) -> np.ndarray:
     """M-LSD line map (reference MLSDdetector: MobileV2_MLSD_Large +
     tpMap line decoding, 1px white lines on black)."""
-    import os
-
     import jax
     import jax.numpy as jnp
 
@@ -218,8 +260,8 @@ def generate_mlsd(img: np.ndarray, value_threshold: float = 0.1,
     from cremage_tpu.models.mlsd import MLSDConfig, MLSDDetector, \
         MobileV2MLSDLarge
 
-    weights_path = weights_path or os.environ.get("MLSD_MODEL_PATH", "")
-    if not weights_path or not os.path.exists(weights_path):
+    weights_path = resolve_annotator_weights("mlsd", weights_path)
+    if not os.path.exists(weights_path):
         raise WeightsUnavailable("mlsd (mlsd_large_512_fp32)")
     if weights_path not in _MLSD_CACHE:
         cfg = cfg or MLSDConfig()
@@ -276,9 +318,7 @@ def generate_seg(img: np.ndarray, weights_path: str | None = None,
     vendors a 43k-LoC Uniformer/mmseg stack for this; here a SegFormer
     semantic segmenter (same control-image role) colors the argmax
     class map with a stable palette."""
-    import os
-
-    weights_path = weights_path or os.environ.get("SEGFORMER_MODEL_PATH", "")
+    weights_path = resolve_annotator_weights("seg", weights_path)
     return _segformer_for(weights_path, cfg)(_to_uint8(img))
 
 

@@ -10,6 +10,8 @@ import os
 # (axon plugin), so setting env vars alone is not enough — use
 # jax.config.update, which takes effect because backend init is lazy.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# never attempt HF downloads from tests (zero-egress environment)
+os.environ["ENABLE_HF_INTERNET_CONNECTION"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -153,3 +153,53 @@ def test_observability():
         {"w": jnp.zeros((4, 4), jnp.float32)}) == 64
     stats = O.device_memory_stats()
     assert isinstance(stats, dict)
+
+
+def _status_of(srv, path, body):
+    url = f"http://127.0.0.1:{srv.port}{path}"
+    data = json.dumps(body).encode()
+    req = urllib.request.Request(url, data=data, method="POST",
+                                 headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        return 200
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def test_server_rejects_bad_json(server):
+    url = f"http://127.0.0.1:{server.port}/v1/generate"
+    req = urllib.request.Request(url, data=b"{not json", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=10)
+    assert ei.value.code == 400
+
+
+def test_server_rejects_unknown_model_type(server):
+    assert _status_of(server, "/v1/generate",
+                      {"generator_model_type": "DALL-E 9"}) == 400
+
+
+def test_server_rejects_bad_dimensions_and_steps(server):
+    assert _status_of(server, "/v1/generate",
+                      {"generator_model_type": "SD 1.5", "H": 100}) == 400
+    assert _status_of(server, "/v1/generate",
+                      {"generator_model_type": "SD 1.5", "W": 1 << 20}) == 400
+    assert _status_of(server, "/v1/generate",
+                      {"generator_model_type": "SD 1.5",
+                       "sampling_steps": 0}) == 400
+    assert _status_of(server, "/v1/generate",
+                      {"generator_model_type": "SD 1.5",
+                       "n_samples": 10**6}) == 400
+    # valid request still accepted after rejections
+    assert _status_of(server, "/v1/generate",
+                      {"generator_model_type": "SD 1.5", "H": 512,
+                       "parameters": {"prompt": "ok"}}) == 200
+
+
+def test_server_rejects_oversized_or_undecodable_image(server):
+    # undecodable base64 payload -> 400, server keeps serving
+    assert _status_of(server, "/v1/tools/annotate",
+                      {"method": "canny", "image": "!!notb64!!"}) == 400
+    out = _req(server, "/v1/health")
+    assert out["ok"]
