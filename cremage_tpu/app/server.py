@@ -109,6 +109,14 @@ class ApiServer:
     # ----- route handlers -----
 
     def handle(self, method: str, path: str, body: Dict[str, Any]):
+        if path == "/v1/meta":
+            from cremage_tpu.core.config import GENERATOR_MODEL_TYPES
+            from cremage_tpu.samplers.kdiffusion import SAMPLER_SCHEDULE
+
+            return {
+                "model_types": list(GENERATOR_MODEL_TYPES),
+                "samplers": ["DDIM"] + sorted(SAMPLER_SCHEDULE),
+            }
         if path == "/v1/health":
             import jax
 
@@ -189,6 +197,9 @@ class ApiServer:
 
             root = D.first_init()
             return {"favorite": D.favorite_image(root, body["path"])}
+        if path.startswith("/v1/images/file") and method == "GET":
+            # raw bytes handled in _dispatch (non-JSON reply)
+            return None
         if path == "/v1/images/trash" and method == "POST":
             from cremage_tpu.app import dirs as D
 
@@ -211,7 +222,37 @@ class ApiServer:
                 self.end_headers()
                 self.wfile.write(data)
 
+            def _reply_raw(self, code, data, ctype):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
             def _dispatch(self, method):
+                from urllib.parse import parse_qs, urlparse
+
+                parsed = urlparse(self.path)
+                if method == "GET" and parsed.path in ("/", "/ui"):
+                    from cremage_tpu.app.webui import INDEX_HTML
+
+                    return self._reply_raw(200, INDEX_HTML.encode(),
+                                           "text/html; charset=utf-8")
+                if method == "GET" and parsed.path == "/v1/images/file":
+                    import os as _os
+
+                    from cremage_tpu.app import dirs as D
+
+                    q = parse_qs(parsed.query)
+                    p = (q.get("path") or [""])[0]
+                    root = _os.path.realpath(D.first_init())
+                    rp = _os.path.realpath(p)
+                    # only files inside the image library are served
+                    if (not rp.startswith(root + _os.sep)
+                            or not _os.path.isfile(rp)):
+                        return self._reply(404, {"error": "not found"})
+                    with open(rp, "rb") as f:
+                        return self._reply_raw(200, f.read(), "image/png")
                 length = int(self.headers.get("Content-Length") or 0)
                 body = {}
                 if length:

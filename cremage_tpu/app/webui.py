@@ -1,0 +1,219 @@
+"""Thin browser client for the HTTP API — the visual front end standing
+in for the reference's GTK main window (SURVEY.md L5; reference
+cremage_main.py MainWindow: prompt panes, generation settings, live
+status, result thumbnails, image library with favorite/trash).
+
+One dependency-free HTML page served at GET / by app/server.py; all
+behavior goes through the same /v1/* JSON endpoints any other client
+uses, so this stays a pure presentation layer.
+"""
+from __future__ import annotations
+
+INDEX_HTML = """<!doctype html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>cremage-tpu</title>
+<style>
+  :root { color-scheme: dark; }
+  body { font-family: system-ui, sans-serif; margin: 0; background: #161618;
+         color: #e8e8ea; display: flex; height: 100vh; }
+  #panel { width: 380px; padding: 16px; overflow-y: auto; background: #1e1e22;
+           border-right: 1px solid #333; flex-shrink: 0; }
+  #main { flex: 1; padding: 16px; overflow-y: auto; }
+  h1 { font-size: 16px; margin: 0 0 12px; letter-spacing: .05em; }
+  label { display: block; font-size: 11px; color: #9a9aa2; margin: 10px 0 2px;
+          text-transform: uppercase; letter-spacing: .06em; }
+  textarea, input, select { width: 100%; box-sizing: border-box;
+    background: #26262c; color: #e8e8ea; border: 1px solid #3a3a42;
+    border-radius: 6px; padding: 6px 8px; font-size: 13px; }
+  textarea { height: 64px; resize: vertical; }
+  .row { display: flex; gap: 8px; } .row > div { flex: 1; }
+  button { background: #4953e8; color: white; border: 0; border-radius: 6px;
+    padding: 10px 14px; font-size: 14px; cursor: pointer; margin-top: 14px;
+    width: 100%; }
+  button:disabled { background: #333; color: #777; }
+  button.small { width: auto; padding: 4px 10px; font-size: 12px;
+    margin: 4px 4px 0 0; background: #2e2e36; }
+  #status { font-size: 12px; color: #8fd18f; min-height: 18px;
+    margin-top: 10px; white-space: pre-wrap; }
+  #tokens { font-size: 11px; color: #9a9aa2; margin-top: 4px; }
+  #gallery { display: flex; flex-wrap: wrap; gap: 12px; }
+  .card { background: #1e1e22; border: 1px solid #333; border-radius: 8px;
+    padding: 8px; max-width: 270px; }
+  .card img { max-width: 256px; border-radius: 4px; display: block; }
+  .card .meta { font-size: 10px; color: #9a9aa2; margin-top: 6px;
+    max-height: 48px; overflow: hidden; }
+  .tabs { display: flex; gap: 6px; margin-bottom: 12px; }
+  .tabs button { width: auto; margin: 0; padding: 6px 14px;
+    background: #26262c; }
+  .tabs button.active { background: #4953e8; }
+  .err { color: #e88; }
+</style>
+</head>
+<body>
+<div id="panel">
+  <h1>CREMAGE-TPU</h1>
+  <label>Prompt</label>
+  <textarea id="prompt" oninput="countTokens()">a photograph of an astronaut riding a horse</textarea>
+  <div id="tokens"></div>
+  <label>Negative prompt</label>
+  <textarea id="negative"></textarea>
+  <label>Model</label>
+  <select id="model"></select>
+  <div class="row">
+    <div><label>Sampler</label><select id="sampler"></select></div>
+    <div><label>Steps</label><input id="steps" type="number" value="20"></div>
+  </div>
+  <div class="row">
+    <div><label>Width</label><input id="W" type="number" value="512" step="8"></div>
+    <div><label>Height</label><input id="H" type="number" value="512" step="8"></div>
+  </div>
+  <div class="row">
+    <div><label>CFG scale</label><input id="scale" type="number" value="7.5" step="0.5"></div>
+    <div><label>Seed (-1 random)</label><input id="seed" type="number" value="-1"></div>
+  </div>
+  <div class="row">
+    <div><label>Batch</label><input id="n_samples" type="number" value="1"></div>
+    <div><label>Batches</label><input id="n_iter" type="number" value="1"></div>
+  </div>
+  <label>Checkpoint path (optional)</label>
+  <input id="ckpt" placeholder="uses preferences default">
+  <button id="go" onclick="generate()">Generate</button>
+  <div id="status"></div>
+</div>
+<div id="main">
+  <div class="tabs">
+    <button id="tab-results" class="active" onclick="showTab('results')">Results</button>
+    <button id="tab-library" onclick="showTab('library')">Library</button>
+  </div>
+  <div id="gallery"></div>
+</div>
+<script>
+const $ = id => document.getElementById(id);
+let tab = 'results';
+
+async function api(path, body) {
+  const opts = body ? {method: 'POST', body: JSON.stringify(body),
+                       headers: {'Content-Type': 'application/json'}} : {};
+  const r = await fetch(path, opts);
+  const j = await r.json();
+  if (!r.ok) throw new Error(j.error || r.status);
+  return j;
+}
+
+async function boot() {
+  try {
+    const m = await api('/v1/meta');
+    for (const t of m.model_types) {
+      const o = document.createElement('option'); o.textContent = t;
+      $('model').appendChild(o);
+    }
+    for (const s of m.samplers) {
+      const o = document.createElement('option'); o.textContent = s;
+      if (s === 'Euler A') o.selected = true;
+      $('sampler').appendChild(o);
+    }
+  } catch (e) { $('status').textContent = 'meta failed: ' + e; }
+  countTokens();
+  poll();
+}
+
+let tokTimer;
+function countTokens() {
+  clearTimeout(tokTimer);
+  tokTimer = setTimeout(async () => {
+    try {
+      const t = await api('/v1/tools/tokenize', {prompt: $('prompt').value});
+      $('tokens').textContent = t.total_tokens + ' tokens / ' +
+        t.chunks + ' chunk(s)';
+    } catch (e) { /* non-fatal */ }
+  }, 250);
+}
+
+async function generate() {
+  $('go').disabled = true;
+  $('status').textContent = 'submitting…';
+  $('status').className = '';
+  try {
+    await api('/v1/generate', {
+      generator_model_type: $('model').value,
+      prompt: $('prompt').value,
+      negative_prompt: $('negative').value,
+      sampler: $('sampler').value,
+      sampling_steps: parseInt($('steps').value),
+      W: parseInt($('W').value), H: parseInt($('H').value),
+      scale: parseFloat($('scale').value),
+      seed: parseInt($('seed').value),
+      n_samples: parseInt($('n_samples').value),
+      n_iter: parseInt($('n_iter').value),
+      ckpt: $('ckpt').value || undefined,
+    });
+    $('status').textContent = 'queued';
+  } catch (e) {
+    $('status').textContent = String(e);
+    $('status').className = 'err';
+    $('go').disabled = false;
+  }
+}
+
+function addCard(src, meta, extra) {
+  const card = document.createElement('div'); card.className = 'card';
+  const img = document.createElement('img'); img.src = src;
+  card.appendChild(img);
+  if (meta) {
+    const d = document.createElement('div'); d.className = 'meta';
+    d.textContent = meta; card.appendChild(d);
+  }
+  if (extra) card.appendChild(extra);
+  $('gallery').prepend(card);
+}
+
+async function poll() {
+  try {
+    const s = await api('/v1/status');
+    for (const m of s.messages) {
+      if (typeof m === 'string') { $('status').textContent = m; continue; }
+      if (m.image_b64 && tab === 'results')
+        addCard('data:image/png;base64,' + m.image_b64,
+                m.generation_parameters);
+      if (m.job_done !== undefined) {
+        $('status').textContent = m.ok ? 'done' : ('failed: ' + m.error);
+        $('status').className = m.ok ? '' : 'err';
+        $('go').disabled = false;
+      }
+    }
+  } catch (e) { /* server restarting */ }
+  setTimeout(poll, 800);
+}
+
+async function showTab(t) {
+  tab = t;
+  $('tab-results').className = t === 'results' ? 'active' : '';
+  $('tab-library').className = t === 'library' ? 'active' : '';
+  $('gallery').innerHTML = '';
+  if (t === 'library') {
+    try {
+      const l = await api('/v1/images');
+      for (const it of l.images) {
+        const p = it.path;
+        const row = document.createElement('div');
+        const fav = document.createElement('button');
+        fav.className = 'small'; fav.textContent = '★ favorite';
+        fav.onclick = () => api('/v1/images/favorite', {path: p});
+        const del = document.createElement('button');
+        del.className = 'small'; del.textContent = '🗑 trash';
+        del.onclick = e => { api('/v1/images/trash', {path: p});
+                             e.target.closest('.card').remove(); };
+        row.appendChild(fav); row.appendChild(del);
+        addCard('/v1/images/file?path=' + encodeURIComponent(p), p, row);
+      }
+    } catch (e) { $('status').textContent = String(e); }
+  }
+}
+
+boot();
+</script>
+</body>
+</html>
+"""

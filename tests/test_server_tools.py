@@ -203,3 +203,23 @@ def test_server_rejects_oversized_or_undecodable_image(server):
                       {"method": "canny", "image": "!!notb64!!"}) == 400
     out = _req(server, "/v1/health")
     assert out["ok"]
+
+
+def test_server_webui_and_meta(server):
+    # thin client page served at /
+    url = f"http://127.0.0.1:{server.port}/"
+    html = urllib.request.urlopen(url, timeout=10).read().decode()
+    assert "<!doctype html>" in html and "/v1/generate" in html
+    # meta enumerates model types + samplers for the UI dropdowns
+    meta = _req(server, "/v1/meta")
+    assert "SD 1.5" in meta["model_types"]
+    assert "Euler A" in meta["samplers"] and "DDIM" in meta["samplers"]
+
+
+def test_server_image_file_guard(server):
+    # only files inside the image library root are served
+    url = (f"http://127.0.0.1:{server.port}/v1/images/file"
+           f"?path=/etc/passwd")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(url, timeout=10)
+    assert ei.value.code == 404
