@@ -92,12 +92,12 @@ def _is_tpu() -> bool:
 def _pallas_enabled() -> bool:
     """Opt-in gate (CREMAGE_TPU_GN_PALLAS=1), default OFF.
 
-    Device findings on v5e (libtpu via the axon tunnel): the original
-    in-kernel (HW, C) -> (HW, G, C/G) reshape fails Mosaic layout
-    inference for SD channel counts, and the matmul-based variant
-    compiles pathologically slowly. XLA already fuses GN+SiLU well, so
-    the fallback is the production path; the kernel stays for future
-    libtpu versions and as the interpret-mode-tested reference."""
+    Device findings on v5e (re-checked this round): the matmul-stat
+    kernel now COMPILES on current libtpu (~38 s Mosaic compile) and
+    runs correctly, but at ~62 us/op it loses to the rewritten XLA path
+    below (matmul group stats + bf16 fused epilogue, ~15 us in-graph),
+    so XLA stays the production path and the kernel remains the
+    interpret-mode-tested reference."""
     import os
 
     return os.environ.get("CREMAGE_TPU_GN_PALLAS", "0").lower() in (
