@@ -25,17 +25,17 @@ def test_first_init_and_library_ops(tmp_path):
 
 def test_llm_interactor_gate_and_backend():
     it = LLMInteractor()
-    with pytest.raises(LLMUnavailable):
+    with pytest.raises(LLMUnavailable):   # no weights, internet gated off
         it.chat("hi")
 
-    def backend(history, image):
-        return f"echo:{history[-1][1]}:{image is not None}"
+    def backend(prompt, image):
+        return prompt + f" ECHO:{image is not None}"
 
     it2 = LLMInteractor(backend)
     out = it2.chat("hello")
-    assert out == "echo:hello:False"
+    assert out == "ECHO:False"
     cap = it2.caption(np.zeros((4, 4, 3), np.float32))
     assert cap.endswith(":True")
-    assert len(it2.history) == 4
+    assert len(it2.content) == 4
     it2.reset()
-    assert it2.history == []
+    assert it2.raw_history == [] and it2.content == []
