@@ -141,7 +141,9 @@ def group_norm_silu(
                          preferred_element_type=jnp.float32) @ \
         m.astype(jnp.float32)                          # (B, G)
     mean_g = sum_g / count
-    var_g = sumsq_g / count - mean_g * mean_g
+    # one-pass moments can cancel to small negatives when |mean| >> std
+    # (saw NaNs via rsqrt on random-init test models) — clamp at 0
+    var_g = jnp.maximum(sumsq_g / count - mean_g * mean_g, 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)                 # (B, G)
     # per-channel affine folded with the group stats: one fused epilogue
     mt = m.astype(jnp.float32).T

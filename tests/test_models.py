@@ -208,3 +208,26 @@ def test_causal_mask_effect():
         np.asarray(a[:, :2]), np.asarray(b[:, :2]), atol=1e-6
     )
     assert not np.allclose(np.asarray(a[:, 2:]), np.asarray(b[:, 2:]))
+
+
+def test_vae_upsample_phase_fold_matches_repeat_conv():
+    """UpsampleVAE's folded 2x2-phase conv must equal nearest-repeat +
+    3x3 conv exactly (same params, fp32)."""
+    import flax.linen as nn
+
+    from cremage_tpu.models.layers import Conv
+    from cremage_tpu.models.vae import UpsampleVAE
+
+    m = UpsampleVAE(16, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (2, 9, 7, 12), jnp.float32)
+    p = m.init(jax.random.key(1), x)
+
+    class Ref(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            return Conv(16, name="conv", dtype=jnp.float32)(x)
+
+    got = np.asarray(m.apply(p, x))
+    want = np.asarray(Ref().apply(p, x))
+    np.testing.assert_allclose(got, want, atol=1e-5)
