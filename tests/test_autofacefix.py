@@ -2,10 +2,12 @@
 stateless pipeline (the reference's hardest aux flow, SURVEY §7 hard
 part 7)."""
 import numpy as np
+import pytest
 
 from cremage_tpu.services.facefix import FaceBox, auto_face_fixer
 
 
+@pytest.mark.slow
 def test_auto_face_fixer_reenters_pipeline():
     from tests.test_pipeline_sd15 import base_opts, make_bundle
     from cremage_tpu.pipelines.sd15 import SD15Pipeline

@@ -27,6 +27,7 @@ def tiny_cfg(**kw):
                       **kw)
 
 
+@pytest.mark.slow
 def test_bert_parity_with_transformers():
     import torch
     from transformers import BertConfig as HFConfig

@@ -17,6 +17,7 @@ def tiny_cfg():
     )
 
 
+@pytest.mark.slow
 def test_controlnet_residual_shapes():
     cfg = tiny_cfg()
     cn = ControlNet(cfg)
@@ -33,6 +34,7 @@ def test_controlnet_residual_shapes():
     assert mid.shape == (2, 4, 4, 64)
 
 
+@pytest.mark.slow
 def test_controlnet_pipeline_integration():
     """Full txt2img with a ControlNet attached; zero-hint + random zero
     convs must still produce finite output and differ from no-control."""

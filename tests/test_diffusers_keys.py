@@ -3,6 +3,7 @@ state dict, convert, load into our module, run."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cremage_tpu.io import checkpoint as CK
 from cremage_tpu.io.diffusers_keys import pixart_from_diffusers
@@ -741,6 +742,7 @@ def test_cascade_unet_from_diffusers_loads_and_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_cascade_stage_b_from_diffusers_loads_and_runs():
     """Stage B round-trip: narrow levels without attention, effnet
     channel conditioning, single 'sca' extra cond."""

@@ -275,6 +275,7 @@ TINY = DPTConfig(stem_ch=8, stage_blocks=(1, 1, 1), vit_dim=32,
                  features=16, patch_grid=4)  # grid 4 = 64px/16
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("hw", [(64, 64), (96, 64)])
 def test_dpt_hybrid_parity(hw):
     torch.manual_seed(0)

@@ -204,6 +204,7 @@ def test_sdxl_txt2img_end_to_end(sdxl_bundle):
     assert any("Sampling 1 / 3" in m for m in msgs)
 
 
+@pytest.mark.slow
 def test_sdxl_with_refiner(sdxl_bundle):
     pipe = SDXLPipeline(sdxl_bundle)
     results = pipe.generate(xl_opts(refiner_strength=0.3, sampling_steps=4))

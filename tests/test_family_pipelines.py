@@ -157,6 +157,7 @@ def test_kandinsky_real_decoder_architecture_end_to_end():
 
 # ---------------- Cascade ----------------------------------------------------
 
+@pytest.mark.slow
 def test_cascade_txt2img():
     ccfg = stage_c_config(text_dim=TD, dtype=jnp.float32, model_channels=32,
                           num_res_blocks=1, num_heads=4)
@@ -182,6 +183,7 @@ def test_cascade_txt2img():
     assert img.shape == (64, 64, 3) and np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_cascade_real_wuerstchen_cores_end_to_end():
     """Full pipeline through the real Würstchen block anatomy (depthwise
     ResBlock + GRN, timestep gates, added-KV attention)."""
@@ -213,6 +215,7 @@ def test_cascade_real_wuerstchen_cores_end_to_end():
 
 # ---------------- Hunyuan ----------------------------------------------------
 
+@pytest.mark.slow
 def test_hunyuan_txt2img():
     hcfg = HunyuanConfig(hidden_size=32, depth=4, num_heads=4, clip_dim=TD,
                          mt5_dim=TD, mlp_ratio=2.0, dtype=jnp.float32)

@@ -222,6 +222,7 @@ def test_warp_matches_grid_sample():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_film_net_parity():
     torch.manual_seed(0)
     oracle = OracleFilm(TINY).eval()

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
@@ -14,6 +15,7 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)  # asserts internally (DP + TP legs)
 
 
+@pytest.mark.slow
 def test_entry_compiles_cpu():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g

@@ -110,6 +110,7 @@ def test_lpips_matches_torch_reference(net):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_lpips_zero_for_identical_and_monotone_in_noise():
     m = LPIPS.random(net="alex", seed=1)
     rng = np.random.default_rng(0)

@@ -82,6 +82,7 @@ def test_clip_text_param_count_golden():
     assert count_params(shapes) == 123_060_480
 
 
+@pytest.mark.slow
 def test_tiny_unet_forward_shapes():
     cfg = tiny_unet_cfg()
     model = U.UNetModel(cfg)

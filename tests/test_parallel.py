@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cremage_tpu.core.mesh import data_sharding, make_mesh, replicate_params
@@ -40,6 +41,7 @@ def test_tp_spec_rules():
     assert tp_spec_for(("norm", "weight"), jnp.zeros((32,))) == P()
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device(mesh8):
     model, params, args = tiny_unet()
     ref = np.asarray(model.apply(params, *args), np.float32)

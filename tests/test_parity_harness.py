@@ -100,6 +100,7 @@ def test_roundtrip_through_loader_is_exact(dummy_ckpt):
                 err_msg=str(k))
 
 
+@pytest.mark.slow
 def test_harness_end_to_end_self_parity(dummy_ckpt, tmp_path):
     """Render goldens from the dummy ckpt, re-run in compare mode: the
     same seeds must reproduce exactly (PSNR fallback path, no LPIPS

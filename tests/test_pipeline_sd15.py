@@ -90,6 +90,7 @@ def test_txt2img_seed_reproducible(bundle):
     assert np.abs(a - c).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_txt2img_batch_and_iter(bundle):
     pipe = SD15Pipeline(bundle)
     results = pipe.generate(base_opts(n_samples=2, n_iter=2))
@@ -145,6 +146,7 @@ def test_inpaint(inpaint_bundle):
     assert np.abs(img[24:40, 24:40] - init01[24:40, 24:40]).max() > 0.01
 
 
+@pytest.mark.slow
 def test_hires_fix_latent(bundle):
     pipe = SD15Pipeline(bundle)
     opts = base_opts(use_hires_fix=True, hires_fix_scale_factor=2.0,
@@ -203,6 +205,7 @@ def test_generation_metadata_roundtrip(bundle, tmp_path):
 
 @pytest.mark.parametrize("sampler", ["Euler", "DPM++ 2M", "DPM++ 2M SDE",
                                      "LMS", "Heun"])
+@pytest.mark.slow
 def test_img2img_sampler_sweep(bundle, sampler):
     """img2img sigma-truncation path across sampler families (scan
     peeling at small truncated step counts is the risky code)."""

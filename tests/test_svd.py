@@ -50,6 +50,7 @@ def test_alpha_blender_learned_with_images():
     np.testing.assert_allclose(np.asarray(out2[:, 0]), 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_video_unet_forward():
     m, params = tiny_video_unet()
     out = m.apply(params, jnp.zeros((T, 8, 8, 8)), jnp.zeros((T,)),
