@@ -238,7 +238,8 @@ class ApiServer:
 
                     return self._reply_raw(200, INDEX_HTML.encode(),
                                            "text/html; charset=utf-8")
-                if method == "GET" and parsed.path == "/v1/images/file":
+                if method == "GET" and parsed.path in (
+                        "/v1/images/file", "/v1/images/meta"):
                     import os as _os
 
                     from cremage_tpu.app import dirs as D
@@ -251,6 +252,16 @@ class ApiServer:
                     if (not rp.startswith(root + _os.sep)
                             or not _os.path.isfile(rp)):
                         return self._reply(404, {"error": "not found"})
+                    if parsed.path == "/v1/images/meta":
+                        # "Use generation info": replay a past image's
+                        # parameters (reference generate_handler.py:274)
+                        from cremage_tpu.io.metadata import (
+                            read_generation_data,
+                        )
+
+                        return self._reply(
+                            200, {"generation_data":
+                                  read_generation_data(rp)})
                     with open(rp, "rb") as f:
                         return self._reply_raw(200, f.read(), "image/png")
                 length = int(self.headers.get("Content-Length") or 0)

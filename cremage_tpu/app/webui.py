@@ -205,7 +205,24 @@ async function showTab(t) {
         del.className = 'small'; del.textContent = '🗑 trash';
         del.onclick = e => { api('/v1/images/trash', {path: p});
                              e.target.closest('.card').remove(); };
-        row.appendChild(fav); row.appendChild(del);
+        const use = document.createElement('button');
+        use.className = 'small'; use.textContent = '↺ use settings';
+        use.onclick = async () => {
+          const m = await api('/v1/images/meta?path=' +
+                              encodeURIComponent(p));
+          const g = m.generation_data;
+          if (!g) { $('status').textContent = 'no metadata'; return; }
+          const map = {prompt: 'prompt', negative_prompt: 'negative',
+                       sampler: 'sampler', sampling_steps: 'steps',
+                       W: 'W', H: 'H', scale: 'scale', seed: 'seed',
+                       n_samples: 'n_samples', n_iter: 'n_iter',
+                       generator_model_type: 'model'};
+          for (const [k, id] of Object.entries(map))
+            if (g[k] !== undefined && $(id)) $(id).value = g[k];
+          $('status').textContent = 'settings loaded from ' + p;
+          countTokens();
+        };
+        row.appendChild(fav); row.appendChild(del); row.appendChild(use);
         addCard('/v1/images/file?path=' + encodeURIComponent(p), p, row);
       }
     } catch (e) { $('status').textContent = String(e); }

@@ -1,7 +1,9 @@
 import base64
 import io
 import json
+import os
 import time
+import urllib.parse
 import urllib.request
 
 import numpy as np
@@ -223,3 +225,22 @@ def test_server_image_file_guard(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(url, timeout=10)
     assert ei.value.code == 404
+
+
+def test_server_image_meta_replay(server, tmp_path):
+    """'Use generation info' endpoint: metadata of a library image is
+    returned for form replay (reference generate_handler.py:274-279)."""
+    from PIL import Image
+
+    from cremage_tpu.app import dirs as D
+    from cremage_tpu.io.metadata import save_png_with_metadata
+
+    root = D.first_init()
+    p = os.path.join(root, "outputs", "meta_test.png")
+    save_png_with_metadata(
+        Image.new("RGB", (8, 8)), p,
+        {"prompt": "replayed", "sampling_steps": 12})
+    out = _req(server, "/v1/images/meta?path=" + urllib.parse.quote(p))
+    assert out["generation_data"]["prompt"] == "replayed"
+    assert out["generation_data"]["sampling_steps"] == 12
+    os.remove(p)
