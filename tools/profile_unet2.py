@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Dispatch-free microbenchmarks: every op is iterated REPS times inside
-one jitted program (chained on data), so the axon tunnel's ~ms per-call
-dispatch latency is amortized away. Prints achieved TF/s / GB/s."""
+one jitted program (chained on data), so the axon tunnel's ~30 ms
+per-dispatch latency is amortized away. Prints achieved TF/s / GB/s.
+
+CAVEAT: even chained, the fixed dispatch cost is divided by REPS — for
+sub-ms ops prefer differential timing ((T(2N) - T(N)) / N) or the xprof
+op-stats route in tools/profile_ablate.py, which is the ground truth."""
 import os
 import sys
 import time
