@@ -10,6 +10,7 @@ the outputs dir, consumable from the HTTP API.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import time
 from typing import Dict, List, Optional
@@ -61,3 +62,40 @@ def trash_image(root: str, path: str) -> str:
         dest = os.path.join(root, "trash", f"{stem}_{int(time.time())}{ext}")
     shutil.move(path, dest)
     return dest
+
+
+# ---- face storage (reference app_misc_utils.py:25-76: FaceID source
+# faces saved as data/faces/face_NNNNNN.png with the next sequential id;
+# drag-and-drop and the face input view both feed it) ----
+
+_FACE_RE = re.compile(r"face_([0-9]+).png")
+
+
+def next_face_file_id(files: List[str]) -> int:
+    """Reference get_next_file_id_from_list_of_file_names_with_numbers
+    semantics (golden-tested): max existing face_N id + 1, else 0."""
+    ids = [int(m.group(1)) for f in files
+           for m in [_FACE_RE.search(f)] if m]
+    return max(ids) + 1 if ids else 0
+
+
+def save_face_image(root: str, image01) -> str:
+    """Store a FaceID source face into data/faces with the next id."""
+    import numpy as _np
+    from PIL import Image
+
+    d = os.path.join(root, "data", "faces")
+    os.makedirs(d, exist_ok=True)
+    new_id = next_face_file_id(os.listdir(d))
+    path = os.path.join(d, f"face_{new_id:06d}.png")
+    Image.fromarray(
+        (_np.clip(image01, 0, 1) * 255).astype(_np.uint8)).save(path)
+    return path
+
+
+def list_faces(root: str) -> List[str]:
+    d = os.path.join(root, "data", "faces")
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.path.join(d, f) for f in os.listdir(d)
+                  if _FACE_RE.search(f))

@@ -200,6 +200,15 @@ class ApiServer:
         if path.startswith("/v1/images/file") and method == "GET":
             # raw bytes handled in _dispatch (non-JSON reply)
             return None
+        if path == "/v1/faces" and method == "GET":
+            from cremage_tpu.app import dirs as D
+
+            return {"faces": D.list_faces(D.first_init())}
+        if path == "/v1/faces" and method == "POST":
+            from cremage_tpu.app import dirs as D
+
+            img = _b64_to_image(body["image"])
+            return {"path": D.save_face_image(D.first_init(), img)}
         if path == "/v1/images/trash" and method == "POST":
             from cremage_tpu.app import dirs as D
 

@@ -39,3 +39,24 @@ def test_llm_interactor_gate_and_backend():
     assert len(it2.content) == 4
     it2.reset()
     assert it2.raw_history == [] and it2.content == []
+
+
+def test_face_storage_reference_goldens(tmp_path):
+    """Reference app_misc_utils_test.py cases for face-file id
+    assignment, plus save/list round-trip."""
+    from cremage_tpu.app import dirs as D
+
+    assert D.next_face_file_id([]) == 0
+    assert D.next_face_file_id(["hello.txt"]) == 0
+    assert D.next_face_file_id(["hello.txt", "face_000000.png"]) == 1
+    assert D.next_face_file_id(
+        ["face_000001.png", "hello.txt", "face_000000.png"]) == 2
+    assert D.next_face_file_id(
+        ["face_1.png", "hello.txt", "face_000000.png"]) == 2
+
+    root = str(tmp_path)
+    img = np.random.RandomState(0).uniform(0, 1, (16, 16, 3))
+    p1 = D.save_face_image(root, img)
+    p2 = D.save_face_image(root, img)
+    assert p1.endswith("face_000000.png") and p2.endswith("face_000001.png")
+    assert D.list_faces(root) == [p1, p2]

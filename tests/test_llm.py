@@ -87,3 +87,12 @@ def test_transformers_backend_generate_path():
     it = LLMInteractor(backend=be)
     out = it.caption(np.zeros((8, 8, 3), np.float32))
     assert out == "decoded-reply"
+
+
+def test_extract_response_reference_golden():
+    """Exact case from the reference's llm_interactor_test.py."""
+    expected = ("That's great! Dogs are wonderful companions. "
+                "What kind of dog is Jean?")
+    raw = ("\n[INST] I'm Tom. [/INST] Hello Tom! How can I help you today?"
+           "\n\n[INST] I have a dog named Jean.  [/INST] " + expected)
+    assert extract_response(raw) == expected

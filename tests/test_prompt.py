@@ -288,3 +288,20 @@ def test_score_multiline_word_count():
         "\n\n        \n        \n        "
     out = compute_prompt_score(text)
     assert len(out) == 72
+
+
+def test_split_token_reference_goldens():
+    """Exact cases from the reference's token_process_helper_test.py
+    (score_1..score_4): double tags, and the missing-'>' fallback."""
+    s, b = split_token_with_embedding_tags("helloworld")
+    assert (s, b) == (["helloworld"], [False])
+    s, b = split_token_with_embedding_tags("hello<embedding:foo.bin>world")
+    assert (s, b) == (["hello", "<embedding:foo.bin>", "world"],
+                      [False, True, False])
+    s, b = split_token_with_embedding_tags("hello<embedding:foo.binworld")
+    assert (s, b) == (["hello<embedding:foo.binworld"], [False])
+    s, b = split_token_with_embedding_tags(
+        "hello<embedding:foo.bin>world<embedding:bar.pt>")
+    assert (s, b) == (
+        ["hello", "<embedding:foo.bin>", "world", "<embedding:bar.pt>"],
+        [False, True, False, True])
