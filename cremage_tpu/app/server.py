@@ -46,6 +46,25 @@ MAX_BATCH = 64
 MAX_B64_BYTES = 64 * 1024 * 1024
 
 
+# job-dict envelope keys (reference mp protocol); everything else is a
+# generation parameter and belongs under job["parameters"]
+_JOB_ENVELOPE_KEYS = ("type", "generator_model_type", "mode", "parameters")
+
+
+def _normalize_generate(body: dict) -> dict:
+    """Accept both the reference job shape ({"generator_model_type",
+    "mode", "parameters": {...}}) and a flat dict with generation
+    fields at the top level (folded into "parameters") — the worker
+    only reads job["parameters"]."""
+    job = {k: body[k] for k in _JOB_ENVELOPE_KEYS if k in body}
+    extra = {k: v for k, v in body.items() if k not in _JOB_ENVELOPE_KEYS}
+    params = dict(job.get("parameters") or {})
+    for k, v in extra.items():
+        params.setdefault(k, v)
+    job["parameters"] = params
+    return job
+
+
 def _validate_generate(body) -> Optional[str]:
     from cremage_tpu.core.config import GENERATOR_MODEL_TYPES
 
@@ -55,18 +74,26 @@ def _validate_generate(body) -> Optional[str]:
     if gmt is not None and gmt not in GENERATOR_MODEL_TYPES:
         return (f"unknown generator_model_type {gmt!r}; "
                 f"one of {GENERATOR_MODEL_TYPES}")
+    params = body.get("parameters")
+    if params is not None and not isinstance(params, dict):
+        return "parameters must be a JSON object"
+    p = dict(params or {})
+    # flat form: generation fields may ride at the top level
+    for k, v in body.items():
+        if k not in _JOB_ENVELOPE_KEYS:
+            p.setdefault(k, v)
     for dim in ("H", "W"):
-        v = body.get(dim)
+        v = p.get(dim)
         if v is None:
             continue
         if not isinstance(v, int) or not (8 <= v <= MAX_EDGE) or v % 8:
             return f"{dim} must be a multiple of 8 in [8, {MAX_EDGE}]"
-    steps = body.get("sampling_steps")
+    steps = p.get("sampling_steps")
     if steps is not None and (not isinstance(steps, int)
                               or not 1 <= steps <= MAX_STEPS):
         return f"sampling_steps must be an int in [1, {MAX_STEPS}]"
     for k in ("n_samples", "n_iter"):
-        v = body.get(k)
+        v = p.get(k)
         if v is not None and (not isinstance(v, int)
                               or not 1 <= v <= MAX_BATCH):
             return f"{k} must be an int in [1, {MAX_BATCH}]"
@@ -132,7 +159,7 @@ class ApiServer:
             if err:
                 raise BadRequest(err)
             self._job_counter += 1
-            job = dict(body)
+            job = _normalize_generate(body)
             job.setdefault("type", MP_MESSAGE_TYPE_INFERENCE)
             self.worker.submit(job)
             return {"job_id": self._job_counter}

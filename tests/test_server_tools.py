@@ -244,3 +244,24 @@ def test_server_image_meta_replay(server, tmp_path):
     assert out["generation_data"]["prompt"] == "replayed"
     assert out["generation_data"]["sampling_steps"] == 12
     os.remove(p)
+
+
+def test_server_flat_generate_reaches_backend(server):
+    """The browser client posts generation fields at the top level; the
+    worker only reads job["parameters"] — the server must fold them in."""
+    out = _req(server, "/v1/generate", {
+        "generator_model_type": "SD 1.5",
+        "prompt": "flat form works",
+        "H": 512, "W": 512,
+    })
+    assert out["job_id"] >= 1
+    msgs = []
+    for _ in range(50):
+        time.sleep(0.1)
+        msgs += _req(server, "/v1/status")["messages"]
+        if any(isinstance(m, dict) and "job_done" in m for m in msgs):
+            break
+    imgs = [m for m in msgs if isinstance(m, dict) and "image_b64" in m]
+    assert imgs, msgs
+    meta = json.loads(imgs[-1]["generation_parameters"])
+    assert meta["prompt"] == "flat form works"
