@@ -227,6 +227,23 @@ class ApiServer:
         if path.startswith("/v1/images/file") and method == "GET":
             # raw bytes handled in _dispatch (non-JSON reply)
             return None
+        if path == "/v1/upload" and method == "POST":
+            # stage an input image (init_img / mask_img / control image)
+            # into the library tmp dir and return its server path — the
+            # backends consume file paths (reference job protocol)
+            import uuid
+
+            from PIL import Image
+
+            from cremage_tpu.app import dirs as D
+
+            img = _b64_to_image(body["image"])
+            root = D.first_init()
+            name = f"upload_{uuid.uuid4().hex[:12]}.png"
+            p2 = __import__("os").path.join(root, "tmp", name)
+            Image.fromarray(
+                (np.clip(img, 0, 1) * 255).astype(np.uint8)).save(p2)
+            return {"path": p2}
         if path == "/v1/faces" and method == "GET":
             from cremage_tpu.app import dirs as D
 

@@ -79,6 +79,20 @@ INDEX_HTML = """<!doctype html>
   </div>
   <label>Checkpoint path (optional)</label>
   <input id="ckpt" placeholder="uses preferences default">
+  <div class="row">
+    <div><label>Mode</label>
+      <select id="mode">
+        <option value="text_to_image">txt2img</option>
+        <option value="image_to_image">img2img</option>
+        <option value="inpainting">inpaint</option>
+      </select></div>
+    <div><label>Strength</label>
+      <input id="strength" type="number" value="0.75" step="0.05"></div>
+  </div>
+  <label>Init image (img2img / inpaint)</label>
+  <input id="init_file" type="file" accept="image/*">
+  <label>Mask image (inpaint; white = repaint)</label>
+  <input id="mask_file" type="file" accept="image/*">
   <button id="go" onclick="generate()">Generate</button>
   <div id="status"></div>
 </div>
@@ -131,12 +145,29 @@ function countTokens() {
   }, 250);
 }
 
+async function uploadFile(inputId) {
+  const f = $(inputId).files[0];
+  if (!f) return undefined;
+  const b64 = await new Promise((res, rej) => {
+    const r = new FileReader();
+    r.onload = () => res(r.result.split(',')[1]);
+    r.onerror = rej; r.readAsDataURL(f);
+  });
+  const out = await api('/v1/upload', {image: b64});
+  return out.path;
+}
+
 async function generate() {
   $('go').disabled = true;
   $('status').textContent = 'submitting…';
   $('status').className = '';
   try {
+    const init_img = await uploadFile('init_file');
+    const mask_img = await uploadFile('mask_file');
     await api('/v1/generate', {
+      mode: $('mode').value,
+      init_img, mask_img,
+      strength: parseFloat($('strength').value),
       generator_model_type: $('model').value,
       prompt: $('prompt').value,
       negative_prompt: $('negative').value,

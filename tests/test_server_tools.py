@@ -265,3 +265,17 @@ def test_server_flat_generate_reaches_backend(server):
     assert imgs, msgs
     meta = json.loads(imgs[-1]["generation_parameters"])
     assert meta["prompt"] == "flat form works"
+
+
+def test_server_upload_roundtrip(server):
+    img = np.zeros((16, 16, 3), np.float32)
+    img[4:12, 4:12] = 1.0
+    out = _req(server, "/v1/upload", {"image": _image_to_b64(img)})
+    p = out["path"]
+    assert os.path.exists(p) and p.endswith(".png")
+    from PIL import Image
+
+    back = np.asarray(Image.open(p), np.float32) / 255.0
+    assert back.shape == (16, 16, 3)
+    np.testing.assert_allclose(back, img, atol=1 / 255)
+    os.remove(p)
