@@ -279,3 +279,21 @@ def test_server_upload_roundtrip(server):
     assert back.shape == (16, 16, 3)
     np.testing.assert_allclose(back, img, atol=1 / 255)
     os.remove(p)
+
+
+def test_webui_dom_ids_consistent():
+    """Every $('id') the page's JS references must exist as an element
+    id in the markup (static guard; no browser in CI)."""
+    import re
+
+    from cremage_tpu.app.webui import INDEX_HTML
+
+    dom_ids = set(re.findall(r'id="([\w-]+)"', INDEX_HTML))
+    used = set(re.findall(r"\$\('([\w-]+)'\)", INDEX_HTML))
+    missing = used - dom_ids
+    assert not missing, f"JS references unknown element ids: {missing}"
+    # the generate form fields the server folds into parameters
+    for fid in ("prompt", "negative", "model", "sampler", "steps", "W",
+                "H", "scale", "seed", "mode", "strength", "init_file",
+                "mask_file"):
+        assert fid in dom_ids, fid
