@@ -22,6 +22,7 @@ import base64
 import io
 import json
 import logging
+import os
 import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -240,7 +241,7 @@ class ApiServer:
             img = _b64_to_image(body["image"])
             root = D.first_init()
             name = f"upload_{uuid.uuid4().hex[:12]}.png"
-            p2 = __import__("os").path.join(root, "tmp", name)
+            p2 = os.path.join(root, "tmp", name)
             Image.fromarray(
                 (np.clip(img, 0, 1) * 255).astype(np.uint8)).save(p2)
             return {"path": p2}
