@@ -263,7 +263,7 @@ def bench_svd():
 LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd}
 
 
-def main():
+def main() -> int:
     lanes = os.environ.get("BENCH_LANES",
                            os.environ.get("BENCH_MODEL", "sd15,sdxl,svd"))
     names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
@@ -275,17 +275,22 @@ def main():
             LANES[names[0]]()
         except Exception:
             traceback.print_exc()
-        return
+            return 1          # a crashed lane must NOT look like success
+        return 0
     # one subprocess per lane: each model's params fill most of HBM, so
     # lanes must start from a clean device (and a crashing lane must not
     # take down the rest)
     import subprocess
     import sys
 
+    rc = 0
     for name in names:
         env = dict(os.environ, BENCH_LANES=name)
-        subprocess.run([sys.executable, os.path.abspath(__file__)], env=env)
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env)
+        rc = rc or r.returncode
+    return rc
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -68,7 +68,7 @@ def trash_image(root: str, path: str) -> str:
 # faces saved as data/faces/face_NNNNNN.png with the next sequential id;
 # drag-and-drop and the face input view both feed it) ----
 
-_FACE_RE = re.compile(r"face_([0-9]+).png")
+_FACE_RE = re.compile(r"^face_([0-9]+)\.png$")
 
 
 def next_face_file_id(files: List[str]) -> int:

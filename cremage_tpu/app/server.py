@@ -56,33 +56,32 @@ def _normalize_generate(body: dict) -> dict:
     """Accept both the reference job shape ({"generator_model_type",
     "mode", "parameters": {...}}) and a flat dict with generation
     fields at the top level (folded into "parameters") — the worker
-    only reads job["parameters"]."""
+    passes ONLY job["parameters"] to the backend, so mode and
+    generator_model_type are mirrored into it (GenerationOptions carries
+    both; backends read opts.mode to pick the inpaint model). JSON null
+    values are dropped so they never override GenerationOptions
+    defaults."""
     job = {k: body[k] for k in _JOB_ENVELOPE_KEYS if k in body}
     extra = {k: v for k, v in body.items() if k not in _JOB_ENVELOPE_KEYS}
     params = dict(job.get("parameters") or {})
     for k, v in extra.items():
         params.setdefault(k, v)
-    job["parameters"] = params
+    for k in ("mode", "generator_model_type"):
+        if k in job:
+            params.setdefault(k, job[k])
+    job["parameters"] = {k: v for k, v in params.items() if v is not None}
     return job
 
 
-def _validate_generate(body) -> Optional[str]:
+def _validate_generate(job) -> Optional[str]:
+    """Validates the NORMALIZED job (what the worker will consume)."""
     from cremage_tpu.core.config import GENERATOR_MODEL_TYPES
 
-    if not isinstance(body, dict):
-        return "body must be a JSON object"
-    gmt = body.get("generator_model_type")
+    gmt = job.get("generator_model_type")
     if gmt is not None and gmt not in GENERATOR_MODEL_TYPES:
         return (f"unknown generator_model_type {gmt!r}; "
                 f"one of {GENERATOR_MODEL_TYPES}")
-    params = body.get("parameters")
-    if params is not None and not isinstance(params, dict):
-        return "parameters must be a JSON object"
-    p = dict(params or {})
-    # flat form: generation fields may ride at the top level
-    for k, v in body.items():
-        if k not in _JOB_ENVELOPE_KEYS:
-            p.setdefault(k, v)
+    p = job["parameters"]
     for dim in ("H", "W"):
         v = p.get(dim)
         if v is None:
@@ -139,11 +138,20 @@ class ApiServer:
     def handle(self, method: str, path: str, body: Dict[str, Any]):
         if path == "/v1/meta":
             from cremage_tpu.core.config import GENERATOR_MODEL_TYPES
+            from cremage_tpu.samplers.edm import SGM_SAMPLER_NAMES
             from cremage_tpu.samplers.kdiffusion import SAMPLER_SCHEDULE
 
+            kdiff = ["DDIM"] + sorted(SAMPLER_SCHEDULE)
+            sgm = list(SGM_SAMPLER_NAMES)
+            # SDXL/SVD run the SGM sampler menu; everything else takes
+            # the k-diffusion/DDIM names (flow families ignore it)
+            by_type = {t: (sgm if t in ("SDXL", "SVD") else kdiff)
+                       for t in GENERATOR_MODEL_TYPES}
             return {
                 "model_types": list(GENERATOR_MODEL_TYPES),
-                "samplers": ["DDIM"] + sorted(SAMPLER_SCHEDULE),
+                "samplers": kdiff,
+                "sgm_samplers": sgm,
+                "samplers_by_type": by_type,
             }
         if path == "/v1/health":
             import jax
@@ -156,11 +164,16 @@ class ApiServer:
                 "metrics": METRICS.snapshot(),
             }
         if path == "/v1/generate" and method == "POST":
-            err = _validate_generate(body)
+            if not isinstance(body, dict):
+                raise BadRequest("body must be a JSON object")
+            if "parameters" in body and not isinstance(
+                    body["parameters"], dict):
+                raise BadRequest("parameters must be a JSON object")
+            job = _normalize_generate(body)
+            err = _validate_generate(job)
             if err:
                 raise BadRequest(err)
             self._job_counter += 1
-            job = _normalize_generate(body)
             job.setdefault("type", MP_MESSAGE_TYPE_INFERENCE)
             self.worker.submit(job)
             return {"job_id": self._job_counter}
@@ -225,9 +238,6 @@ class ApiServer:
 
             root = D.first_init()
             return {"favorite": D.favorite_image(root, body["path"])}
-        if path.startswith("/v1/images/file") and method == "GET":
-            # raw bytes handled in _dispatch (non-JSON reply)
-            return None
         if path == "/v1/upload" and method == "POST":
             # stage an input image (init_img / mask_img / control image)
             # into the library tmp dir and return its server path — the

@@ -203,13 +203,13 @@ def segment_for_inpaint(image01: np.ndarray, labels: Sequence[str],
                         cfg=None) -> np.ndarray:
     """Binary inpaint mask over the requested clothes-parser classes
     (reference tools/image_segmenter.py:32,90 — Segformer b2 clothes).
-    Weights via SEGFORMER_MODEL_PATH or the explicit argument (runtime
-    download in the reference as well)."""
-    import os
+    Weights resolve through the shared annotator chain (explicit -> env
+    -> cache -> lazy HF download), same as annotate('seg', ...)."""
+    from cremage_tpu.services.annotators import (
+        _segformer_for, resolve_annotator_weights,
+    )
 
-    from cremage_tpu.services.annotators import _segformer_for
-
-    weights_path = weights_path or os.environ.get("SEGFORMER_MODEL_PATH", "")
+    weights_path = resolve_annotator_weights("seg", weights_path)
     seg = _segformer_for(weights_path, cfg)
     img = (np.clip(image01, 0, 1) * 255).astype(np.uint8)
     cls = seg.class_map(img)

@@ -116,18 +116,32 @@ async function api(path, body) {
   return j;
 }
 
+let samplersByType = {};
+
+function fillSamplers() {
+  const menu = samplersByType[$('model').value] || [];
+  const prev = $('sampler').value;
+  $('sampler').innerHTML = '';
+  for (const s of menu) {
+    const o = document.createElement('option'); o.textContent = s;
+    $('sampler').appendChild(o);
+  }
+  const def = menu.includes(prev) ? prev
+    : (menu.includes('Euler A') ? 'Euler A'
+       : (menu.includes('EulerEDMSampler') ? 'EulerEDMSampler' : menu[0]));
+  if (def) $('sampler').value = def;
+}
+
 async function boot() {
   try {
     const m = await api('/v1/meta');
+    samplersByType = m.samplers_by_type || {};
     for (const t of m.model_types) {
       const o = document.createElement('option'); o.textContent = t;
       $('model').appendChild(o);
     }
-    for (const s of m.samplers) {
-      const o = document.createElement('option'); o.textContent = s;
-      if (s === 'Euler A') o.selected = true;
-      $('sampler').appendChild(o);
-    }
+    $('model').onchange = fillSamplers;
+    fillSamplers();
   } catch (e) { $('status').textContent = 'meta failed: ' + e; }
   countTokens();
   poll();
@@ -164,20 +178,24 @@ async function generate() {
   try {
     const init_img = await uploadFile('init_file');
     const mask_img = await uploadFile('mask_file');
+    const num = (id, d, f) => {
+      const v = (f || parseInt)($(id).value);
+      return Number.isFinite(v) ? v : d;
+    };
     await api('/v1/generate', {
       mode: $('mode').value,
       init_img, mask_img,
-      strength: parseFloat($('strength').value),
+      strength: num('strength', 0.75, parseFloat),
       generator_model_type: $('model').value,
       prompt: $('prompt').value,
       negative_prompt: $('negative').value,
       sampler: $('sampler').value,
-      sampling_steps: parseInt($('steps').value),
-      W: parseInt($('W').value), H: parseInt($('H').value),
-      scale: parseFloat($('scale').value),
-      seed: parseInt($('seed').value),
-      n_samples: parseInt($('n_samples').value),
-      n_iter: parseInt($('n_iter').value),
+      sampling_steps: num('steps', 20),
+      W: num('W', 512), H: num('H', 512),
+      scale: num('scale', 7.5, parseFloat),
+      seed: num('seed', -1),
+      n_samples: num('n_samples', 1),
+      n_iter: num('n_iter', 1),
       ckpt: $('ckpt').value || undefined,
     });
     $('status').textContent = 'queued';
@@ -209,8 +227,9 @@ async function poll() {
         addCard('data:image/png;base64,' + m.image_b64,
                 m.generation_parameters);
       if (m.job_done !== undefined) {
-        $('status').textContent = m.ok ? 'done' : ('failed: ' + m.error);
-        $('status').className = m.ok ? '' : 'err';
+        const jd = m.job_done || {};
+        $('status').textContent = jd.ok ? 'done' : ('failed: ' + jd.error);
+        $('status').className = jd.ok ? '' : 'err';
         $('go').disabled = false;
       }
     }

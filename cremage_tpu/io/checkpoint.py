@@ -61,15 +61,21 @@ def load_torch_ckpt(path: str) -> Dict[str, np.ndarray]:
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
-    if isinstance(obj, dict) and "state_dict" in obj:
-        obj = obj["state_dict"]
-    # training containers (e.g. the unblur CremageModelV6 ckpt,
-    # face_unblur.py:106 loads sd['model_state_dict'])
-    if isinstance(obj, dict) and "model_state_dict" in obj:
-        obj = obj["model_state_dict"]
-    # GFPGAN releases nest under params_ema (preferred) / params
-    if isinstance(obj, dict) and "params_ema" in obj:
-        obj = obj["params_ema"]
+
+    def _tensor_dict(v):
+        return (isinstance(v, dict) and v
+                and all(hasattr(x, "numpy") for x in v.values()))
+
+    # container unwrapping, guarded: only descend when the candidate is
+    # itself a flat dict of tensors (ldm 'state_dict', the unblur
+    # CremageModelV6 'model_state_dict' (face_unblur.py:106), GFPGAN/
+    # RealESRGAN 'params_ema'/'params') — a checkpoint that merely
+    # happens to carry one of these names next to real tensors is left
+    # alone
+    for key in ("state_dict", "model_state_dict", "params_ema", "params"):
+        if isinstance(obj, dict) and _tensor_dict(obj.get(key)):
+            obj = obj[key]
+            break
     out = {}
     for k, v in obj.items():
         if hasattr(v, "numpy"):

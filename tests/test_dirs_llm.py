@@ -60,3 +60,12 @@ def test_face_storage_reference_goldens(tmp_path):
     p2 = D.save_face_image(root, img)
     assert p1.endswith("face_000000.png") and p2.endswith("face_000001.png")
     assert D.list_faces(root) == [p1, p2]
+
+
+def test_face_regex_rejects_lookalikes():
+    from cremage_tpu.app import dirs as D
+
+    # unescaped-dot / unanchored lookalikes must not count
+    assert D.next_face_file_id(["face_123png"]) == 0
+    assert D.next_face_file_id(["face_12.png.bak", "preface_3.png"]) == 0
+    assert D.next_face_file_id(["face_000004.png"]) == 5

@@ -297,3 +297,28 @@ def test_webui_dom_ids_consistent():
                 "H", "scale", "seed", "mode", "strength", "init_file",
                 "mask_file"):
         assert fid in dom_ids, fid
+
+
+def test_generate_normalization_mirrors_envelope_and_drops_null():
+    from cremage_tpu.app.server import _normalize_generate
+
+    job = _normalize_generate({
+        "generator_model_type": "SDXL", "mode": "inpainting",
+        "sampling_steps": None, "prompt": "x",
+        "parameters": {"seed": 7},
+    })
+    p = job["parameters"]
+    # the worker passes ONLY parameters to the backend: mode and model
+    # type must ride inside it (backends read opts.mode for inpaint)
+    assert p["mode"] == "inpainting"
+    assert p["generator_model_type"] == "SDXL"
+    assert p["seed"] == 7 and p["prompt"] == "x"
+    # JSON nulls must not override GenerationOptions defaults
+    assert "sampling_steps" not in p
+
+
+def test_meta_samplers_by_type(server):
+    meta = _req(server, "/v1/meta")
+    assert "EulerEDMSampler" in meta["samplers_by_type"]["SDXL"]
+    assert "Euler A" in meta["samplers_by_type"]["SD 1.5"]
+    assert "EulerEDMSampler" in meta["sgm_samplers"]
