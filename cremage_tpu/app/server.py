@@ -132,6 +132,16 @@ class ApiServer:
         self.port = port
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._job_counter = 0
+        self._prompt_history = None
+
+    def _history(self):
+        if self._prompt_history is None:
+            from cremage_tpu.app import dirs as D
+            from cremage_tpu.prompt.history import PromptHistory
+
+            self._prompt_history = PromptHistory(
+                os.path.join(D.first_init(), "data", "prompt_history.json"))
+        return self._prompt_history
 
     # ----- route handlers -----
 
@@ -175,6 +185,14 @@ class ApiServer:
                 raise BadRequest(err)
             self._job_counter += 1
             job.setdefault("type", MP_MESSAGE_TYPE_INFERENCE)
+            prompt = job["parameters"].get("prompt")
+            if prompt:
+                # reference records every submitted prompt for the
+                # prompt-history viewer (utils/prompt_history.py)
+                try:
+                    self._history().add(prompt)
+                except Exception:
+                    logger.debug("prompt history update failed")
             self.worker.submit(job)
             return {"job_id": self._job_counter}
         if path == "/v1/status":
@@ -238,6 +256,33 @@ class ApiServer:
 
             root = D.first_init()
             return {"favorite": D.favorite_image(root, body["path"])}
+        if path == "/v1/history" and method == "GET":
+            # prompt-history viewer (reference ui prompt history)
+            return {"prompts": self._history().entries()}
+        if path == "/v1/tools/embeddings" and method == "POST":
+            # TI-embedding viewer (reference ui embedding viewer):
+            # list embedding files with their vector shapes
+            from cremage_tpu.io.ti import load_embedding
+
+            d = body.get("dir") or ""
+            out = []
+            if os.path.isdir(d):
+                for name in sorted(os.listdir(d)):
+                    if not name.lower().endswith(
+                            (".pt", ".bin", ".safetensors")):
+                        continue
+                    entry = {"name": name}
+                    try:
+                        emb = load_embedding(os.path.join(d, name))
+                        if isinstance(emb, dict):
+                            entry["shapes"] = {k: list(v.shape)
+                                               for k, v in emb.items()}
+                        else:
+                            entry["shape"] = list(np.asarray(emb).shape)
+                    except Exception as e:
+                        entry["error"] = str(e)
+                    out.append(entry)
+            return {"embeddings": out}
         if path == "/v1/upload" and method == "POST":
             # stage an input image (init_img / mask_img / control image)
             # into the library tmp dir and return its server path — the

@@ -57,6 +57,9 @@ INDEX_HTML = """<!doctype html>
   <label>Prompt</label>
   <textarea id="prompt" oninput="countTokens()">a photograph of an astronaut riding a horse</textarea>
   <div id="tokens"></div>
+  <select id="history" onchange="useHistory()">
+    <option value="">↩ prompt history…</option>
+  </select>
   <label>Negative prompt</label>
   <textarea id="negative"></textarea>
   <label>Model</label>
@@ -143,8 +146,26 @@ async function boot() {
     $('model').onchange = fillSamplers;
     fillSamplers();
   } catch (e) { $('status').textContent = 'meta failed: ' + e; }
+  loadHistory();
   countTokens();
   poll();
+}
+
+async function loadHistory() {
+  try {
+    const h = await api('/v1/history');
+    $('history').innerHTML = '<option value="">↩ prompt history…</option>';
+    for (const p of h.prompts.slice().reverse()) {
+      const o = document.createElement('option');
+      o.value = p; o.textContent = p.slice(0, 60);
+      $('history').appendChild(o);
+    }
+  } catch (e) { /* non-fatal */ }
+}
+
+function useHistory() {
+  const v = $('history').value;
+  if (v) { $('prompt').value = v; countTokens(); }
 }
 
 let tokTimer;
@@ -199,6 +220,7 @@ async function generate() {
       ckpt: $('ckpt').value || undefined,
     });
     $('status').textContent = 'queued';
+    loadHistory();
   } catch (e) {
     $('status').textContent = String(e);
     $('status').className = 'err';

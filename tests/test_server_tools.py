@@ -322,3 +322,23 @@ def test_meta_samplers_by_type(server):
     assert "EulerEDMSampler" in meta["samplers_by_type"]["SDXL"]
     assert "Euler A" in meta["samplers_by_type"]["SD 1.5"]
     assert "EulerEDMSampler" in meta["sgm_samplers"]
+
+
+def test_prompt_history_and_embedding_viewer(server, tmp_path):
+    # generate records the prompt; /v1/history returns it
+    _req(server, "/v1/generate", {
+        "generator_model_type": "SD 1.5",
+        "parameters": {"prompt": "history entry one"}})
+    hist = _req(server, "/v1/history")["prompts"]
+    assert "history entry one" in hist
+
+    # TI viewer lists embedding files with shapes
+    import torch
+
+    d = tmp_path / "emb"
+    d.mkdir()
+    torch.save({"emb_params": torch.zeros(4, 16)}, str(d / "a1111.pt"))
+    out = _req(server, "/v1/tools/embeddings", {"dir": str(d)})
+    assert out["embeddings"] and out["embeddings"][0]["name"] == "a1111.pt"
+    e = out["embeddings"][0]
+    assert e.get("shape") == [4, 16] or e.get("shapes")
