@@ -126,10 +126,13 @@ def _image_to_b64(img01: np.ndarray) -> str:
 
 class ApiServer:
     def __init__(self, worker: Optional[EngineWorker] = None,
-                 host: str = "127.0.0.1", port: int = 8787):
+                 host: str = "127.0.0.1", port: int = 8787,
+                 prefs=None, config_path: Optional[str] = None):
         self.worker = worker or EngineWorker()
         self.host = host
         self.port = port
+        self.prefs = prefs          # shared instance: backends see edits
+        self.config_path = config_path
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._job_counter = 0
         self._prompt_history = None
@@ -256,6 +259,30 @@ class ApiServer:
 
             root = D.first_init()
             return {"favorite": D.favorite_image(root, body["path"])}
+        if path == "/v1/preferences" and method == "GET":
+            # preferences dialog equivalent (reference ui preferences)
+            if self.prefs is None:
+                return {"preferences": None}
+            return {"preferences": self.prefs.to_dict()}
+        if path == "/v1/preferences" and method == "POST":
+            if self.prefs is None:
+                raise BadRequest("server started without a config")
+            import dataclasses as _dc
+
+            fields = {f.name: f.type for f in _dc.fields(self.prefs)}
+            unknown = [k for k in body if k not in fields]
+            if unknown:
+                raise BadRequest(f"unknown preference keys: {unknown}")
+            for k, v in body.items():
+                # mutate the SHARED instance so registered backends see
+                # the change (same object semantics as the reference's
+                # app.preferences dict)
+                setattr(self.prefs, k, v)
+            if self.config_path:
+                from cremage_tpu.core.config import save_preferences
+
+                save_preferences(self.prefs, self.config_path)
+            return {"preferences": self.prefs.to_dict()}
         if path == "/v1/history" and method == "GET":
             # prompt-history viewer (reference ui prompt history)
             return {"prompts": self._history().entries()}
@@ -456,7 +483,8 @@ def main():  # pragma: no cover
     worker = EngineWorker(text_safety=make_text_safety(
         args.text_safety_model_dir, args.deny_term))
     register_default_backends(worker, prefs)
-    ApiServer(worker=worker, host=args.host, port=args.port).start(block=True)
+    ApiServer(worker=worker, host=args.host, port=args.port,
+              prefs=prefs, config_path=args.config).start(block=True)
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -342,3 +342,25 @@ def test_prompt_history_and_embedding_viewer(server, tmp_path):
     assert out["embeddings"] and out["embeddings"][0]["name"] == "a1111.pt"
     e = out["embeddings"][0]
     assert e.get("shape") == [4, 16] or e.get("shapes")
+
+
+def test_preferences_endpoint(tmp_path):
+    from cremage_tpu.core.config import Preferences, load_preferences
+
+    cfg = str(tmp_path / "config.yaml")
+    prefs = load_preferences(cfg)
+    w = EngineWorker()
+    srv = ApiServer(worker=w, port=0, prefs=prefs, config_path=cfg)
+    srv.start()
+    try:
+        got = _req(srv, "/v1/preferences")["preferences"]
+        assert got["sampler"] == prefs.sampler
+        out = _req(srv, "/v1/preferences", {"sampling_steps": 35})
+        assert out["preferences"]["sampling_steps"] == 35
+        # the SHARED instance mutated (backends see it) + persisted
+        assert prefs.sampling_steps == 35
+        assert load_preferences(cfg).sampling_steps == 35
+        # unknown keys rejected
+        assert _status_of(srv, "/v1/preferences", {"bogus_key": 1}) == 400
+    finally:
+        srv.stop()
