@@ -83,6 +83,12 @@ INDEX_HTML = """<!doctype html>
   <label>Checkpoint path (optional)</label>
   <input id="ckpt" placeholder="uses preferences default">
   <div class="row">
+    <div><label>LoRA models (comma-sep paths)</label>
+      <input id="lora_models" placeholder="a.safetensors,b.safetensors"></div>
+    <div><label>LoRA weights</label>
+      <input id="lora_weights" placeholder="0.8,0.5"></div>
+  </div>
+  <div class="row">
     <div><label>Mode</label>
       <select id="mode">
         <option value="text_to_image">txt2img</option>
@@ -218,6 +224,8 @@ async function generate() {
       n_samples: num('n_samples', 1),
       n_iter: num('n_iter', 1),
       ckpt: $('ckpt').value || undefined,
+      lora_models: $('lora_models').value || undefined,
+      lora_weights: $('lora_weights').value || undefined,
     });
     $('status').textContent = 'queued';
     loadHistory();
