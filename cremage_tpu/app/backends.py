@@ -86,7 +86,9 @@ def sd15_factory(prefs: Preferences) -> Callable:
             init_image=_load_image(params, "init_img"),
             mask_image=_load_image(params, "mask_img"),
             control_image=_load_image(params, "control_image_path"),
-            face_embedding=_face_embedding_for(params, opts, status_cb),
+            face_embedding=_face_embedding_for(
+                params, opts, status_cb,
+                plus=(bundle.faceid_kind == "plus")),
         )
 
     return generate
@@ -95,12 +97,19 @@ def sd15_factory(prefs: Preferences) -> Callable:
 _FACE_EMBEDDER_CACHE: dict = {}
 
 
-def _face_embedding_for(params: dict, opts, status_cb):
+def _face_embedding_for(params: dict, opts, status_cb, plus: bool = False):
     """FaceID-from-a-photo: embed opts.face_input_img with the ArcFace
-    path (reference ip_adapter_faceid.py:680-720 InsightFace
-    normed_embedding).  Precomputed params['face_embedding'] wins."""
+    path (reference ip_adapter_faceid.py:680-745 InsightFace
+    normed_embedding).  Precomputed params['face_embedding'] wins.
+
+    plus=True (Plus/plusv2 checkpoints) additionally CLIP-embeds the
+    aligned 224^2 crop (reference get_image_embeds :432-460) and
+    returns the dict SD15Pipeline's Plus conditioning expects."""
     if params.get("face_embedding") is not None:
-        return np.asarray(params["face_embedding"], np.float32)
+        fe = params["face_embedding"]
+        if isinstance(fe, dict):
+            return fe
+        return np.asarray(fe, np.float32)
     face_img = getattr(opts, "face_input_img", "")
     if not (face_img and os.path.exists(face_img) and opts.face_model):
         return None
@@ -119,11 +128,20 @@ def _face_embedding_for(params: dict, opts, status_cb):
 
     img01 = np.asarray(Image.open(face_img).convert("RGB"),
                        np.float32) / 255.0
-    emb = _FACE_EMBEDDER_CACHE[arc](img01)
-    if emb is None:
+    got = _FACE_EMBEDDER_CACHE[arc].embed_and_crop(img01)
+    if got is None:
         raise ValueError("no face detected in face_input_img "
                          "(after the 200px-border retry)")
-    return emb
+    emb, crop = got
+    if not plus:
+        return emb
+    from cremage_tpu.services.faceid_plus import clip_face_embeds
+
+    status_cb("embedding face crop with CLIP vision")
+    ce, uce = clip_face_embeds(crop,
+                               params.get("faceid_clip_vision") or None)
+    return {"id": emb, "clip_embeds": ce, "uncond_clip_embeds": uce,
+            "shortcut": True, "s_scale": 1.0}
 
 
 def sdxl_factory(prefs: Preferences) -> Callable:

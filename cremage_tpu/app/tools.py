@@ -204,13 +204,14 @@ def segment_for_inpaint(image01: np.ndarray, labels: Sequence[str],
     """Binary inpaint mask over the requested clothes-parser classes
     (reference tools/image_segmenter.py:32,90 — Segformer b2 clothes).
     Weights resolve through the shared annotator chain (explicit -> env
-    -> cache -> lazy HF download), same as annotate('seg', ...)."""
+    -> cache -> lazy HF download).  Uses the clothes-parser role; the
+    ControlNet 'seg' annotator is a separate ADE20K model."""
     from cremage_tpu.services.annotators import (
         _segformer_for, resolve_annotator_weights,
     )
 
-    weights_path = resolve_annotator_weights("seg", weights_path)
-    seg = _segformer_for(weights_path, cfg)
+    weights_path = resolve_annotator_weights("seg_clothes", weights_path)
+    seg = _segformer_for(weights_path, cfg, role="seg_clothes")
     img = (np.clip(image01, 0, 1) * 255).astype(np.uint8)
     cls = seg.class_map(img)
     want = {_LABEL_TO_CLASS[l.lower()] for l in labels

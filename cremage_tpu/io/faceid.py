@@ -117,10 +117,100 @@ def merge_faceid(
 
 
 def load_faceid_checkpoint(path: str) -> Tuple[Dict, Dict]:
-    """FaceID .bin -> (image_proj state dict, ip_adapter state dict)."""
+    """FaceID .bin/.safetensors -> (image_proj sd, ip_adapter sd)
+    (reference ip_adapter_faceid.py:431-455 load_ip_adapter)."""
+    if path.endswith(".safetensors"):
+        from cremage_tpu.io.checkpoint import load_state_dict
+
+        flat = load_state_dict(path)
+        proj = {k[len("image_proj."):]: np.asarray(v, np.float32)
+                for k, v in flat.items() if k.startswith("image_proj.")}
+        ip = {k[len("ip_adapter."):]: np.asarray(v, np.float32)
+              for k, v in flat.items() if k.startswith("ip_adapter.")}
+        return proj, ip
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=True)
     def to_np(d):
         return {k: v.float().numpy() for k, v in d.items()}
     return to_np(obj["image_proj"]), to_np(obj["ip_adapter"])
+
+
+def faceid_layout(proj_sd: Mapping[str, np.ndarray]) -> str:
+    """'plus' (ProjPlusModel: the default plusv2 checkpoints) or 'mlp'
+    (non-Plus MLPProjModel), from the image_proj key shape
+    (reference: Plus ckpts carry perceiver_resampler.* keys)."""
+    if any(k.startswith("perceiver_resampler.") for k in proj_sd):
+        return "plus"
+    return "mlp"
+
+
+def proj_module_from_params(proj_params: Mapping):
+    """Rebuild the right projection module (MLP vs Plus) from a cached
+    Flax param tree — dims recovered from the stored shapes."""
+    from cremage_tpu.models.faceid import (
+        FaceIDProjConfig, FaceIDProjPlusConfig, MLPProjModel, ProjPlusModel,
+    )
+
+    xattn = int(np.asarray(proj_params["norm"]["weight"]).shape[0])
+    id_dim = int(np.asarray(proj_params["proj_0"]["weight"]).shape[0])
+    ntok = int(np.asarray(
+        proj_params["proj_2"]["weight"]).shape[1]) // xattn
+    if "perceiver_resampler" in proj_params:
+        clip_dim = int(np.asarray(
+            proj_params["perceiver_resampler"]["proj_in"]["weight"]
+        ).shape[0])
+        cfg = FaceIDProjPlusConfig(
+            cross_attention_dim=xattn, id_embeddings_dim=id_dim,
+            clip_embeddings_dim=clip_dim, num_tokens=ntok)
+        return ProjPlusModel(cfg), "plus"
+    cfg = FaceIDProjConfig(cross_attention_dim=xattn,
+                           id_embeddings_dim=id_dim, num_tokens=ntok)
+    return MLPProjModel(cfg), "mlp"
+
+
+def build_faceid_proj(proj_sd: Mapping[str, np.ndarray], dtype=None):
+    """image_proj state dict -> (flax module, {'params': ...}, kind).
+
+    Picks MLPProjModel vs ProjPlusModel from the checkpoint layout so
+    the reference's default `ip-adapter-faceid-plusv2_sd15.bin`
+    (const/const.py:15) loads without the caller knowing the variant."""
+    import jax
+
+    from cremage_tpu.io import checkpoint as CK
+    from cremage_tpu.models.faceid import (
+        FaceIDProjConfig, FaceIDProjPlusConfig, MLPProjModel, ProjPlusModel,
+    )
+
+    kind = faceid_layout(proj_sd)
+    if kind == "plus":
+        clip_dim = int(np.asarray(
+            proj_sd["perceiver_resampler.proj_in.weight"]).shape[1])
+        xattn = int(np.asarray(proj_sd["norm.weight"]).shape[0])
+        id_dim = int(np.asarray(proj_sd["proj.0.weight"]).shape[1])
+        ntok = int(np.asarray(
+            proj_sd["proj.2.weight"]).shape[0]) // xattn
+        cfg = FaceIDProjPlusConfig(
+            cross_attention_dim=xattn, id_embeddings_dim=id_dim,
+            clip_embeddings_dim=clip_dim, num_tokens=ntok)
+        proj = ProjPlusModel(cfg)
+        tmpl = jax.eval_shape(
+            lambda: proj.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, id_dim)),
+                jnp.zeros((1, 257, clip_dim))))["params"]
+    else:
+        xattn = int(np.asarray(proj_sd["norm.weight"]).shape[0])
+        id_dim = int(np.asarray(proj_sd["proj.0.weight"]).shape[1])
+        ntok = int(np.asarray(proj_sd["proj.2.weight"]).shape[0]) // xattn
+        cfg = FaceIDProjConfig(cross_attention_dim=xattn,
+                               id_embeddings_dim=id_dim, num_tokens=ntok)
+        proj = MLPProjModel(cfg)
+        tmpl = jax.eval_shape(
+            lambda: proj.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, id_dim))))["params"]
+    params, missing, unused = CK.build_flax_params(
+        tmpl, proj_sd, prefix="", dtype=dtype)
+    if unused:
+        logger.warning("FaceID image_proj: %d unused ckpt keys (first 5: %s)",
+                       len(unused), unused[:5])
+    return proj, {"params": params}, kind

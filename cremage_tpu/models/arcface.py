@@ -212,6 +212,14 @@ class FaceEmbedder:
         return emb / max(float(np.linalg.norm(emb)), 1e-12)
 
     def __call__(self, rgb01: np.ndarray) -> Optional[np.ndarray]:
+        got = self.embed_and_crop(rgb01)
+        return None if got is None else got[0]
+
+    def embed_and_crop(self, rgb01: np.ndarray, crop_size: int = 224):
+        """photo -> (embedding(512), aligned crop (crop_size^2,3) RGB
+        [0,1]) or None.  The crop is insightface
+        `face_align.norm_crop(image_size=224)` — what FaceID Plus feeds
+        to CLIP (reference ip_adapter_faceid.py:736)."""
         import cv2
 
         faces = detect_faces_with_landmarks(rgb01, self.yunet_path)
@@ -225,8 +233,10 @@ class FaceEmbedder:
                 return None
             rgb01 = padded
         _, landmarks, _ = max(faces, key=lambda f: f[2])
-        aligned = align_face_112(np.asarray(rgb01, np.float32), landmarks)
-        return self.embed_aligned(aligned)
+        rgb01 = np.asarray(rgb01, np.float32)
+        aligned = align_face_112(rgb01, landmarks)
+        crop = align_face_112(rgb01, landmarks, size=crop_size)
+        return self.embed_aligned(aligned), crop
 
 
 def load_face_embedder(weights_path: str,

@@ -49,8 +49,16 @@ class CLIPVisionModel(nn.Module):
     cfg: CLIPVisionConfig
 
     @nn.compact
-    def __call__(self, images01: jnp.ndarray) -> jnp.ndarray:
-        """images01: (B, S, S, 3) in [0,1] -> (B, output_dim) embedding."""
+    def __call__(self, images01: jnp.ndarray,
+                 penultimate: bool = False) -> jnp.ndarray:
+        """images01: (B, S, S, 3) in [0,1] -> (B, output_dim) embedding.
+
+        penultimate=True returns the hidden states entering the LAST
+        transformer block, shape (B, 1+S/p*S/p, width) — HF
+        `hidden_states[-2]`, what IP-Adapter-FaceID-Plus conditions on
+        (reference ip_adapter_faceid.py:432-447).  Initialize with
+        penultimate=False so all params (incl. final block/ln_post/proj)
+        are created."""
         cfg = self.cfg
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         x = (images01 - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
@@ -81,6 +89,8 @@ class CLIPVisionModel(nn.Module):
                                   param_dtype=cfg.param_dtype)
         mask = None
         for i in range(cfg.num_layers):
+            if penultimate and i == cfg.num_layers - 1:
+                return x.astype(jnp.float32)
             x = ResBlock(tcfg, name=f"transformer_resblocks_{i}")(x, mask)
 
         pooled = LayerNorm(name="ln_post")(x[:, 0])

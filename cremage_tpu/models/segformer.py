@@ -186,10 +186,48 @@ class SegformerModel(nn.Module):
 
 
 # ADE20K-style palette for the seg control image
+# The published ADE20K palette (mmseg ADE20KDataset.PALETTE — what the
+# reference's Uniformer seg annotator paints with and what ControlNet-seg
+# checkpoints were trained on; reference
+# modules/annotator/uniformer/mmseg/datasets/ade.py:40).  Flat RGB
+# triplets for classes 0..149 ("wall" first: reduce_zero_label space).
+_ADE20K_PALETTE = (
+    120, 120, 120, 180, 120, 120, 6, 230, 230, 80, 50, 50, 4, 200, 3, 120, 120, 80,
+    140, 140, 140, 204, 5, 255, 230, 230, 230, 4, 250, 7, 224, 5, 255, 235, 255, 7,
+    150, 5, 61, 120, 120, 70, 8, 255, 51, 255, 6, 82, 143, 255, 140, 204, 255, 4,
+    255, 51, 7, 204, 70, 3, 0, 102, 200, 61, 230, 250, 255, 6, 51, 11, 102, 255,
+    255, 7, 71, 255, 9, 224, 9, 7, 230, 220, 220, 220, 255, 9, 92, 112, 9, 255,
+    8, 255, 214, 7, 255, 224, 255, 184, 6, 10, 255, 71, 255, 41, 10, 7, 255, 255,
+    224, 255, 8, 102, 8, 255, 255, 61, 6, 255, 194, 7, 255, 122, 8, 0, 255, 20,
+    255, 8, 41, 255, 5, 153, 6, 51, 255, 235, 12, 255, 160, 150, 20, 0, 163, 255,
+    140, 140, 140, 250, 10, 15, 20, 255, 0, 31, 255, 0, 255, 31, 0, 255, 224, 0,
+    153, 255, 0, 0, 0, 255, 255, 71, 0, 0, 235, 255, 0, 173, 255, 31, 0, 255,
+    11, 200, 200, 255, 82, 0, 0, 255, 245, 0, 61, 255, 0, 255, 112, 0, 255, 133,
+    255, 0, 0, 255, 163, 0, 255, 102, 0, 194, 255, 0, 0, 143, 255, 51, 255, 0,
+    0, 82, 255, 0, 255, 41, 0, 255, 173, 10, 0, 255, 173, 255, 0, 0, 255, 153,
+    255, 92, 0, 255, 0, 255, 255, 0, 245, 255, 0, 102, 255, 173, 0, 255, 0, 20,
+    255, 184, 184, 0, 31, 255, 0, 255, 61, 0, 71, 255, 255, 0, 204, 0, 255, 194,
+    0, 255, 82, 0, 10, 255, 0, 112, 255, 51, 0, 255, 0, 194, 255, 0, 122, 255,
+    0, 255, 163, 255, 153, 0, 0, 255, 10, 255, 112, 0, 143, 255, 0, 82, 0, 255,
+    163, 255, 0, 255, 235, 0, 8, 184, 170, 133, 0, 255, 0, 255, 92, 184, 0, 255,
+    255, 0, 31, 0, 184, 255, 0, 214, 255, 255, 0, 112, 92, 255, 0, 0, 224, 255,
+    112, 224, 255, 70, 184, 160, 163, 0, 255, 153, 0, 255, 71, 255, 0, 255, 0, 163,
+    255, 204, 0, 255, 0, 143, 0, 255, 235, 133, 255, 0, 255, 0, 235, 245, 0, 255,
+    255, 0, 122, 255, 245, 0, 10, 190, 212, 214, 255, 0, 0, 204, 255, 20, 0, 255,
+    255, 255, 0, 0, 153, 255, 0, 41, 255, 0, 255, 204, 41, 0, 255, 41, 255, 0,
+    173, 0, 255, 0, 245, 255, 71, 0, 255, 122, 0, 255, 0, 255, 184, 0, 92, 255,
+    184, 255, 0, 0, 133, 255, 255, 214, 0, 25, 194, 194, 102, 255, 0, 92, 0, 255,
+)
+
+
 def ade_palette() -> np.ndarray:
+    """(256, 3) uint8: ADE20K colors for classes 0..149; deterministic
+    filler colors above 149 (for non-ADE heads, e.g. the 18-class
+    clothes parser, only used for display)."""
+    pal = np.zeros((256, 3), np.uint8)
+    pal[:150] = np.asarray(_ADE20K_PALETTE, np.uint8).reshape(150, 3)
     rng = np.random.RandomState(42)
-    pal = rng.randint(0, 255, (256, 3), np.uint8)
-    pal[0] = 0
+    pal[150:] = rng.randint(0, 255, (106, 3), np.uint8)
     return pal
 
 
@@ -216,8 +254,13 @@ class SegformerSegmenter:
         x = (img.astype(np.float32) / 255.0 - self.MEAN) / self.STD
         out = np.asarray(self._apply(self.params, jnp.asarray(x[None])),
                          np.float32)[0]
-        out = cv2.resize(out, (w, h), interpolation=cv2.INTER_LINEAR)
-        return out
+        # bilinear logits upsample (mmseg/HF semantics); cv2.resize caps
+        # the channel count, so chunk wide heads (e.g. ADE's 150)
+        chunks = [cv2.resize(np.ascontiguousarray(out[..., i:i + 64]),
+                             (w, h), interpolation=cv2.INTER_LINEAR)
+                  for i in range(0, out.shape[-1], 64)]
+        chunks = [c if c.ndim == 3 else c[..., None] for c in chunks]
+        return np.concatenate(chunks, axis=-1)
 
     def class_map(self, rgb_uint8: np.ndarray, size: int = 512) -> np.ndarray:
         return self.logits(rgb_uint8, size).argmax(-1).astype(np.int32)

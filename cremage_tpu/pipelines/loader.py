@@ -136,10 +136,7 @@ def load_sd15_bundle(
 
         if faceid_ckpt:
             from cremage_tpu.io.faceid import (
-                load_faceid_checkpoint, merge_faceid,
-            )
-            from cremage_tpu.models.faceid import (
-                FaceIDProjConfig, MLPProjModel,
+                build_faceid_proj, load_faceid_checkpoint, merge_faceid,
             )
 
             proj_sd, ip_sd = load_faceid_checkpoint(faceid_ckpt)
@@ -147,11 +144,10 @@ def load_sd15_bundle(
                                              weight=face_strength)
             logger.info("FaceID: merged %d lora layers, %d ipa projections",
                         merged, installed)
-            proj = MLPProjModel(FaceIDProjConfig())
-            proj_tmpl = _template(proj, jnp.zeros((1, 512)))
-            proj_params, _, _ = CK.build_flax_params(
-                proj_tmpl, proj_sd, prefix="", dtype=policy.param_dtype
-            )
+            _, proj_vars, kind = build_faceid_proj(
+                proj_sd, dtype=policy.param_dtype)
+            logger.info("FaceID image_proj layout: %s", kind)
+            proj_params = proj_vars["params"]
         if use_cache:
             try:
                 payload = {"unet": unet_params, "vae": vae_params,
@@ -163,10 +159,11 @@ def load_sd15_bundle(
                 logger.warning("params cache save failed: %s", e)
 
     faceid_proj = None
+    faceid_kind = "mlp"
     if faceid_ckpt and proj_params is not None:
-        from cremage_tpu.models.faceid import FaceIDProjConfig, MLPProjModel
+        from cremage_tpu.io.faceid import proj_module_from_params
 
-        proj = MLPProjModel(FaceIDProjConfig())
+        proj, faceid_kind = proj_module_from_params(proj_params)
         faceid_proj = (proj, {"params": proj_params})
 
     controlnet = None
@@ -198,6 +195,7 @@ def load_sd15_bundle(
         inpaint=inpainting,
         faceid_proj=faceid_proj,
         faceid_num_tokens=num_ipa,
+        faceid_kind=faceid_kind,
     )
     if use_cache:
         _bundle_cache.clear()  # hold one combination, like the reference

@@ -59,8 +59,9 @@ class SD15Bundle:
     schedule: S.DiscreteSchedule
     controlnet: Optional[Tuple[Any, Any]] = None  # (model, params)
     inpaint: bool = False
-    faceid_proj: Optional[Tuple[Any, Any]] = None  # (MLPProjModel, params)
+    faceid_proj: Optional[Tuple[Any, Any]] = None  # (proj module, params)
     faceid_num_tokens: int = 0
+    faceid_kind: str = "mlp"  # "mlp" | "plus" (ProjPlusModel, plusv2)
 
     @property
     def latent_channels(self) -> int:
@@ -95,12 +96,42 @@ class SD15Pipeline:
             # side gets tokens from a zero id-embedding (reference
             # ip_adapter get_image_embeds + image_generator.py:810-814)
             proj, proj_params = self.bundle.faceid_proj
-            emb = np.asarray(face_embedding, np.float32).reshape(1, -1)
-            tok_c = np.asarray(proj.apply(proj_params, jnp.asarray(emb)),
-                               np.float32)[0]
-            tok_uc = np.asarray(
-                proj.apply(proj_params, jnp.zeros_like(jnp.asarray(emb))),
-                np.float32)[0]
+            if self.bundle.faceid_kind == "plus":
+                # Plus(-v2): mix id tokens with the CLIP-vision embeds
+                # of the aligned crop; the uncond side runs a zero id
+                # embedding against the mean-image CLIP embeds
+                # (reference ip_adapter_faceid.py:432-460, shortcut=True
+                # == v2 per generate_face_embedding_from_image :738)
+                fd = face_embedding if isinstance(face_embedding, dict) \
+                    else {}
+                if not {"id", "clip_embeds", "uncond_clip_embeds"} <= set(fd):
+                    raise ValueError(
+                        "FaceID Plus conditioning needs {'id', "
+                        "'clip_embeds', 'uncond_clip_embeds'}; pass the "
+                        "face photo so the backend can build them")
+                emb = np.asarray(fd["id"], np.float32).reshape(1, -1)
+                ce = jnp.asarray(fd["clip_embeds"],
+                                 jnp.float32)[None]
+                uce = jnp.asarray(fd["uncond_clip_embeds"],
+                                  jnp.float32)[None]
+                scale = float(fd.get("s_scale", 1.0))
+                shortcut = bool(fd.get("shortcut", True))
+                tok_c = np.asarray(
+                    proj.apply(proj_params, jnp.asarray(emb), ce,
+                               shortcut=shortcut, scale=scale),
+                    np.float32)[0]
+                tok_uc = np.asarray(
+                    proj.apply(proj_params,
+                               jnp.zeros_like(jnp.asarray(emb)), uce,
+                               shortcut=shortcut, scale=scale),
+                    np.float32)[0]
+            else:
+                emb = np.asarray(face_embedding, np.float32).reshape(1, -1)
+                tok_c = np.asarray(proj.apply(proj_params, jnp.asarray(emb)),
+                                   np.float32)[0]
+                tok_uc = np.asarray(
+                    proj.apply(proj_params, jnp.zeros_like(jnp.asarray(emb))),
+                    np.float32)[0]
             c = np.concatenate([c, tok_c], axis=0)
             uc = np.concatenate([uc, tok_uc], axis=0)
         return tile_batch(c, batch), tile_batch(uc, batch)

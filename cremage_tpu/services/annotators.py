@@ -57,8 +57,18 @@ _WEIGHT_SOURCES = {
                  "annotator/ckpts/body_pose_model.pth"),
     "mlsd": ("MLSD_MODEL_PATH", "lllyasviel/ControlNet",
              "annotator/ckpts/mlsd_large_512_fp32.pth"),
-    "seg": ("SEGFORMER_MODEL_PATH", "mattmdjaga/segformer_b2_clothes",
+    # ControlNet-role seg: ADE20K label space (what ControlNet-seg
+    # checkpoints were trained on; the reference paints ADE palette maps
+    # via Uniformer — annotator_wrapper.py:200-221).  SegFormer-b0-ADE
+    # is the tpu-native stand-in for the 43k-LoC Uniformer/mmseg stack.
+    "seg": ("SEGFORMER_ADE_MODEL_PATH",
+            "nvidia/segformer-b0-finetuned-ade-512-512",
             "model.safetensors"),
+    # clothes parser: the segmentation-inpainting *tool*'s model
+    # (reference tools/image_segmenter.py:32 mattmdjaga clothes labels)
+    "seg_clothes": ("SEGFORMER_MODEL_PATH",
+                    "mattmdjaga/segformer_b2_clothes",
+                    "model.safetensors"),
 }
 
 
@@ -282,8 +292,10 @@ def generate_mlsd(img: np.ndarray, value_threshold: float = 0.1,
 _SEGFORMER_CACHE: Dict[str, object] = {}
 
 
-def _segformer_for(weights_path: str, cfg=None):
-    """Cached SegformerSegmenter for a weights file (HF layout)."""
+def _segformer_for(weights_path: str, cfg=None, role: str = "seg"):
+    """Cached SegformerSegmenter for a weights file (HF layout).
+    Default config follows the role: ControlNet 'seg' -> 150-class ADE
+    b0; 'seg_clothes' -> 18-class clothes b2."""
     import os
 
     import jax
@@ -291,13 +303,16 @@ def _segformer_for(weights_path: str, cfg=None):
 
     from cremage_tpu.io import checkpoint as CK
     from cremage_tpu.models.segformer import (
-        SegformerModel, SegformerSegmenter, segformer_b2_clothes_config,
+        SegformerModel, SegformerSegmenter, segformer_b0_config,
+        segformer_b2_clothes_config,
     )
 
     if not weights_path or not os.path.exists(weights_path):
         raise WeightsUnavailable("seg (Segformer)")
     if weights_path not in _SEGFORMER_CACHE:
-        cfg = cfg or segformer_b2_clothes_config()
+        if cfg is None:
+            cfg = (segformer_b2_clothes_config() if role == "seg_clothes"
+                   else segformer_b0_config(num_classes=150))
         sd = {k: v for k, v in CK.load_state_dict(weights_path).items()
               if not k.endswith("num_batches_tracked")}
         model = SegformerModel(cfg)
@@ -314,12 +329,13 @@ def _segformer_for(weights_path: str, cfg=None):
 @ANNOTATORS.register("seg")
 def generate_seg(img: np.ndarray, weights_path: str | None = None,
                  cfg=None) -> np.ndarray:
-    """Segmentation control map. Documented substitution: the reference
-    vendors a 43k-LoC Uniformer/mmseg stack for this; here a SegFormer
-    semantic segmenter (same control-image role) colors the argmax
-    class map with a stable palette."""
+    """ADE20K-palette segmentation control map (the label space
+    ControlNet-seg checkpoints expect; reference paints mmseg
+    `get_palette('ade')` over Uniformer argmax —
+    annotator_wrapper.py:200-221, uniformer/__init__.py:15-27).  A
+    SegFormer-b0 ADE segmenter replaces the vendored Uniformer stack."""
     weights_path = resolve_annotator_weights("seg", weights_path)
-    return _segformer_for(weights_path, cfg)(_to_uint8(img))
+    return _segformer_for(weights_path, cfg, role="seg")(_to_uint8(img))
 
 
 def annotate(name: str, img: np.ndarray, **kwargs) -> np.ndarray:
