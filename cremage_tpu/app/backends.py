@@ -18,7 +18,7 @@ import numpy as np
 from cremage_tpu.core.config import (
     GMT_FLUX_1_SCHNELL, GMT_HUNYUAN_DIT, GMT_KANDINSKY_2_2, GMT_PIXART_SIGMA,
     GMT_SD_1_5, GMT_SD_3, GMT_SDXL, GMT_STABLE_CASCADE, GMT_SVD,
-    GenerationOptions, MODE_INPAINTING, Preferences,
+    GenerationOptions, MODE_INPAINTING, MODE_SPOT_INPAINTING, Preferences,
 )
 from cremage_tpu.app.worker import EngineWorker
 
@@ -58,7 +58,10 @@ def sd15_factory(prefs: Preferences) -> Callable:
 
     def generate(params, status_cb, result_cb):
         opts = _opts_from_params(params)
-        inpaint = opts.mode == MODE_INPAINTING
+        # spot inpainting runs the inpaint model family on a cropped
+        # working region (reference tools/spot_inpainter.py:100 — the
+        # tool window pairs with the ldm_inpaint_model menu)
+        inpaint = opts.mode in (MODE_INPAINTING, MODE_SPOT_INPAINTING)
         ckpt = opts.ckpt or _model_path(
             prefs, "ldm_model_path",
             "ldm_inpaint_model" if inpaint else "ldm_model")
@@ -81,6 +84,26 @@ def sd15_factory(prefs: Preferences) -> Callable:
                 detection_method=opts.auto_face_fix_face_detection_method,
                 target_size=512,
             )
+        if opts.mode == MODE_SPOT_INPAINTING:
+            import dataclasses
+
+            from cremage_tpu.app.tools import spot_inpaint
+            from cremage_tpu.io.metadata import array_from_image
+
+            image = _load_image(params, "init_img")      # [-1,1]
+            mask = _load_image(params, "mask_img")       # (H,W) [0,1]
+            if image is None or mask is None:
+                raise ValueError(
+                    "spot inpainting needs init_img and mask_img")
+            status_cb("spot inpainting")
+            out = spot_inpaint(
+                pipe, image, mask, opts,
+                max_edge_len=int(getattr(prefs, "inpaint_max_edge_len",
+                                         512) or 512))
+            meta = dataclasses.asdict(opts)
+            meta.pop("extra", None)
+            result_cb((out + 1.0) * 0.5, meta)
+            return
         pipe.generate(
             opts, status_cb=status_cb, result_cb=result_cb,
             init_image=_load_image(params, "init_img"),

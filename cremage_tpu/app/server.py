@@ -124,6 +124,31 @@ def _image_to_b64(img01: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
+def _b64_to_mask(data: str) -> np.ndarray:
+    """b64 PNG -> (H,W) float mask in [0,1] (white = selected)."""
+    from PIL import Image
+
+    if len(data) > MAX_B64_BYTES:
+        raise BadRequest(f"mask payload exceeds {MAX_B64_BYTES} bytes")
+    try:
+        raw = base64.b64decode(data)
+        img = Image.open(io.BytesIO(raw)).convert("L")
+    except Exception as e:
+        raise BadRequest(f"undecodable mask payload: {e}") from e
+    if max(img.size) > MAX_EDGE:
+        raise BadRequest(f"mask edge exceeds {MAX_EDGE}")
+    return np.asarray(img, np.float32) / 255.0
+
+
+def _mask_to_b64(mask: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        (np.clip(mask, 0, 1) * 255).astype(np.uint8), "L").save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
 class ApiServer:
     def __init__(self, worker: Optional[EngineWorker] = None,
                  host: str = "127.0.0.1", port: int = 8787,
@@ -136,6 +161,14 @@ class ApiServer:
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._job_counter = 0
         self._prompt_history = None
+        self._llm = None
+
+    def _llm_interactor(self):
+        if self._llm is None:
+            from cremage_tpu.app.llm import LLMInteractor
+
+            self._llm = LLMInteractor()
+        return self._llm
 
     def _history(self):
         if self._prompt_history is None:
@@ -248,6 +281,104 @@ class ApiServer:
             from cremage_tpu.app.tools import tokenize_preview
 
             return tokenize_preview(body.get("prompt", ""))
+        if path == "/v1/tools/mask" and method == "POST":
+            # mask editor ops (reference tools/mask_image_editor.py:33)
+            from cremage_tpu.app.tools import (
+                dilate_mask, erode_mask, invert_mask, make_mask,
+            )
+
+            op = body.get("op", "make")
+            if op == "make":
+                rects = [tuple(int(v) for v in r)
+                         for r in body.get("rects", [])]
+                mask = make_mask(int(body["h"]), int(body["w"]), rects)
+            else:
+                mask = _b64_to_mask(body["mask"])
+                if op == "dilate":
+                    mask = dilate_mask(mask, int(body.get("pixels", 8)))
+                elif op == "erode":
+                    mask = erode_mask(mask, int(body.get("pixels", 8)))
+                elif op == "invert":
+                    mask = invert_mask(mask)
+                else:
+                    raise BadRequest(f"unknown mask op {op!r}")
+            return {"mask": _mask_to_b64(mask)}
+        if path == "/v1/tools/graffiti" and method == "POST":
+            # graffiti editor strokes (reference tools/graffiti_editor.py)
+            from cremage_tpu.app.tools import draw_strokes
+
+            img = (_b64_to_image(body["image"])
+                   if body.get("image") else None)
+            h = int(body.get("h", img.shape[0] if img is not None else 512))
+            w = int(body.get("w", img.shape[1] if img is not None else 512))
+            out = draw_strokes(img, h, w, body.get("strokes", []))
+            return {"image": _image_to_b64(out)}
+        if path == "/v1/tools/segment" and method == "POST":
+            # segmentation-inpainting mask (reference image_segmenter.py:90)
+            from cremage_tpu.app.tools import (
+                SEGMENT_CLASS_TO_LABEL, segment_for_inpaint,
+            )
+
+            if method == "POST" and not body.get("image"):
+                return {"labels": sorted(SEGMENT_CLASS_TO_LABEL.values())}
+            img = _b64_to_image(body["image"])
+            labels = body.get("labels", [])
+            if not labels:
+                raise BadRequest("labels must be a non-empty list")
+            mask = segment_for_inpaint(img, labels,
+                                       body.get("weights_path"))
+            return {"mask": _mask_to_b64(mask)}
+        if path == "/v1/tools/prompt_builder" and method in ("GET", "POST"):
+            # visual prompt builder (reference tools/prompt_builder.py:24)
+            from cremage_tpu.app import dirs as D
+            from cremage_tpu.app.tools import (
+                build_prompt_from_tags, list_prompt_builder_categories,
+            )
+
+            pdir = (body or {}).get("dir") or os.path.join(
+                D.first_init(), "data", "prompt_builder")
+            if method == "GET" or "selections" not in (body or {}):
+                return {"categories": list_prompt_builder_categories(pdir)}
+            return {"prompt": build_prompt_from_tags(
+                pdir, body["selections"])}
+        if path == "/v1/tools/spot_inpaint" and method == "POST":
+            # spot inpainter routed as a job (reference spot_inpainter.py:100)
+            from cremage_tpu.core.config import MODE_SPOT_INPAINTING
+
+            job = _normalize_generate(body)
+            job["parameters"]["mode"] = MODE_SPOT_INPAINTING
+            job.setdefault("generator_model_type", "SD 1.5")
+            p = job["parameters"]
+            if not p.get("init_img") or not p.get("mask_img"):
+                raise BadRequest(
+                    "spot_inpaint needs init_img and mask_img paths "
+                    "(stage them via /v1/upload)")
+            err = _validate_generate(job)
+            if err:
+                raise BadRequest(err)
+            self._job_counter += 1
+            job.setdefault("type", MP_MESSAGE_TYPE_INFERENCE)
+            self.worker.submit(job)
+            return {"job_id": self._job_counter}
+        if path == "/v1/llm/chat" and method == "POST":
+            # LLM interactor (reference tools/llm_interactor.py:345)
+            from cremage_tpu.app.llm import LLMUnavailable
+
+            llm = self._llm_interactor()
+            if body.get("reset"):
+                llm.reset()
+                if not body.get("message"):
+                    return {"reply": None, "content": []}
+            msg = body.get("message")
+            if not msg:
+                raise BadRequest("message must be a non-empty string")
+            img = (_b64_to_image(body["image"])
+                   if body.get("image") else None)
+            try:
+                reply = llm.chat(msg, img)
+            except LLMUnavailable as e:
+                raise BadRequest(f"LLM backend unavailable: {e}")
+            return {"reply": reply, "content": llm.content}
         # image library (reference listbox capabilities: list/favorite/trash)
         if path == "/v1/images" and method == "GET":
             from cremage_tpu.app import dirs as D

@@ -94,6 +94,7 @@ INDEX_HTML = """<!doctype html>
         <option value="text_to_image">txt2img</option>
         <option value="image_to_image">img2img</option>
         <option value="inpainting">inpaint</option>
+        <option value="spot_inpainting">spot inpaint</option>
       </select></div>
     <div><label>Strength</label>
       <input id="strength" type="number" value="0.75" step="0.05"></div>
@@ -109,8 +110,34 @@ INDEX_HTML = """<!doctype html>
   <div class="tabs">
     <button id="tab-results" class="active" onclick="showTab('results')">Results</button>
     <button id="tab-library" onclick="showTab('library')">Library</button>
+    <button id="tab-tools" onclick="showTab('tools')">Tools</button>
   </div>
   <div id="gallery"></div>
+  <div id="toolsec" style="display:none; max-width: 640px">
+    <h1>LLM chat</h1>
+    <div id="chatlog" style="font-size:13px; white-space:pre-wrap"></div>
+    <input id="chat_msg" placeholder="ask about an image or a prompt…">
+    <button class="small" onclick="chatSend()">Send</button>
+    <button class="small" onclick="chatReset()">Reset</button>
+
+    <h1 style="margin-top:24px">Prompt builder</h1>
+    <input id="pb_dir" placeholder="prompt builder dir (blank = default)">
+    <button class="small" onclick="pbLoad()">Load categories</button>
+    <div id="pb_cats" style="font-size:12px"></div>
+
+    <h1 style="margin-top:24px">Mask tools</h1>
+    <input id="mask_tool_file" type="file" accept="image/*">
+    <button class="small" onclick="maskOp('dilate')">Dilate</button>
+    <button class="small" onclick="maskOp('erode')">Erode</button>
+    <button class="small" onclick="maskOp('invert')">Invert</button>
+    <img id="mask_preview" style="max-width:256px; display:block; margin-top:8px">
+
+    <h1 style="margin-top:24px">Segment → inpaint mask</h1>
+    <input id="seg_file" type="file" accept="image/*">
+    <input id="seg_labels" placeholder="labels, e.g. Hair, Face">
+    <button class="small" onclick="segRun()">Segment</button>
+    <img id="seg_preview" style="max-width:256px; display:block; margin-top:8px">
+  </div>
 </div>
 <script>
 const $ = id => document.getElementById(id);
@@ -267,10 +294,84 @@ async function poll() {
   setTimeout(poll, 800);
 }
 
+async function fileToB64(inputId) {
+  const f = $(inputId).files[0];
+  if (!f) return undefined;
+  return await new Promise((res, rej) => {
+    const r = new FileReader();
+    r.onload = () => res(r.result.split(',')[1]);
+    r.onerror = rej; r.readAsDataURL(f);
+  });
+}
+
+async function chatSend() {
+  const msg = $('chat_msg').value;
+  if (!msg) return;
+  $('chat_msg').value = '';
+  try {
+    const out = await api('/v1/llm/chat', {message: msg});
+    $('chatlog').textContent = out.content.map(
+      c => (c.speaker === 'user' ? '> ' : '') + c.text).join('\\n');
+  } catch (e) { $('chatlog').textContent = String(e); }
+}
+
+async function chatReset() {
+  await api('/v1/llm/chat', {reset: true});
+  $('chatlog').textContent = '';
+}
+
+async function pbLoad() {
+  try {
+    const out = await api('/v1/tools/prompt_builder',
+                          {dir: $('pb_dir').value || undefined});
+    $('pb_cats').innerHTML = '';
+    for (const [cat, items] of Object.entries(out.categories)) {
+      const h = document.createElement('div'); h.textContent = cat;
+      $('pb_cats').appendChild(h);
+      for (const it of items) {
+        const b = document.createElement('button');
+        b.className = 'small'; b.textContent = it.replace(/\\.[^.]+$/, '');
+        b.onclick = async () => {
+          const p = await api('/v1/tools/prompt_builder',
+            {dir: $('pb_dir').value || undefined,
+             selections: [cat + '/' + it]});
+          $('prompt').value = ($('prompt').value ? $('prompt').value + ', '
+                               : '') + p.prompt;
+          countTokens();
+        };
+        $('pb_cats').appendChild(b);
+      }
+    }
+  } catch (e) { $('pb_cats').textContent = String(e); }
+}
+
+async function maskOp(op) {
+  const b64 = await fileToB64('mask_tool_file');
+  if (!b64) return;
+  try {
+    const out = await api('/v1/tools/mask', {op, mask: b64, pixels: 8});
+    $('mask_preview').src = 'data:image/png;base64,' + out.mask;
+  } catch (e) { $('status').textContent = String(e); }
+}
+
+async function segRun() {
+  const b64 = await fileToB64('seg_file');
+  if (!b64) return;
+  const labels = $('seg_labels').value.split(',').map(s => s.trim())
+    .filter(Boolean);
+  try {
+    const out = await api('/v1/tools/segment', {image: b64, labels});
+    $('seg_preview').src = 'data:image/png;base64,' + out.mask;
+  } catch (e) { $('status').textContent = String(e); }
+}
+
 async function showTab(t) {
   tab = t;
   $('tab-results').className = t === 'results' ? 'active' : '';
   $('tab-library').className = t === 'library' ? 'active' : '';
+  $('tab-tools').className = t === 'tools' ? 'active' : '';
+  $('toolsec').style.display = t === 'tools' ? 'block' : 'none';
+  $('gallery').style.display = t === 'tools' ? 'none' : 'flex';
   $('gallery').innerHTML = '';
   if (t === 'library') {
     try {

@@ -39,6 +39,8 @@ GENERATOR_MODEL_TYPES = [
 MODE_TEXT_TO_IMAGE = "text_to_image"
 MODE_IMAGE_TO_IMAGE = "image_to_image"
 MODE_INPAINTING = "inpainting"
+# the spot inpainter tool routed as a job mode (tools/spot_inpainter.py)
+MODE_SPOT_INPAINTING = "spot_inpainting"
 
 # Face detection methods (const.py:37-40).
 FACE_DETECTION_METHODS = ["InsightFace", "OpenCV"]

@@ -72,15 +72,62 @@ def detect_faces_opencv(
     return out
 
 
+def detect_faces_insightface(image01: np.ndarray,
+                             model_path: Optional[str] = None,
+                             det_size: int = 640) -> List[FaceBox]:
+    """The UI's "InsightFace" detection method (reference
+    face_detector_engine.py:432 fix_with_insight_face ->
+    face_detector_insight_face.py:151 get_face_bounding_boxes: SCRFD
+    buffalo_l at det_size=(640,640)).
+
+    Documented substitution: instead of the SCRFD ONNX net, this runs
+    the in-repo landmark detector (the one backing the FaceID identity
+    pipeline, models/arcface.py) at the same insightface geometry — an
+    aspect-preserving 640x640 letterbox — and maps boxes back, with the
+    FaceID 200px-border retry when nothing is found.  Same menu option,
+    same box contract; detector net differs."""
+    import cv2
+
+    from cremage_tpu.models.arcface import detect_faces_with_landmarks
+
+    img = np.asarray(image01, np.float32)
+    h, w = img.shape[:2]
+    scale = det_size / max(h, w)
+    rh, rw = max(1, int(round(h * scale))), max(1, int(round(w * scale)))
+    boxed = np.zeros((det_size, det_size, 3), np.float32)
+    boxed[:rh, :rw] = cv2.resize(img, (rw, rh),
+                                 interpolation=cv2.INTER_LINEAR)
+    faces = detect_faces_with_landmarks(boxed, model_path)
+    offx = offy = 0.0
+    if not faces:
+        # reference retry (ip_adapter_faceid.py:712): 200px white border
+        pad = 200
+        padded = cv2.copyMakeBorder(boxed, pad, pad, pad, pad,
+                                    borderType=cv2.BORDER_CONSTANT,
+                                    value=[1.0, 1.0, 1.0])
+        faces = detect_faces_with_landmarks(padded, model_path)
+        offx = offy = float(pad)
+    out = []
+    for box, _lmk, score in faces:
+        x = (float(box[0]) - offx) / scale
+        y = (float(box[1]) - offy) / scale
+        bw = float(box[2]) / scale
+        bh = float(box[3]) / scale
+        x0 = max(0, int(round(x)))
+        y0 = max(0, int(round(y)))
+        x1 = min(w, int(round(x + bw)))
+        y1 = min(h, int(round(y + bh)))
+        if x1 > x0 and y1 > y0:
+            out.append(FaceBox(x0, y0, x1 - x0, y1 - y0, score))
+    return out
+
+
 def detect_faces(image01: np.ndarray, method: str = "OpenCV",
                  model_path: Optional[str] = None) -> List[FaceBox]:
     if method == "OpenCV":
         return detect_faces_opencv(image01, model_path)
     if method == "InsightFace":
-        raise WeightsUnavailable(
-            "InsightFace is not available in this environment; use the "
-            "OpenCV method or pass explicit face boxes"
-        )
+        return detect_faces_insightface(image01, model_path)
     raise ValueError(f"unknown face detection method {method!r}")
 
 

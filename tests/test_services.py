@@ -133,7 +133,8 @@ def test_face_fixer_with_explicit_boxes():
     assert np.abs(out[40:50, 40:50] - img[40:50, 40:50]).max() > 0.05
 
 
-def test_detect_faces_missing_weights():
+def test_detect_faces_missing_weights(monkeypatch):
+    monkeypatch.delenv("YUNET_MODEL_PATH", raising=False)
     with pytest.raises(FF.WeightsUnavailable):
         FF.detect_faces_opencv(np.zeros((64, 64, 3), np.float32),
                                model_path="/nope.onnx")
@@ -154,6 +155,32 @@ def test_detect_faces_yunet_if_available():
     img = np.full((128, 128, 3), 0.8, np.float32)
     faces = FF.detect_faces_opencv(img, model_path=model)
     assert isinstance(faces, list)
+
+
+def test_both_detection_methods_find_faces():
+    """Both UI-menu methods ("OpenCV", "InsightFace") return boxes on a
+    real photo (reference face_detector_engine.py:432; the InsightFace
+    method is the documented 640-letterbox substitution)."""
+    import os
+
+    model = "/root/reference/models/opencv/face_detection_yunet_2023mar.onnx"
+    photo = "/root/reference/resources/images/real1.jpg"
+    if not (os.path.exists(model) and os.path.exists(photo)):
+        pytest.skip("YuNet model / test photo not present")
+    from PIL import Image
+
+    img = np.asarray(Image.open(photo).convert("RGB"), np.float32) / 255.0
+    cv_faces = FF.detect_faces(img, "OpenCV", model)
+    if_faces = FF.detect_faces(img, "InsightFace", model)
+    assert len(cv_faces) == 2 and len(if_faces) == 2
+    # same faces, methods may disagree by a few pixels
+    for a in cv_faces:
+        match = min(if_faces,
+                    key=lambda b: abs(a.x - b.x) + abs(a.y - b.y))
+        assert abs(a.x - match.x) < 20 and abs(a.y - match.y) < 20
+
+    with pytest.raises(ValueError):
+        FF.detect_faces(img, "Nope", model)
 
 
 def test_annotator_weight_resolution_order(monkeypatch, tmp_path):
