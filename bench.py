@@ -35,18 +35,20 @@ SDXL_NORTH_STAR = 0.25          # img/s/chip — 2 img/s on v5e-8
 
 def zeros_params(model, *example_args):
     shapes = jax.eval_shape(model.init, jax.random.key(0), *example_args)
-    # BENCH_PARAM_DTYPE=bf16 stores weights in bfloat16 (halves weight
-    # HBM traffic; norm statistics still compute in fp32 inside the
-    # models). Default keeps the template dtype (fp32 master weights).
-    if os.environ.get("BENCH_PARAM_DTYPE", "").lower() in ("bf16", "bfloat16"):
+    # bf16 weights are the DEFAULT serving configuration (halves weight
+    # HBM traffic on the memory-bound UNet; norm statistics still
+    # compute in fp32 inside the models).  BENCH_PARAM_DTYPE=fp32
+    # restores fp32 master weights for comparison runs.
+    if os.environ.get("BENCH_PARAM_DTYPE", "bf16").lower() in (
+            "fp32", "float32", "f32"):
         return jax.tree.map(
-            lambda s: jnp.zeros(
-                s.shape,
-                jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
-            shapes,
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes,
         )
     return jax.tree.map(
-        lambda s: jnp.zeros(s.shape, s.dtype), shapes,
+        lambda s: jnp.zeros(
+            s.shape,
+            jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+        shapes,
     )
 
 
@@ -260,12 +262,116 @@ def bench_svd():
           frames * n_rounds / dt, "frames/s", FLUX_4090_ANCHOR)
 
 
-LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd}
+def bench_sd15_e2e():
+    """End-to-end PRODUCT path: /v1/generate -> EngineWorker ->
+    SD15Pipeline with real CLIP text encoding, sampler-program cache,
+    status plumbing, PNG-ready uint8 results — everything a serving
+    deployment runs, minus only the one-time checkpoint load (flagship
+    configs, host-built params).  Reports wall-clock images/s so the
+    pipeline overhead over the kernel-loop lane is a measured number
+    (VERDICT r2 item 8)."""
+    import base64
+    import json as _json
+    import queue as _queue
+
+    from cremage_tpu.app.server import ApiServer
+    from cremage_tpu.app.worker import EngineWorker
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.models.clip import CLIPTextConfig, CLIPTextModel
+    from cremage_tpu.models.unet import UNetModel, sd15_unet_config
+    from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+    from cremage_tpu.pipelines.conditioning import TextEncoder
+    from cremage_tpu.pipelines.sd15 import SD15Bundle, SD15Pipeline
+    from cremage_tpu.prompt.tokenizer import default_tokenizer
+    from cremage_tpu.samplers import schedules as S
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    unet = UNetModel(sd15_unet_config())
+    params = zeros_params(
+        unet, jnp.zeros((1, 64, 64, 4), jnp.bfloat16), jnp.zeros((1,)),
+        jnp.zeros((1, 77, 768), jnp.bfloat16))
+    vae = AutoencoderKL(VAEConfig())
+    vae_params = zeros_params(vae, jnp.zeros((1, 64, 64, 3), jnp.bfloat16))
+    clip = CLIPTextModel(CLIPTextConfig())
+    clip_params = zeros_params(clip, jnp.zeros((1, 77), jnp.int32))
+    bundle = SD15Bundle(
+        unet=unet, unet_params=params,
+        text=TextEncoder(clip, clip_params, default_tokenizer()),
+        vae=vae, vae_params=vae_params, schedule=S.default_sd_schedule())
+    pipe = SD15Pipeline(bundle)
+
+    worker = EngineWorker()
+
+    def factory():
+        def generate(p, status_cb, result_cb):
+            opts = GenerationOptions.from_dict(p)
+            pipe.generate(opts, status_cb=status_cb, result_cb=result_cb)
+        return generate
+
+    worker.register_backend("SD 1.5", factory)
+    srv = ApiServer(worker=worker, port=0)
+    srv.start()
+    try:
+        import urllib.request
+
+        url = f"http://127.0.0.1:{srv.port}"
+
+        def run_job(seed):
+            body = _json.dumps({
+                "generator_model_type": "SD 1.5",
+                "mode": "text_to_image",
+                "parameters": {
+                    "prompt": "a photograph of an astronaut riding a horse",
+                    "negative_prompt": "blurry, low quality",
+                    "H": 512, "W": 512, "sampling_steps": steps,
+                    "sampler": "Euler A", "seed": seed,
+                    "n_samples": batch, "n_iter": 1,
+                    "safety_check": False, "watermark": False,
+                },
+            }).encode()
+            req = urllib.request.Request(
+                url + "/v1/generate", data=body, method="POST",
+                headers={"Content-Type": "application/json"})
+            urllib.request.urlopen(req, timeout=30).read()
+            n_imgs, done = 0, False
+            end = time.time() + 1800
+            while not done and time.time() < end:
+                msgs = _json.loads(urllib.request.urlopen(
+                    url + "/v1/status", timeout=60).read())["messages"]
+                for m in msgs:
+                    if isinstance(m, dict) and "image_b64" in m:
+                        n_imgs += 1
+                    if isinstance(m, dict) and "job_done" in m:
+                        assert m["job_done"]["ok"], m["job_done"]
+                        done = True
+                if not msgs:
+                    time.sleep(0.05)
+            return n_imgs
+
+        got = run_job(0)          # warmup: compiles the sampler program
+        assert got == batch, got
+        n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+        t0 = time.perf_counter()
+        total = 0
+        for i in range(n_rounds):
+            total += run_job(i + 1)
+        dt = time.perf_counter() - t0
+        _emit("sd15_e2e_images_per_sec", total / dt, "images/s",
+              FLUX_4090_ANCHOR)
+    finally:
+        srv.stop()
+
+
+LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
+         "sd15_e2e": bench_sd15_e2e}
 
 
 def main() -> int:
     lanes = os.environ.get("BENCH_LANES",
-                           os.environ.get("BENCH_MODEL", "sd15,sdxl,svd"))
+                           os.environ.get("BENCH_MODEL",
+                                          "sd15,sdxl,svd,sd15_e2e"))
     names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
     if len(names) == 1:
         from cremage_tpu.core.cache import enable_compilation_cache

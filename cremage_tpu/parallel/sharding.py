@@ -28,31 +28,51 @@ from cremage_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
 
 logger = logging.getLogger(__name__)
 
-# param-name patterns (last two path components joined with '/')
+# param-name patterns, matched against the full '/'-joined param path
 _COL_SHARD = re.compile(
     r"(to_q|to_k|to_v|to_k_ipa|to_v_ipa|q_proj|k_proj|v_proj|net_0_proj|"
     r"mlp_fc1|attn_qkv|qkv|linear1|img_attn_qkv|txt_attn_qkv|img_mlp_0|"
-    r"txt_mlp_0|cross_attn_q_linear|cross_attn_kv_linear|wi_0|wi_1)/weight$"
+    r"txt_mlp_0|cross_attn_q_linear|cross_attn_kv_linear|wi_0|wi_1|"
+    r"emb_layers_1)/weight$"
 )
 _ROW_SHARD = re.compile(
     r"(to_out_0|out_proj|net_2|mlp_fc2|attn_proj|proj|linear2|"
     r"img_attn_proj|txt_attn_proj|img_mlp_2|txt_mlp_2|cross_attn_proj|wo)"
     r"/weight$"
 )
+# conv channel sharding (HWIO kernels).  Producer convs shard the
+# output-channel axis; the consumer conv of the pair shards its
+# input-channel axis (partial sums -> GSPMD all-reduce):
+#   UNet ResBlock: in_layers_2 (O) -> out_layers_3 (I), with the
+#   emb_layers_1 Dense column-sharded to match the intermediate;
+#   VAE ResnetBlock: conv1 (O) -> conv2 (I);
+#   VAE mid-block AttnBlock: q/k/v 1x1 convs (O) -> proj_out (I).
+_CONV_OUT_SHARD = re.compile(
+    r"(in_layers_2|conv1|mid_attn_\d+/(q|k|v))/weight$"
+)
+_CONV_IN_SHARD = re.compile(
+    r"(out_layers_3|conv2|mid_attn_\d+/proj_out)/weight$"
+)
 
 
 def tp_spec_for(path: Tuple[str, ...], leaf) -> P:
     """PartitionSpec for one parameter under tensor parallelism."""
-    name = "/".join(path[-2:]) if len(path) >= 2 else path[-1]
+    name = "/".join(path)
     if leaf.ndim == 2:
         if _COL_SHARD.search(name):
             return P(None, MODEL_AXIS)
         if _ROW_SHARD.search(name):
             return P(MODEL_AXIS, None)
-    if leaf.ndim == 1 and len(path) >= 2 and _COL_SHARD.search(
-        "/".join(path[-2:]).replace("/bias", "/weight")
+    if leaf.ndim == 4:
+        if _CONV_OUT_SHARD.search(name):
+            return P(None, None, None, MODEL_AXIS)
+        if _CONV_IN_SHARD.search(name):
+            return P(None, None, MODEL_AXIS, None)
+    if leaf.ndim == 1 and (
+        _COL_SHARD.search(name.replace("/bias", "/weight"))
+        or _CONV_OUT_SHARD.search(name.replace("/bias", "/weight"))
     ):
-        # bias of a column-sharded layer is sharded along its only dim
+        # bias of a column/out-channel-sharded layer follows its dim
         return P(MODEL_AXIS)
     return P()  # replicate
 

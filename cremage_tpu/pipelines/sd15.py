@@ -78,11 +78,60 @@ class SD15Pipeline:
         bundle: SD15Bundle,
         safety: Optional[ImageSafetyChecker] = None,
         face_fixer: Optional[Callable] = None,
+        mesh=None,
     ):
         self.bundle = bundle
         self.safety = safety or default_image_safety()
         self.face_fixer = face_fixer
+        self.mesh = None
         self._gen_cache: Dict[Tuple, Callable] = {}
+        if mesh is not None:
+            self.use_mesh(mesh)
+
+    # ---------------- multi-chip ----------------
+
+    def use_mesh(self, mesh, tensor_parallel: bool = False):
+        """Adopt a ('data','model') mesh: params replicated (or
+        TP-sharded over 'model'), activations batch-sharded over 'data'
+        at each jitted-program boundary.  XLA/GSPMD inserts the ICI
+        collectives — the sampler/UNet code is unchanged (SURVEY §5
+        distributed backend; the reference is single-GPU)."""
+        from cremage_tpu.core.mesh import replicate_params
+
+        if tensor_parallel:
+            from cremage_tpu.parallel.sharding import shard_params_tp
+
+            self.bundle.unet_params = shard_params_tp(
+                mesh, self.bundle.unet_params)
+        else:
+            self.bundle.unet_params = replicate_params(
+                mesh, self.bundle.unet_params)
+        self.bundle.vae_params = replicate_params(mesh,
+                                                  self.bundle.vae_params)
+        if self.bundle.controlnet is not None:
+            cn, cn_params = self.bundle.controlnet
+            self.bundle.controlnet = (cn, replicate_params(mesh, cn_params))
+        self.mesh = mesh
+        self._gen_cache.clear()
+        return self
+
+    def _shard_batch_args(self, *arrays):
+        """data_sharding for batch-carrying sampler inputs when a mesh
+        is active; batch sizes that don't divide the data axis fall back
+        to the default placement (replicated compute, still correct)."""
+        if self.mesh is None:
+            return arrays
+        from cremage_tpu.core.mesh import DATA_AXIS, data_sharding
+
+        dsize = self.mesh.shape[DATA_AXIS]
+        out = []
+        for a in arrays:
+            if (a is not None and hasattr(a, "ndim") and a.ndim >= 1
+                    and a.shape[0] % dsize == 0 and a.shape[0] >= dsize):
+                a = jax.device_put(jnp.asarray(a),
+                                   data_sharding(self.mesh, a.ndim))
+            out.append(a)
+        return tuple(out)
 
     # ---------------- conditioning ----------------
 
@@ -239,6 +288,7 @@ class SD15Pipeline:
             fn = self._runner(bucket, build)
             x = init_latent if t_enc is not None else x_init
             cn_params = self.bundle.controlnet[1] if self.bundle.controlnet else None
+            x, c, uc = self._shard_batch_args(x, c, uc)
             return fn(self.bundle.unet_params, x, c, uc, key, extra_channels,
                       cn_params, hint)
 
@@ -280,6 +330,7 @@ class SD15Pipeline:
         fn = self._runner(bucket, build)
         x = init_latent if t_enc is not None else x_init
         cn_params = self.bundle.controlnet[1] if self.bundle.controlnet else None
+        x, c, uc = self._shard_batch_args(x, c, uc)
         return fn(self.bundle.unet_params, x, c, uc, key, extra_channels,
                   cn_params, hint)
 

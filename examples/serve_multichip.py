@@ -25,8 +25,7 @@ from cremage_tpu.app.server import ApiServer
 from cremage_tpu.app.worker import EngineWorker
 from cremage_tpu.core.cache import enable_compilation_cache
 from cremage_tpu.core.config import GMT_SD_1_5, Preferences
-from cremage_tpu.core.mesh import make_mesh, replicate_params
-from cremage_tpu.parallel.sharding import shard_params_tp
+from cremage_tpu.core.mesh import make_mesh
 
 
 def main():
@@ -39,25 +38,44 @@ def main():
     args = ap.parse_args()
 
     enable_compilation_cache()
-    n = len(jax.devices())
-    mesh = make_mesh(jax.devices(), data=n // args.tp, model=args.tp)
+    srv, pipe, mesh = build_server(args.ckpt, tp=args.tp, port=args.port)
+    srv.host = args.host
     print(f"mesh: {mesh}")
+    register_default_backends(srv.worker, Preferences(ldm_model=args.ckpt))
+    srv.worker.register_backend(GMT_SD_1_5, lambda: make_backend(pipe))
+    srv.start(block=True)
 
-    from cremage_tpu.pipelines.loader import load_sd15_bundle
+
+def make_backend(pipe):
+    """worker-protocol adapter over a pre-sharded pipeline."""
+    from cremage_tpu.core.config import GenerationOptions
+
+    def generate(params, status_cb, result_cb):
+        opts = GenerationOptions.from_dict(params)
+        pipe.generate(opts, status_cb=status_cb, result_cb=result_cb)
+
+    return generate
+
+
+def build_server(ckpt: str, tp: int = 1, port: int = 0,
+                 bundle=None, mesh=None):
+    """Headless wiring used by main() and the boot test: mesh + sharded
+    pipeline + worker + HTTP server (not started)."""
+    import jax as _jax
+
     from cremage_tpu.pipelines.sd15 import SD15Pipeline
 
-    bundle = load_sd15_bundle(args.ckpt)
-    if args.tp > 1:
-        bundle.unet_params = shard_params_tp(mesh, bundle.unet_params)
-    else:
-        bundle.unet_params = replicate_params(mesh, bundle.unet_params)
-    pipe = SD15Pipeline(bundle)
+    if mesh is None:
+        n = len(_jax.devices())
+        mesh = make_mesh(_jax.devices(), data=n // tp, model=tp)
+    if bundle is None:
+        from cremage_tpu.pipelines.loader import load_sd15_bundle
 
+        bundle = load_sd15_bundle(ckpt)
+    pipe = SD15Pipeline(bundle).use_mesh(mesh, tensor_parallel=tp > 1)
     worker = EngineWorker()
-    register_default_backends(worker, Preferences(ldm_model=args.ckpt))
-    # pin the SD1.5 backend to the pre-sharded pipeline built above
-    worker.register_backend(GMT_SD_1_5, lambda: pipe.generate)
-    ApiServer(worker=worker, host=args.host, port=args.port).start(block=True)
+    worker.register_backend(GMT_SD_1_5, lambda: make_backend(pipe))
+    return ApiServer(worker=worker, port=port), pipe, mesh
 
 
 if __name__ == "__main__":

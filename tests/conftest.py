@@ -24,6 +24,42 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# ---------------------------------------------------------------------------
+# smoke subset: one cheap representative test per component family, so a
+# single short verification window (<5 min on the 1-core box) can
+# establish suite health: `pytest -m smoke`.
+# ---------------------------------------------------------------------------
+SMOKE_TESTS = {
+    "test_core.py::test_mesh_shapes",                      # core/mesh
+    "test_prompt.py::test_score_plain",                    # prompt parser
+    "test_sentencepiece.py::test_proto_roundtrip",         # tokenizers
+    "test_conditioning.py::test_encode_single_chunk",      # text encoder
+    "test_schedules.py::test_ddpm_alphas_cumprod_endpoints",  # schedules
+    "test_kdiffusion_samplers.py::test_euler_matches_oracle",  # samplers
+    "test_edm_sdxl.py::test_edm_discretization",           # sgm samplers
+    "test_models.py::test_sd15_unet_param_count_golden",   # unet
+    "test_keylist_golden.py::test_sd15_unet_published_structure",  # fixtures
+    "test_io.py::test_checkpoint_roundtrip_tiny_unet",     # checkpoint io
+    "test_parallel.py::test_tp_spec_rules",                # sharding rules
+    "test_app.py::test_worker_dispatch_and_result",        # worker/IPC
+    "test_server_tools.py::test_server_health",            # HTTP API
+    "test_server_tools.py::test_server_mask_ops",          # tool endpoints
+    "test_dirs_llm.py::test_first_init_and_library_ops",   # library/LLM
+    "test_services.py::test_annotator_weight_resolution_order",  # annotators
+    "test_services.py::test_detect_faces_missing_weights",  # face fix
+    "test_faceid.py::test_faceid_slot_table_sd15",         # FaceID
+    "test_faceid_plus_service.py::test_weights_path_resolution",  # Plus
+    "test_segformer.py::test_ade_palette_is_the_published_one",  # seg
+    "test_image_utils.py::test_bbox_for_multiple_of_64_reference_goldens",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.nodeid.split("[")[0]
+        if base.removeprefix("tests/") in SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
+
 
 @pytest.fixture(scope="session")
 def mesh8():

@@ -37,7 +37,23 @@ def test_tp_spec_rules():
     assert tp_spec_for(("x", "to_out_0", "weight"), w2) == P("model", None)
     assert tp_spec_for(("x", "attn_qkv", "weight"), w2) == P(None, "model")
     assert tp_spec_for(("x", "mlp_fc2", "weight"), w2) == P("model", None)
-    assert tp_spec_for(("x", "in_layers_2", "weight"), jnp.zeros((3, 3, 4, 8))) == P()
+    # conv channel sharding (round-3 extension past attention/MLP)
+    assert tp_spec_for(("x", "in_layers_2", "weight"),
+                       jnp.zeros((3, 3, 4, 8))) == P(None, None, None, "model")
+    assert tp_spec_for(("x", "out_layers_3", "weight"),
+                       jnp.zeros((3, 3, 8, 4))) == P(None, None, "model", None)
+    assert tp_spec_for(("x", "emb_layers_1", "weight"),
+                       jnp.zeros((32, 8))) == P(None, "model")
+    # VAE mid-block attention 1x1 convs
+    assert tp_spec_for(("decoder", "mid_attn_1", "q", "weight"),
+                       jnp.zeros((1, 1, 8, 8))) == P(None, None, None, "model")
+    assert tp_spec_for(("decoder", "mid_attn_1", "proj_out", "weight"),
+                       jnp.zeros((1, 1, 8, 8))) == P(None, None, "model", None)
+    # VAE resnet conv pair
+    assert tp_spec_for(("decoder", "up_0_block_0", "conv1", "weight"),
+                       jnp.zeros((3, 3, 8, 8))) == P(None, None, None, "model")
+    assert tp_spec_for(("decoder", "up_0_block_0", "conv2", "weight"),
+                       jnp.zeros((3, 3, 8, 8))) == P(None, None, "model", None)
     assert tp_spec_for(("norm", "weight"), jnp.zeros((32,))) == P()
 
 
