@@ -35,20 +35,22 @@ SDXL_NORTH_STAR = 0.25          # img/s/chip — 2 img/s on v5e-8
 
 def zeros_params(model, *example_args):
     shapes = jax.eval_shape(model.init, jax.random.key(0), *example_args)
-    # bf16 weights are the DEFAULT serving configuration (halves weight
-    # HBM traffic on the memory-bound UNet; norm statistics still
-    # compute in fp32 inside the models).  BENCH_PARAM_DTYPE=fp32
-    # restores fp32 master weights for comparison runs.
-    if os.environ.get("BENCH_PARAM_DTYPE", "bf16").lower() in (
-            "fp32", "float32", "f32"):
+    # MEASURED on v5e (round 3, sd15 lane, 6 rounds each): fp32 master
+    # weights 2.804 img/s vs bf16 weights 2.774 img/s — bf16 weight
+    # storage does NOT help (the lane is VPU/attention-bound, not
+    # weight-HBM-bound at batch 4; the models already compute in bf16
+    # with fp32 norm statistics either way).  Default stays fp32;
+    # BENCH_PARAM_DTYPE=bf16 selects bf16 storage for comparison runs.
+    if os.environ.get("BENCH_PARAM_DTYPE", "").lower() in ("bf16",
+                                                           "bfloat16"):
         return jax.tree.map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes,
+            lambda s: jnp.zeros(
+                s.shape,
+                jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+            shapes,
         )
     return jax.tree.map(
-        lambda s: jnp.zeros(
-            s.shape,
-            jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
-        shapes,
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes,
     )
 
 

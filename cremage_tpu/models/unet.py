@@ -161,7 +161,14 @@ class FeedForward(nn.Module):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         h = Dense(inner * 2, name="net_0_proj", **dd)(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate, approximate=False)
+        # GEGLU activation: exact (erf) gelu in fp32 for bit-level torch
+        # parity; tanh approximation under bf16 compute, where its error
+        # (<4e-4 absolute) is below bf16 rounding and the erf epilogue
+        # otherwise doubles the ff dot-chain time on the VPU (measured
+        # v5e, 129k x 320 GEGLU pair: erf 4.02 ms vs tanh 2.07 ms —
+        # SVD's temporal ff_in/ff was 37%% of video-UNet time).
+        exact = jnp.dtype(self.dtype) != jnp.bfloat16
+        h = h * nn.gelu(gate, approximate=not exact)
         return Dense(dim, name="net_2", **dd)(h)
 
 
