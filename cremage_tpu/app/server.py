@@ -188,6 +188,10 @@ class ApiServer:
             from cremage_tpu.samplers.kdiffusion import SAMPLER_SCHEDULE
 
             kdiff = ["DDIM"] + sorted(SAMPLER_SCHEDULE)
+            # engine-reachable beyond the reference's 12-name menu
+            # (reference vendors these but never lists them:
+            # sampler_utils.py:21-34 vs image_generator.py:42-43)
+            extra = ["PLMS", "DPM Solver"]
             sgm = list(SGM_SAMPLER_NAMES)
             # SDXL/SVD run the SGM sampler menu; everything else takes
             # the k-diffusion/DDIM names (flow families ignore it)
@@ -196,6 +200,7 @@ class ApiServer:
             return {
                 "model_types": list(GENERATOR_MODEL_TYPES),
                 "samplers": kdiff,
+                "extra_samplers": extra,
                 "sgm_samplers": sgm,
                 "samplers_by_type": by_type,
             }

@@ -35,6 +35,7 @@ from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_
 from cremage_tpu.pipelines.conditioning import TextEncoder, tile_batch
 from cremage_tpu.samplers import ddim as DDIM
 from cremage_tpu.samplers import kdiffusion as K
+from cremage_tpu.samplers import ldm_extra as LDMX
 from cremage_tpu.samplers import schedules as S
 from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
 from cremage_tpu.core.registry import SAMPLERS
@@ -45,6 +46,13 @@ from cremage_tpu.services.watermark import embed_watermark
 logger = logging.getLogger(__name__)
 
 StatusCb = Callable[[str], None]
+
+# samplers driven by ddpm timestep t (not sigma): noise init is N(0, I)
+# and dispatch goes through the ldm-style schedule builders. DDIM is the
+# reference's menu entry; PLMS / DPM Solver are its two vendored
+# non-menu samplers (ldm/models/diffusion/{plms.py,dpm_solver/}),
+# exposed here via /v1/meta "extra_samplers".
+T_DRIVEN_SAMPLERS = ("DDIM", "PLMS", "DPM Solver")
 
 
 @dataclasses.dataclass
@@ -265,25 +273,60 @@ class SD15Pipeline:
                   has_extra, float(opts.ddim_eta), churn,
                   hint is not None, float(control_weight))
 
-        if name == "DDIM":
+        if name in T_DRIVEN_SAMPLERS:
             # recover the model's alphas_cumprod from its sigma table
             # (sigma = sqrt((1-a)/a)  =>  a = 1/(1+sigma^2))
             acp = 1.0 / (1.0 + self.bundle.schedule.sigmas**2)
-            sched = DDIM.make_ddim_schedule(acp, steps, eta=opts.ddim_eta)
+            if name == "DPM Solver":
+                if t_enc is not None:
+                    raise ValueError(
+                        "DPM Solver supports txt2img only (the reference "
+                        "exposes it for full sampling runs only)")
+                dsched = LDMX.make_dpm_solver_schedule(acp, steps)
 
-            def build():
-                def run(params, x, c, uc, key, extra, cn_params, hint_arr):
-                    eps = self._eps_model(params, extra, cn_params, hint_arr,
-                                          control_weight)
-                    eps_cfg = cfg_denoiser(eps, c, uc, scale)
-                    if t_enc is not None:
-                        noise = noise_like(key, x.shape)
-                        xt = DDIM.stochastic_encode(x, sched, t_enc - 1, noise)
-                        return DDIM.decode(eps_cfg, xt, sched, t_enc, key=key,
+                def build():
+                    def run(params, x, c, uc, key, extra, cn_params, hint_arr):
+                        eps = self._eps_model(params, extra, cn_params,
+                                              hint_arr, control_weight)
+                        eps_cfg = cfg_denoiser(eps, c, uc, scale)
+                        return LDMX.sample_dpm_solver(eps_cfg, x, dsched,
+                                                      progress_cb=progress)
+                    return run
+            elif name == "PLMS":
+                sched = DDIM.make_ddim_schedule(acp, steps, eta=0.0)
+
+                def build():
+                    def run(params, x, c, uc, key, extra, cn_params, hint_arr):
+                        eps = self._eps_model(params, extra, cn_params,
+                                              hint_arr, control_weight)
+                        eps_cfg = cfg_denoiser(eps, c, uc, scale)
+                        if t_enc is not None:
+                            noise = noise_like(key, x.shape)
+                            xt = DDIM.stochastic_encode(x, sched, t_enc - 1,
+                                                        noise)
+                            return LDMX.sample_plms(eps_cfg, xt, sched,
+                                                    t_start=t_enc,
+                                                    progress_cb=progress)
+                        return LDMX.sample_plms(eps_cfg, x, sched,
+                                                progress_cb=progress)
+                    return run
+            else:  # DDIM
+                sched = DDIM.make_ddim_schedule(acp, steps, eta=opts.ddim_eta)
+
+                def build():
+                    def run(params, x, c, uc, key, extra, cn_params, hint_arr):
+                        eps = self._eps_model(params, extra, cn_params,
+                                              hint_arr, control_weight)
+                        eps_cfg = cfg_denoiser(eps, c, uc, scale)
+                        if t_enc is not None:
+                            noise = noise_like(key, x.shape)
+                            xt = DDIM.stochastic_encode(x, sched, t_enc - 1,
+                                                        noise)
+                            return DDIM.decode(eps_cfg, xt, sched, t_enc,
+                                               key=key, progress_cb=progress)
+                        return DDIM.sample(eps_cfg, x, sched, key=key,
                                            progress_cb=progress)
-                    return DDIM.sample(eps_cfg, x, sched, key=key,
-                                       progress_cb=progress)
-                return run
+                    return run
 
             fn = self._runner(bucket, build)
             x = init_latent if t_enc is not None else x_init
@@ -340,7 +383,7 @@ class SD15Pipeline:
                         hint=None, control_weight=1.0):
         h, w = opts.H // opts.f, opts.W // opts.f
         b = c.shape[0]
-        if opts.sampler == "DDIM":
+        if opts.sampler in T_DRIVEN_SAMPLERS:
             x = noise_like(key, (b, h, w, self.bundle.latent_channels))
         else:
             kind = K.SAMPLER_SCHEDULE.get(opts.sampler, "model")
@@ -410,7 +453,7 @@ class SD15Pipeline:
         extra = jnp.broadcast_to(extra, (b,) + extra.shape[1:])
         x = noise_like(key, (b, h8, w8, self.bundle.latent_channels))
         kind = K.SAMPLER_SCHEDULE.get(opts.sampler, "model")
-        if opts.sampler != "DDIM":
+        if opts.sampler not in T_DRIVEN_SAMPLERS:
             sigma0 = (self.bundle.schedule.get_sigmas(opts.sampling_steps)[0]
                       if kind == "model" else self.bundle.schedule.sigma_max)
             x = x * float(sigma0)

@@ -106,6 +106,32 @@ def test_txt2img_sampler_menu(bundle, sampler):
     assert np.isfinite(results[0][0]).all()
 
 
+@pytest.mark.parametrize("sampler", ["PLMS", "DPM Solver"])
+def test_txt2img_extra_samplers(bundle, sampler):
+    # the reference's two vendored non-menu samplers (image_generator.py:42-43)
+    pipe = SD15Pipeline(bundle)
+    results = pipe.generate(base_opts(sampler=sampler))
+    assert np.isfinite(results[0][0]).all()
+
+
+def test_img2img_plms(bundle):
+    pipe = SD15Pipeline(bundle)
+    init = np.zeros((64, 64, 3), np.float32)
+    opts = base_opts(mode=MODE_IMAGE_TO_IMAGE, sampler="PLMS", strength=0.5,
+                     sampling_steps=4)
+    results = pipe.generate(opts, init_image=init)
+    assert np.isfinite(results[0][0]).all()
+
+
+def test_img2img_dpm_solver_rejected(bundle):
+    pipe = SD15Pipeline(bundle)
+    init = np.zeros((64, 64, 3), np.float32)
+    opts = base_opts(mode=MODE_IMAGE_TO_IMAGE, sampler="DPM Solver",
+                     strength=0.5, sampling_steps=4)
+    with pytest.raises(ValueError, match="txt2img"):
+        pipe.generate(opts, init_image=init)
+
+
 def test_txt2img_cfg_scale_one(bundle):
     pipe = SD15Pipeline(bundle)
     results = pipe.generate(base_opts(scale=1.0))
