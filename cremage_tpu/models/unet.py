@@ -125,6 +125,21 @@ class CrossAttention(nn.Module):
             ipa_ctx = ctx[:, -self.ipa_num_tokens:, :]
             ctx = ctx[:, : ctx.shape[1] - self.ipa_num_tokens, :]
 
+        if (not is_self) and ipa_ctx is None and ctx.shape[1] == 1:
+            # Single-kv-token cross attention (SVD: the 1-token CLIP image
+            # embedding is the whole context): softmax over one logit is
+            # identically 1, so out = to_out(to_v(ctx)) broadcast over the
+            # query tokens — q/k never influence the output. Computing the
+            # projections on one token instead of all N removes two full
+            # N x C x C matmuls per block. to_q/to_k params are still
+            # registered (on a 1-token slice; XLA dead-code-eliminates the
+            # unused dots) so checkpoint key mapping is unchanged.
+            _ = Dense(inner, use_bias=False, name="to_q", **dd)(x[:, :1])
+            _ = Dense(inner, use_bias=False, name="to_k", **dd)(ctx)
+            v1 = Dense(inner, use_bias=False, name="to_v", **dd)(ctx)
+            out1 = Dense(x.shape[-1], name="to_out_0", **dd)(v1)
+            return jnp.broadcast_to(out1, x.shape)
+
         q = Dense(inner, use_bias=False, name="to_q", **dd)(x)
         k = Dense(inner, use_bias=False, name="to_k", **dd)(ctx)
         v = Dense(inner, use_bias=False, name="to_v", **dd)(ctx)
@@ -166,7 +181,7 @@ class FeedForward(nn.Module):
         # (<4e-4 absolute) is below bf16 rounding and the erf epilogue
         # otherwise doubles the ff dot-chain time on the VPU (measured
         # v5e, 129k x 320 GEGLU pair: erf 4.02 ms vs tanh 2.07 ms —
-        # SVD's temporal ff_in/ff was 37%% of video-UNet time).
+        # SVD's temporal ff_in/ff was 37% of video-UNet time).
         exact = jnp.dtype(self.dtype) != jnp.bfloat16
         h = h * nn.gelu(gate, approximate=not exact)
         return Dense(dim, name="net_2", **dd)(h)

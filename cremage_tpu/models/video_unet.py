@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.lax as lax
 import jax.numpy as jnp
 
@@ -154,9 +155,56 @@ class VideoResBlock(nn.Module):
         return mixed.reshape(bt, hh, ww, c)
 
 
+class TemporalSelfAttention(nn.Module):
+    """Self-attention over the frame axis without materializing the
+    (B*S, T, C) layout: q/k/v are projected in the native (B*T, S, C)
+    layout and the frame axis is contracted via einsum batch dims, so the
+    two full-tensor transposes that used to bracket every temporal block
+    become dot_general dimension numbers XLA folds into the (tiny, T x T)
+    attention dots. Param tree matches CrossAttention (to_q/to_k/to_v/
+    to_out_0) so checkpoint mapping is unchanged."""
+
+    heads: int
+    dim_head: int
+    num_frames: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (B*T, S, C), attends over T per (batch, pixel)."""
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        inner = self.heads * self.dim_head
+        bt, s, c = x.shape
+        t = self.num_frames
+        b = bt // t
+        q = Dense(inner, use_bias=False, name="to_q", **dd)(x)
+        k = Dense(inner, use_bias=False, name="to_k", **dd)(x)
+        v = Dense(inner, use_bias=False, name="to_v", **dd)(x)
+        q = q.reshape(b, t, s, self.heads, self.dim_head)
+        k = k.reshape(b, t, s, self.heads, self.dim_head)
+        v = v.reshape(b, t, s, self.heads, self.dim_head)
+        logits = jnp.einsum(
+            "btshd,bushd->bshtu", q, k, preferred_element_type=jnp.float32
+        ) * (self.dim_head ** -0.5)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bshtu,bushd->btshd", probs.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        out = out.reshape(bt, s, inner)
+        return Dense(c, name="to_out_0", **dd)(out)
+
+
 class VideoTransformerBlock(nn.Module):
     """Temporal attention block over the frame axis (video_attention.py
-    VideoTransformerBlock with ff_in)."""
+    VideoTransformerBlock with ff_in).
+
+    All per-token ops (norms, GEGLU ffs, projections) are layout
+    independent, so the whole block runs in the native (B*T, S, C)
+    layout; only attn1 mixes frames, handled transpose-free by
+    TemporalSelfAttention. attn2's context is per-batch, repeated per
+    frame (T copies) instead of per pixel (S copies)."""
 
     heads: int
     dim_head: int
@@ -166,26 +214,24 @@ class VideoTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, time_context):
-        """x: (B*T, HW, C) -> reshaped to per-pixel frame sequences."""
+        """x: (B*T, HW, C); per-pixel frame sequences attend over T."""
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         bt, s, c = x.shape
         t = self.num_frames
-        b = bt // t
-        # (B*T, S, C) -> (B*S, T, C): sequences along time per pixel
-        xr = x.reshape(b, t, s, c).transpose(0, 2, 1, 3).reshape(b * s, t, c)
 
-        h = LayerNorm(name="norm_in")(xr)
-        xr = xr + FeedForward(name="ff_in", **dd)(h)
-        h = LayerNorm(name="norm1")(xr)
-        xr = xr + CrossAttention(self.heads, self.dim_head, name="attn1", **dd)(h)
+        h = LayerNorm(name="norm_in")(x)
+        x = x + FeedForward(name="ff_in", **dd)(h)
+        h = LayerNorm(name="norm1")(x)
+        x = x + TemporalSelfAttention(
+            self.heads, self.dim_head, t, name="attn1", **dd)(h)
         if time_context is not None:
-            tc = jnp.repeat(time_context, s, axis=0)
-            h = LayerNorm(name="norm2")(xr)
-            xr = xr + CrossAttention(self.heads, self.dim_head, name="attn2",
-                                     **dd)(h, tc)
-        h = LayerNorm(name="norm3")(xr)
-        xr = xr + FeedForward(name="ff", **dd)(h)
-        return xr.reshape(b, s, t, c).transpose(0, 2, 1, 3).reshape(bt, s, c)
+            tc = jnp.repeat(time_context, t, axis=0)
+            h = LayerNorm(name="norm2")(x)
+            x = x + CrossAttention(self.heads, self.dim_head, name="attn2",
+                                   **dd)(h, tc)
+        h = LayerNorm(name="norm3")(x)
+        x = x + FeedForward(name="ff", **dd)(h)
+        return x
 
 
 class SpatialVideoTransformer(nn.Module):
