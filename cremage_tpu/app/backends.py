@@ -18,7 +18,8 @@ import numpy as np
 from cremage_tpu.core.config import (
     GMT_FLUX_1_SCHNELL, GMT_HUNYUAN_DIT, GMT_KANDINSKY_2_2, GMT_PIXART_SIGMA,
     GMT_SD_1_5, GMT_SD_3, GMT_SDXL, GMT_STABLE_CASCADE, GMT_SVD,
-    GenerationOptions, MODE_INPAINTING, MODE_SPOT_INPAINTING, Preferences,
+    GenerationOptions, MODE_FACE_FIX, MODE_INPAINTING, MODE_SPOT_INPAINTING,
+    Preferences,
 )
 from cremage_tpu.app.worker import EngineWorker
 
@@ -84,6 +85,38 @@ def sd15_factory(prefs: Preferences) -> Callable:
                 detection_method=opts.auto_face_fix_face_detection_method,
                 target_size=512,
             )
+        if opts.mode == MODE_FACE_FIX:
+            # standalone face-fix tool routed as a job (reference
+            # tools/face_detector.py: detect or take user-marked boxes,
+            # img2img-repair each crop, seamless paste-back)
+            import dataclasses
+
+            from cremage_tpu.services.facefix import (
+                FaceBox, pipeline_face_fixer,
+            )
+
+            image = _load_image(params, "init_img")      # [-1,1]
+            if image is None:
+                raise ValueError("face fix needs init_img")
+            boxes = None
+            if params.get("face_boxes"):
+                boxes = [FaceBox(int(b["x"]), int(b["y"]), int(b["w"]),
+                                 int(b["h"]), float(b.get("score", 1.0)))
+                         for b in params["face_boxes"]]
+            fixer = pipeline_face_fixer(
+                pipe,
+                detection_method=opts.auto_face_fix_face_detection_method,
+                target_size=512)
+            status_cb("face fix")
+            out01 = fixer.fix(
+                (image + 1.0) * 0.5,
+                prompt=opts.auto_face_fix_prompt or opts.prompt,
+                strength=opts.auto_face_fix_strength,
+                seed=int(opts.seed or 0), boxes=boxes)
+            meta = dataclasses.asdict(opts)
+            meta.pop("extra", None)
+            result_cb(out01, meta)
+            return
         if opts.mode == MODE_SPOT_INPAINTING:
             import dataclasses
 

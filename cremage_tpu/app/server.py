@@ -12,6 +12,9 @@ the EngineWorker:
   POST /v1/tools/crop      {"image": b64png, "x","y","w","h"}
   POST /v1/tools/mix       {"paths": [...], "weights": [...], "output": p}
   POST /v1/tools/interpolate {"frames": [b64...], "passes": 2}
+  POST /v1/tools/face_detect {"image": b64png, "method": "OpenCV"}
+  POST /v1/tools/face_fix  {"init_img": path, "face_boxes": [...]} -> job
+  POST /v1/tools/unblur    {"image": b64png}   (also /colorize, /gfpgan)
 
 stdlib ThreadingHTTPServer — no extra dependencies; any thin client
 (web UI, notebook, GTK shell) can sit on top.
@@ -317,6 +320,66 @@ class ApiServer:
             h = int(body.get("h", img.shape[0] if img is not None else 512))
             w = int(body.get("w", img.shape[1] if img is not None else 512))
             out = draw_strokes(img, h, w, body.get("strokes", []))
+            return {"image": _image_to_b64(out)}
+        if path == "/v1/tools/face_detect" and method == "POST":
+            # mark faces (reference tools/face_detector.py "Mark faces",
+            # face_detector_engine.mark_faces; both UI menu methods)
+            from cremage_tpu.app.tools import detect_face_boxes
+            from cremage_tpu.services.facefix import WeightsUnavailable
+
+            img = _b64_to_image(body["image"])
+            try:
+                boxes = detect_face_boxes(img, body.get("method", "OpenCV"),
+                                          body.get("model_path"))
+            except (WeightsUnavailable, ValueError) as e:
+                raise BadRequest(str(e))
+            return {"boxes": boxes}
+        if path == "/v1/tools/face_fix" and method == "POST":
+            # standalone face fix routed as a job (tools/face_detector.py:
+            # img2img-repair each detected or user-marked box)
+            from cremage_tpu.core.config import MODE_FACE_FIX
+
+            job = _normalize_generate(body)
+            job["parameters"]["mode"] = MODE_FACE_FIX
+            job.setdefault("generator_model_type", "SD 1.5")
+            if not job["parameters"].get("init_img"):
+                raise BadRequest(
+                    "face_fix needs an init_img path (stage it via "
+                    "/v1/upload); optional face_boxes [{x,y,w,h}] skip "
+                    "detection")
+            err = _validate_generate(job)
+            if err:
+                raise BadRequest(err)
+            self._job_counter += 1
+            job.setdefault("type", MP_MESSAGE_TYPE_INFERENCE)
+            self.worker.submit(job)
+            return {"job_id": self._job_counter}
+        if path in ("/v1/tools/unblur", "/v1/tools/colorize") \
+                and method == "POST":
+            # face unblur / colorize menu tools (reference
+            # face_unblur.py:57-68; CremageModelV6 on aligned crops)
+            from cremage_tpu.app.tools import colorize_faces, unblur_faces
+            from cremage_tpu.services.facefix import WeightsUnavailable
+
+            img = _b64_to_image(body["image"])
+            fn = (unblur_faces if path.endswith("unblur")
+                  else colorize_faces)
+            try:
+                out = fn(img, body.get("weights_path"),
+                         body.get("yunet_path"))
+            except (WeightsUnavailable, RuntimeError, ValueError) as e:
+                raise BadRequest(str(e))
+            return {"image": _image_to_b64(out)}
+        if path == "/v1/tools/gfpgan" and method == "POST":
+            # GFPGAN restoration tool (reference tools/gfpgan_wrapper.py)
+            from cremage_tpu.app.tools import gfpgan_restore
+
+            img = _b64_to_image(body["image"])
+            try:
+                out = gfpgan_restore(img, body.get("weights_path"),
+                                     float(body.get("scale", 1.0)))
+            except FileNotFoundError as e:
+                raise BadRequest(str(e))
             return {"image": _image_to_b64(out)}
         if path == "/v1/tools/segment" and method == "POST":
             # segmentation-inpainting mask (reference image_segmenter.py:90)

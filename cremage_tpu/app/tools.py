@@ -40,6 +40,64 @@ def scale_image(image: np.ndarray, scale: float,
     return smart_upscale(image, scale, esrgan_weights)
 
 
+def detect_face_boxes(image01: np.ndarray, method: str = "OpenCV",
+                      model_path: Optional[str] = None) -> List[Dict]:
+    """Face boxes as JSON-ready dicts (reference tools/face_detector.py
+    "Mark faces": face_detector_engine.mark_faces)."""
+    from cremage_tpu.services.facefix import detect_faces
+
+    return [dict(x=b.x, y=b.y, w=b.w, h=b.h, score=b.score)
+            for b in detect_faces(image01, method, model_path)]
+
+
+def _face_landmarks(image01: np.ndarray,
+                    yunet_path: Optional[str] = None) -> List[np.ndarray]:
+    from cremage_tpu.models.arcface import detect_faces_with_landmarks
+
+    faces = detect_faces_with_landmarks(np.asarray(image01, np.float32),
+                                        yunet_path)
+    return [lmk for _box, lmk, _score in faces]
+
+
+def unblur_faces(image01: np.ndarray, weights_path: Optional[str] = None,
+                 yunet_path: Optional[str] = None) -> np.ndarray:
+    """Detect every face and run the CremageModelV6 unblur on each
+    aligned crop (reference face_unblur.py menu tool)."""
+    from cremage_tpu.services.unblur import unblur_face_image
+
+    out = np.asarray(image01, np.float32)
+    lmks = _face_landmarks(out, yunet_path)
+    if not lmks:
+        raise ValueError("no face detected")
+    for lmk in lmks:
+        out = unblur_face_image(out, lmk, weights_path)
+    return out
+
+
+def colorize_faces(image01: np.ndarray, weights_path: Optional[str] = None,
+                   yunet_path: Optional[str] = None) -> np.ndarray:
+    """Colorize variant of unblur_faces (same net, different weights —
+    reference face_unblur.py:57-68)."""
+    from cremage_tpu.services.unblur import colorize_face_image
+
+    out = np.asarray(image01, np.float32)
+    lmks = _face_landmarks(out, yunet_path)
+    if not lmks:
+        raise ValueError("no face detected")
+    for lmk in lmks:
+        out = colorize_face_image(out, lmk, weights_path)
+    return out
+
+
+def gfpgan_restore(image01: np.ndarray, weights_path: Optional[str] = None,
+                   scale: float = 1.0) -> np.ndarray:
+    """GFPGAN face restoration (reference tools/gfpgan_wrapper.py:78)."""
+    from cremage_tpu.services.upscalers import gfp_restore
+
+    return gfp_restore(np.asarray(image01, np.float32), weights_path,
+                       scale=scale)
+
+
 def make_mask(h: int, w: int,
               rects: Sequence[Tuple[int, int, int, int]] = ()) -> np.ndarray:
     """Blank mask + filled rectangles (mask editor primitive)."""

@@ -137,6 +137,15 @@ INDEX_HTML = """<!doctype html>
     <input id="seg_labels" placeholder="labels, e.g. Hair, Face">
     <button class="small" onclick="segRun()">Segment</button>
     <img id="seg_preview" style="max-width:256px; display:block; margin-top:8px">
+
+    <h1 style="margin-top:24px">Face tools</h1>
+    <input id="face_file" type="file" accept="image/*">
+    <button class="small" onclick="faceOp('face_detect')">Detect</button>
+    <button class="small" onclick="faceOp('unblur')">Unblur</button>
+    <button class="small" onclick="faceOp('colorize')">Colorize</button>
+    <button class="small" onclick="faceOp('gfpgan')">GFPGAN</button>
+    <div id="face_boxes" style="font-size:12px"></div>
+    <img id="face_preview" style="max-width:256px; display:block; margin-top:8px">
   </div>
 </div>
 <script>
@@ -362,6 +371,19 @@ async function segRun() {
   try {
     const out = await api('/v1/tools/segment', {image: b64, labels});
     $('seg_preview').src = 'data:image/png;base64,' + out.mask;
+  } catch (e) { $('status').textContent = String(e); }
+}
+
+async function faceOp(op) {
+  const b64 = await fileToB64('face_file');
+  if (!b64) return;
+  try {
+    const out = await api('/v1/tools/' + op, {image: b64});
+    if (op === 'face_detect') {
+      $('face_boxes').textContent = JSON.stringify(out.boxes);
+    } else {
+      $('face_preview').src = 'data:image/png;base64,' + out.image;
+    }
   } catch (e) { $('status').textContent = String(e); }
 }
 

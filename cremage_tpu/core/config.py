@@ -41,6 +41,10 @@ MODE_IMAGE_TO_IMAGE = "image_to_image"
 MODE_INPAINTING = "inpainting"
 # the spot inpainter tool routed as a job mode (tools/spot_inpainter.py)
 MODE_SPOT_INPAINTING = "spot_inpainting"
+# the standalone face-fix tool routed as a job mode: detect (or take
+# user-marked) face boxes, img2img-repair each crop, paste back
+# (tools/face_detector.py + face_detector_engine.py:432)
+MODE_FACE_FIX = "face_fix"
 
 # Face detection methods (const.py:37-40).
 FACE_DETECTION_METHODS = ["InsightFace", "OpenCV"]

@@ -252,19 +252,17 @@ def classify_gender(face01: np.ndarray,
         return None
 
 
-def auto_face_fixer(
+def pipeline_face_fixer(
     pipeline,
     detection_method: str = "OpenCV",
     model_path: Optional[str] = None,
     target_size: int = 512,
     steps: int = 20,
     sampler: str = "Euler A",
-):
-    """Build the `face_fixer(image01, opts)` hook the pipelines call for
-    auto face fix. Handles the reference's re-entrancy problem
-    (`image_generator.py:1161-1200` generation-inside-generation mutating
-    a global model cache) by re-entering the same stateless pipeline with
-    a fresh GenerationOptions per face."""
+) -> "FaceFixer":
+    """Build a FaceFixer whose repair function is the given pipeline's
+    img2img (used both by the auto hook and by the standalone face-fix
+    job mode, reference tools/face_detector.py)."""
     from cremage_tpu.core.config import GenerationOptions, MODE_IMAGE_TO_IMAGE
 
     def img2img_fn(img01: np.ndarray, prompt: str, strength: float,
@@ -278,9 +276,27 @@ def auto_face_fixer(
         results = pipeline.generate(opts, init_image=img01 * 2.0 - 1.0)
         return results[0][0]
 
-    fixer = FaceFixer(img2img_fn, target_size=target_size,
-                      detection_method=detection_method,
-                      model_path=model_path)
+    return FaceFixer(img2img_fn, target_size=target_size,
+                     detection_method=detection_method,
+                     model_path=model_path)
+
+
+def auto_face_fixer(
+    pipeline,
+    detection_method: str = "OpenCV",
+    model_path: Optional[str] = None,
+    target_size: int = 512,
+    steps: int = 20,
+    sampler: str = "Euler A",
+):
+    """Build the `face_fixer(image01, opts)` hook the pipelines call for
+    auto face fix. Handles the reference's re-entrancy problem
+    (`image_generator.py:1161-1200` generation-inside-generation mutating
+    a global model cache) by re-entering the same stateless pipeline with
+    a fresh GenerationOptions per face."""
+    fixer = pipeline_face_fixer(
+        pipeline, detection_method=detection_method, model_path=model_path,
+        target_size=target_size, steps=steps, sampler=sampler)
 
     def hook(image01: np.ndarray, opts) -> np.ndarray:
         try:

@@ -520,3 +520,94 @@ def test_spot_inpaint_backend_mode(tmp_path, monkeypatch):
     img, meta = results[0]
     assert img.shape == (64, 64, 3) and np.isfinite(img).all()
     assert meta["mode"] == "spot_inpainting"
+
+
+def test_server_face_tool_weight_gates(server, monkeypatch):
+    """Weight-gated face endpoints must 400 with an actionable message,
+    not 500 (YuNet/CremageModelV6/GFPGAN are runtime downloads in the
+    reference too)."""
+    for var in ("YUNET_MODEL_PATH", "UNBLUR_MODEL_PATH",
+                "COLORIZE_MODEL_PATH", "GFPGAN_MODEL_PATH"):
+        monkeypatch.delenv(var, raising=False)
+    b64 = _image_to_b64(np.zeros((32, 32, 3), np.float32))
+    for p in ("/v1/tools/face_detect", "/v1/tools/unblur",
+              "/v1/tools/colorize", "/v1/tools/gfpgan"):
+        assert _status_of(server, p, {"image": b64}) == 400
+
+
+def test_server_face_fix_routes_job(tmp_path):
+    """face_fix submits a face_fix-mode job; the backend sees mode,
+    the staged image path and the user-marked boxes (reference
+    tools/face_detector.py)."""
+    from PIL import Image
+
+    seen = {}
+    w = EngineWorker()
+
+    def factory():
+        def generate(params, status_cb, result_cb):
+            seen.update(params)
+            result_cb(np.zeros((8, 8, 3), np.float32), {"ok": True})
+        return generate
+
+    w.register_backend("SD 1.5", factory)
+    srv = ApiServer(worker=w, port=0)
+    srv.start()
+    try:
+        init = str(tmp_path / "init.png")
+        Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(init)
+        # missing init_img -> 400
+        assert _status_of(srv, "/v1/tools/face_fix",
+                          {"parameters": {"prompt": "x"}}) == 400
+        out = _req(srv, "/v1/tools/face_fix", {
+            "parameters": {"prompt": "fix", "init_img": init,
+                           "face_boxes": [{"x": 1, "y": 2, "w": 8, "h": 9}],
+                           "sampling_steps": 2},
+        })
+        assert out["job_id"] >= 1
+        for _ in range(50):
+            time.sleep(0.1)
+            if seen:
+                break
+        assert seen.get("mode") == "face_fix"
+        assert seen.get("init_img") == init
+        assert seen.get("face_boxes") == [{"x": 1, "y": 2, "w": 8, "h": 9}]
+    finally:
+        srv.stop()
+
+
+def test_face_fix_backend_mode(tmp_path, monkeypatch):
+    """backends.sd15_factory face_fix mode: repairs the user-marked box
+    via the pipeline's img2img and emits one pasted-back result."""
+    from PIL import Image
+
+    from cremage_tpu.app import backends as B
+    from cremage_tpu.core.config import Preferences
+    import cremage_tpu.services.facefix as FF
+    from tests.test_pipeline_sd15 import make_bundle
+
+    bundle = make_bundle()
+    monkeypatch.setattr("cremage_tpu.pipelines.loader.load_sd15_bundle",
+                        lambda *a, **k: bundle)
+    real_fixer = FF.pipeline_face_fixer
+    monkeypatch.setattr(  # shrink the repair square for CPU CI speed
+        FF, "pipeline_face_fixer",
+        lambda pipe, **kw: real_fixer(
+            pipe, detection_method=kw.get("detection_method", "OpenCV"),
+            target_size=64, steps=2))
+    init = str(tmp_path / "init.png")
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8)).save(init)
+
+    results = []
+    gen = B.sd15_factory(Preferences())
+    gen({"prompt": "a face", "mode": "face_fix", "init_img": init,
+         "face_boxes": [{"x": 16, "y": 16, "w": 24, "h": 24}],
+         "sampling_steps": 2, "seed": 1, "H": 64, "W": 64,
+         "safety_check": False, "auto_face_fix_strength": 0.5,
+         "ckpt": "ignored.safetensors"},
+        lambda msg: None, lambda img, meta: results.append((img, meta)))
+    assert len(results) == 1
+    img, meta = results[0]
+    assert img.shape == (64, 64, 3) and np.isfinite(img).all()
+    assert meta["mode"] == "face_fix"
