@@ -39,7 +39,9 @@ def zeros_params(model, *example_args):
     # weights 2.804 img/s vs bf16 weights 2.774 img/s — bf16 weight
     # storage does NOT help (the lane is VPU/attention-bound, not
     # weight-HBM-bound at batch 4; the models already compute in bf16
-    # with fp32 norm statistics either way).  Default stays fp32;
+    # with fp32 norm statistics either way).  Same result for SDXL
+    # (0.2858 bf16 vs 0.2861 fp32 — conv weight reuse across the 1024^2
+    # spatial extent hides the weight traffic).  Default stays fp32;
     # BENCH_PARAM_DTYPE=bf16 selects bf16 storage for comparison runs.
     if os.environ.get("BENCH_PARAM_DTYPE", "").lower() in ("bf16",
                                                            "bfloat16"):
@@ -82,6 +84,9 @@ def bench_sd15():
     from cremage_tpu.samplers import schedules as S
     from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
 
+    # batch sweep (v5e, round 3): batch 8 = 2.95-3.09 img/s vs batch 4 =
+    # 2.99 — equal within the ~4% tunnel run-to-run variance; 4 kept for
+    # latency
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     h = w = 64  # 512/8
@@ -140,6 +145,8 @@ def bench_sdxl():
     )
     from cremage_tpu.samplers import edm as EDM
 
+    # batch sweep (v5e, round 3): batch 2 = 0.2668 img/s vs batch 1 =
+    # 0.2861 — strictly worse (activation pressure at 1024^2); keep 1
     batch = int(os.environ.get("BENCH_BATCH_SDXL", "1"))
     steps = int(os.environ.get("BENCH_STEPS_SDXL", "30"))
     h = w = 128  # 1024/8
