@@ -1,9 +1,11 @@
 """Benchmarks: one JSON line per lane, all lanes by default.
 
 Lanes (BASELINE.json driver metric):
-  sd15  SD1.5 512^2 20-step Euler-a txt2img      images/s/chip
-  sdxl  SDXL 1024^2 30-step EulerEDM txt2img     images/s/chip
-  svd   SVD 14-frame 576x1024 25-step img2vid    frames/s/chip
+  sd15     SD1.5 512^2 20-step Euler-a txt2img      images/s/chip
+  sdxl     SDXL 1024^2 30-step EulerEDM txt2img     images/s/chip
+  svd      SVD 14-frame 576x1024 25-step img2vid    frames/s/chip
+  flux     FLUX.1-schnell 1024^2 4-step, fp8 12B    images/s/chip
+  sd15_e2e /v1/generate product path               images/s
 
 Each line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -271,6 +273,77 @@ def bench_svd():
           frames * n_rounds / dt, "frames/s", FLUX_4090_ANCHOR)
 
 
+def bench_flux():
+    """FLUX.1-schnell 1024^2 4-step txt2img with 8-bit transformer
+    weights — the ONLY lane with a direct published reference number:
+    the reference runs this exact model qfloat8-quantized at ~0.125
+    img/s on an RTX 4090 (ug_flux.md:14-15, txt2img.py:56-68); here the
+    12B transformer is stored float8_e4m3 + per-channel scales
+    (io/quantize.py), which is also what fits it into 16 GB HBM."""
+    from cremage_tpu.io.quantize import quantized_zeros
+    from cremage_tpu.models.flux import (
+        FluxModel, flux_schnell_config, make_position_ids, pack_latents,
+        unpack_latents,
+    )
+    from cremage_tpu.models.vae import (
+        AutoencoderKL, decode_from_latent, flux_vae_config,
+    )
+    from cremage_tpu.samplers import flow as F
+
+    batch = int(os.environ.get("BENCH_BATCH_FLUX", "1"))
+    steps = int(os.environ.get("BENCH_STEPS_FLUX", "4"))  # schnell default
+    txt_len = 512    # diffusers FluxPipeline max_sequence_length default
+    h = w = 128      # 1024/8 latents; packed 2x2 -> 64x64 = 4096 tokens
+    hp = wp = h // 2
+
+    cfg = flux_schnell_config()
+    model = FluxModel(cfg)
+    txt_ids, img_ids = make_position_ids(hp, wp, txt_len)
+    shapes = jax.eval_shape(
+        lambda rng: model.init(
+            rng, jnp.zeros((1, 16, 64), jnp.bfloat16),
+            jnp.zeros((1, 8, 4096), jnp.bfloat16), jnp.zeros((1,)),
+            jnp.zeros((1, 768)), img_ids[:16], txt_ids[:8], None),
+        jax.random.key(0))
+    # 12B fp8 kernels + fp32 scales/norms/biases (~12.3 GB total); the
+    # fp32 tree would be 48 GB and never exists
+    params = quantized_zeros(shapes)
+
+    vae = AutoencoderKL(flux_vae_config())
+    vae_params = zeros_params(vae, jnp.zeros((1, 256, 256, 3), jnp.bfloat16))
+
+    sigmas = F.flow_sigmas(steps)
+    txt = jax.random.normal(jax.random.key(1), (batch, txt_len, 4096),
+                            jnp.bfloat16)
+    vec = jax.random.normal(jax.random.key(2), (batch, 768), jnp.bfloat16)
+
+    @jax.jit
+    def generate(params, vae_params, txt, vec, key):
+        lat = jax.random.normal(key, (batch, h, w, 16), jnp.float32)
+        x_tokens = pack_latents(lat)
+
+        def v_fn(xx, sigma):
+            t = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32),
+                                 (xx.shape[0],))
+            return model.apply(params, xx, txt, t, vec, img_ids, txt_ids,
+                               None)
+
+        out = F.sample_flow_euler(v_fn, x_tokens, sigmas, key=key)
+        lat = unpack_latents(out, h, w)
+        img = decode_from_latent(vae, vae_params, lat.astype(jnp.bfloat16))
+        return jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5 + 0.5,
+                        0, 255).astype(jnp.uint8)
+
+    np.asarray(generate(params, vae_params, txt, vec, jax.random.key(0)))
+    n_rounds = int(os.environ.get("BENCH_ROUNDS_FLUX", "2"))
+    dt = timed_rounds(
+        lambda i: generate(params, vae_params, txt, vec,
+                           jax.random.key(i + 1)), n_rounds)
+
+    _emit("flux_schnell_txt2img_1024_4step_fp8_images_per_sec_per_chip",
+          batch * n_rounds / dt, "images/s", FLUX_4090_ANCHOR)
+
+
 def bench_sd15_e2e():
     """End-to-end PRODUCT path: /v1/generate -> EngineWorker ->
     SD15Pipeline with real CLIP text encoding, sampler-program cache,
@@ -374,13 +447,13 @@ def bench_sd15_e2e():
 
 
 LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
-         "sd15_e2e": bench_sd15_e2e}
+         "flux": bench_flux, "sd15_e2e": bench_sd15_e2e}
 
 
 def main() -> int:
     lanes = os.environ.get("BENCH_LANES",
                            os.environ.get("BENCH_MODEL",
-                                          "sd15,sdxl,svd,sd15_e2e"))
+                                          "sd15,sdxl,svd,flux,sd15_e2e"))
     names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
     if len(names) == 1:
         from cremage_tpu.core.cache import enable_compilation_cache

@@ -262,10 +262,23 @@ def flux_factory(prefs: Preferences) -> Callable:
 
     def generate(params, status_cb, result_cb):
         opts = _opts_from_params(params)
+        if not opts.ckpt or not os.path.exists(opts.ckpt):
+            raise FileNotFoundError(
+                "FLUX needs local weight files: pass 'ckpt' (the BFL "
+                "transformer .safetensors) plus vae_ckpt/clip_ckpt/"
+                "t5_ckpt. The reference pulls black-forest-labs/"
+                "FLUX.1-schnell from HuggingFace (flux/txt2img.py "
+                "MODEL_ID); io/downloader.py can fetch the same files "
+                "when internet access is enabled.")
+        # 8-bit weight storage is the TPU "low_mem": the reference
+        # qfloat8-quantizes this transformer + T5 (flux/txt2img.py:125)
+        # and 12B bf16 params would not fit a 16 GB chip anyway.
+        # flux_quantize="none" opts out on big-HBM/multi-chip setups.
         bundle = load_flux_bundle(
             opts.ckpt, vae_ckpt=opts.vae_ckpt,
             clip_ckpt=params.get("clip_ckpt"),
             t5_ckpt=params.get("t5_ckpt"),
+            quantize=params.get("flux_quantize", "float8_e4m3"),
         )
         FluxPipeline(bundle).generate(opts, status_cb=status_cb,
                                       result_cb=result_cb)

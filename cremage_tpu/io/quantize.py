@@ -1,0 +1,137 @@
+"""8-bit weight storage for the large DiT families (FLUX / SD3 / ...).
+
+Behavior contract: the reference's FLUX engine quantizes the 12B
+transformer and the T5-XXL tower to 8-bit float with optimum-quanto
+(`/root/reference/modules/flux/txt2img.py:56-68 quantize_and_freeze`,
+qfloat8) because FLUX does not fit consumer VRAM otherwise; the same
+wall exists on a 16 GB v5e chip (12B bf16 params = 24 GB).
+
+TPU-native design: matmul kernels are STORED as float8_e4m3fn leaves in
+the params pytree with a per-output-channel `weight_scale` sibling
+(quanto-qfloat8 semantics: W approx= W_q * s, s = colmax|W| / 448).
+`models/layers.py Dense` casts the fp8 kernel to the compute dtype at
+use — XLA fuses the convert into the matmul operand read, so weights
+live in HBM at 1 byte/param and no dequantized copy is materialized —
+and applies the scale to the matmul OUTPUT (exact column rescaling, a
+(features,) multiply).  No model or converter changes are needed;
+quantization is a load-time tree transform, and unquantized trees are
+untouched (Dense reads the scale leaf only if present).
+
+Per-channel max-abs scaling keeps every column's weights inside e4m3's
+normal range (the format's subnormal zone below 2^-6 costs mantissa
+bits), holding per-weight relative error at ~2^-4.6 RMS — which is also
+the per-matmul output error (random-sign contractions do not average
+rounding noise away); that ~2% floor is the accepted weight-only-8-bit
+quality level the reference ships via quanto.
+
+Only 2-D matmul kernels above `min_size` are cast: conv kernels (4-D,
+VAE — the reference leaves the VAE unquantized too), norm scales and
+biases (1-D), and embedding tables (gather sources, matched by path
+substring) keep their original dtype.
+"""
+from __future__ import annotations
+
+from typing import Any, Iterable, Optional, Tuple
+
+import jax  # noqa: F401  (kept: callers tree-map over jax arrays)
+import jax.numpy as jnp
+
+E4M3_MAX = 448.0
+
+QUANT_DTYPES = {
+    "float8_e4m3": (jnp.float8_e4m3fn, 448.0),
+    "float8_e5m2": (jnp.float8_e5m2, 57344.0),
+}
+
+DEFAULT_EXCLUDE = ("embed", "shared", "wte", "token_embedding")
+
+
+def _is_mapping(x) -> bool:
+    return hasattr(x, "items") and not hasattr(x, "shape")
+
+
+def should_quantize(name: str, path: str, leaf, *, min_size: int,
+                    exclude: Iterable[str]) -> bool:
+    """Matmul kernels only: 2-D float 'weight'/'kernel' leaves of at
+    least min_size elements whose path hits no exclude substring."""
+    if getattr(leaf, "ndim", 0) != 2 or leaf.size < min_size:
+        return False
+    if name not in ("weight", "kernel"):
+        return False
+    if not jnp.issubdtype(leaf.dtype, jnp.floating):
+        return False
+    return not any(tok in path.lower() for tok in exclude)
+
+
+def quantize_params_8bit(
+    params: Any,
+    dtype: str = "float8_e4m3",
+    min_size: int = 65536,
+    exclude: Tuple[str, ...] = DEFAULT_EXCLUDE,
+) -> Tuple[Any, dict]:
+    """Cast matmul kernel leaves to 8-bit float storage with a
+    per-output-channel `weight_scale` sibling leaf.
+
+    Returns (new_params, report) where report counts tensors/bytes so
+    callers can log the memory win (reference logs "Quantizing ... to 8
+    bits", txt2img.py:126-135).
+    """
+    qdt, qmax = QUANT_DTYPES[dtype]
+    report = {"tensors": 0, "bytes_before": 0, "bytes_after": 0,
+              "dtype": dtype}
+
+    def walk(node, path):
+        out = {}
+        for k, v in node.items():
+            key = str(k)
+            if _is_mapping(v):
+                out[k] = walk(v, path + "/" + key)
+            elif should_quantize(key, path + "/" + key, v,
+                                 min_size=min_size, exclude=exclude):
+                v = jnp.asarray(v)
+                # per-output-channel scale; kernel is stored (in, out)
+                s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=0)
+                s = jnp.maximum(s / qmax, 1e-12)
+                out[k] = (v.astype(jnp.float32) / s).astype(qdt)
+                out[key + "_scale"] = s
+                report["tensors"] += 1
+                report["bytes_before"] += v.size * v.dtype.itemsize
+                report["bytes_after"] += v.size + s.size * 4
+            else:
+                out[k] = v
+        return out
+
+    if hasattr(params, "unfreeze"):          # FrozenDict
+        params = params.unfreeze()
+    return walk(params, ""), report
+
+
+def quantized_zeros(shapes: Any, dtype: str = "float8_e4m3",
+                    min_size: int = 65536,
+                    exclude: Tuple[str, ...] = DEFAULT_EXCLUDE,
+                    other_dtype: Optional[Any] = None) -> Any:
+    """Build an all-zeros params tree directly at quantized storage
+    dtypes (with unit scales) from a `jax.eval_shape` tree — never
+    materializes the full-precision tree (12B fp32 = 48 GB would not
+    fit the chip the quantization is for).  Non-kernel leaves take
+    `other_dtype` when given (e.g. bf16 for a bench) or keep their
+    template dtype."""
+    qdt, _ = QUANT_DTYPES[dtype]
+
+    def walk(node, path):
+        out = {}
+        for k, v in node.items():
+            key = str(k)
+            if _is_mapping(v):
+                out[k] = walk(v, path + "/" + key)
+            elif should_quantize(key, path + "/" + key, v,
+                                 min_size=min_size, exclude=exclude):
+                out[k] = jnp.zeros(v.shape, qdt)
+                out[key + "_scale"] = jnp.ones((v.shape[-1],), jnp.float32)
+            else:
+                out[k] = jnp.zeros(v.shape, other_dtype or v.dtype)
+        return out
+
+    if hasattr(shapes, "unfreeze"):
+        shapes = shapes.unfreeze()
+    return walk(shapes, "")

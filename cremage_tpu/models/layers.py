@@ -110,7 +110,15 @@ class Conv(nn.Module):
 
 
 class Dense(nn.Module):
-    """Linear with torch-compatible param names; kernel stored (in, out)."""
+    """Linear with torch-compatible param names; kernel stored (in, out).
+
+    8-bit weight storage (io/quantize.py): when the loader has replaced
+    the kernel with a float8 tensor plus a per-output-channel
+    `weight_scale` leaf (quanto-qfloat8-style, reference
+    modules/flux/txt2img.py:56-68), the scale is applied to the matmul
+    output — exact column rescaling, one (features,) multiply.  The
+    leaf is read with has_variable/get_variable so unquantized trees
+    (and init) are untouched."""
 
     features: int
     use_bias: bool = True
@@ -129,7 +137,11 @@ class Dense(nn.Module):
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             preferred_element_type=_matmul_accum_dtype(self.dtype),
-        ).astype(self.dtype)
+        )
+        if self.has_variable("params", "weight_scale"):
+            y = y * self.get_variable(
+                "params", "weight_scale").astype(y.dtype)
+        y = y.astype(self.dtype)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.param_dtype

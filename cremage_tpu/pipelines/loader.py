@@ -505,10 +505,17 @@ def load_flux_bundle(
     t5_tokenize=None,
     guidance_embed: bool = False,
     policy: DTypePolicy = DEFAULT_POLICY,
+    quantize: Optional[str] = "float8_e4m3",
 ):
     """FLUX.1 (BFL layout: bare double_blocks/single_blocks keys; VAE and
     text towers ship as separate files — reference
-    `modules/flux/txt2img.py:85-120` assembles the same four parts)."""
+    `modules/flux/txt2img.py:85-120` assembles the same four parts).
+
+    quantize: 8-bit storage dtype for the 12B transformer + T5-XXL
+    kernels (the same two modules the reference qfloat8-quantizes,
+    `txt2img.py:125-135`); None/"none" keeps full precision (needs a
+    >24 GB-HBM chip or a sharded mesh).  CLIP and the VAE stay at full
+    precision in both stacks."""
     from cremage_tpu.models.flux import FluxModel, flux_dev_config, flux_schnell_config
     from cremage_tpu.models.flux import make_position_ids
     from cremage_tpu.models.t5 import T5Encoder, t5_xxl_config
@@ -520,17 +527,30 @@ def load_flux_bundle(
     cfg = flux_dev_config(**dd) if guidance_embed else flux_schnell_config(**dd)
     model = FluxModel(cfg)
     txt_ids, img_ids = make_position_ids(4, 4, 8)
-    tmpl = _template(
-        model, jnp.zeros((1, 16, 64), policy.compute_dtype),
-        jnp.zeros((1, 8, 4096), policy.compute_dtype), jnp.zeros((1,)),
-        jnp.zeros((1, 768)), img_ids, txt_ids,
-        jnp.zeros((1,)) if cfg.guidance_embed else None,
-    )
+    # position ids are host numpy consumed with np.asarray inside the
+    # model — close over them so eval_shape does not abstract them
+    tmpl = jax.eval_shape(
+        lambda rng: model.init(
+            rng, jnp.zeros((1, 16, 64), policy.compute_dtype),
+            jnp.zeros((1, 8, 4096), policy.compute_dtype), jnp.zeros((1,)),
+            jnp.zeros((1, 768)), img_ids, txt_ids,
+            jnp.zeros((1,)) if cfg.guidance_embed else None,
+        ),
+        jax.random.key(0),
+    )["params"]
     prefix = "model.diffusion_model." if any(
         k.startswith("model.diffusion_model.") for k in sd) else ""
     params, _, _ = CK.build_flax_params(tmpl, sd, prefix,
                                         dtype=policy.param_dtype,
                                         strict=False)
+    if quantize and quantize != "none":
+        from cremage_tpu.io.quantize import quantize_params_8bit
+
+        params, qrep = quantize_params_8bit(params, dtype=quantize)
+        logger.info(
+            "Quantized FLUX transformer to 8 bits: %d tensors, %.1f -> %.1f GB",
+            qrep["tensors"], qrep["bytes_before"] / 1e9,
+            qrep["bytes_after"] / 1e9)
 
     vsd = CK.load_state_dict(vae_ckpt)
     vae = AutoencoderKL(flux_vae_config(**dd))
@@ -564,6 +584,13 @@ def load_flux_bundle(
         t5_params, _, _ = CK.build_flax_params(
             t5_tmpl, t5_sd, prefix="", dtype=policy.param_dtype, strict=False
         )
+        if quantize and quantize != "none":
+            from cremage_tpu.io.quantize import quantize_params_8bit
+
+            t5_params, qrep = quantize_params_8bit(t5_params, dtype=quantize)
+            logger.info("Quantized T5 to 8 bits: %d tensors, %.1f -> %.1f GB",
+                        qrep["tensors"], qrep["bytes_before"] / 1e9,
+                        qrep["bytes_after"] / 1e9)
         t5_pair = (t5, {"params": t5_params})
 
     cond = FluxConditioner(
