@@ -103,6 +103,16 @@ INDEX_HTML = """<!doctype html>
   <input id="init_file" type="file" accept="image/*">
   <label>Mask image (inpaint; white = repaint)</label>
   <input id="mask_file" type="file" accept="image/*">
+  <button class="small" id="paint_btn" onclick="paintOpen()">Paint mask on init image</button>
+  <div id="paintbox" style="display:none">
+    <canvas id="paint_canvas" style="max-width:100%; cursor:crosshair; touch-action:none"></canvas>
+    <div>
+      <label>Brush <input id="brush" type="range" min="4" max="96" value="32" style="width:120px"></label>
+      <button class="small" onclick="paintClear()">Clear</button>
+      <button class="small" onclick="paintUse()">Use as mask</button>
+      <span id="paint_state" style="font-size:12px"></span>
+    </div>
+  </div>
   <button id="go" onclick="generate()">Generate</button>
   <div id="status"></div>
 </div>
@@ -240,7 +250,9 @@ async function generate() {
   $('status').className = '';
   try {
     const init_img = await uploadFile('init_file');
-    const mask_img = await uploadFile('mask_file');
+    const mask_img = paintedMask
+      ? (await api('/v1/upload', {image: paintedMask})).path
+      : await uploadFile('mask_file');
     const num = (id, d, f) => {
       const v = (f || parseInt)($(id).value);
       return Number.isFinite(v) ? v : d;
@@ -301,6 +313,56 @@ async function poll() {
     }
   } catch (e) { /* server restarting */ }
   setTimeout(poll, 800);
+}
+
+// Mask painting canvas (reference tools/mask_image_editor.py +
+// spot_inpainter.py draw surface): paint over the init image, the
+// hidden companion canvas accumulates a white-on-black mask that
+// generate() uploads in place of a mask file.
+let maskCanvas = null, paintCtx = null, maskCtx = null;
+let painting = false, paintedMask = null;
+
+async function paintOpen() {
+  const f = $('init_file').files[0];
+  if (!f) { $('status').textContent = 'choose an init image first'; return; }
+  const img = new Image();
+  const url = URL.createObjectURL(f);
+  await new Promise(res => { img.onload = res; img.src = url; });
+  const c = $('paint_canvas');
+  c.width = img.naturalWidth; c.height = img.naturalHeight;
+  paintCtx = c.getContext('2d');
+  paintCtx.drawImage(img, 0, 0);
+  maskCanvas = document.createElement('canvas');
+  maskCanvas.width = c.width; maskCanvas.height = c.height;
+  maskCtx = maskCanvas.getContext('2d');
+  maskCtx.fillStyle = '#000'; maskCtx.fillRect(0, 0, c.width, c.height);
+  $('paintbox').style.display = 'block';
+  paintedMask = null; $('paint_state').textContent = '';
+  c.onpointerdown = e => { painting = true; paintDot(e); };
+  c.onpointermove = e => { if (painting) paintDot(e); };
+  c.onpointerup = () => { painting = false; };
+  c.onpointerleave = () => { painting = false; };
+}
+
+function paintDot(e) {
+  const c = $('paint_canvas');
+  const r = c.getBoundingClientRect();
+  const x = (e.clientX - r.left) * c.width / r.width;
+  const y = (e.clientY - r.top) * c.height / r.height;
+  const w = parseInt($('brush').value);
+  const layers = [[maskCtx, '#fff'], [paintCtx, 'rgba(255,60,60,0.55)']];
+  for (const [ctx, style] of layers) {
+    ctx.fillStyle = style;
+    ctx.beginPath(); ctx.arc(x, y, w / 2, 0, 2 * Math.PI); ctx.fill();
+  }
+}
+
+function paintClear() { paintOpen(); }
+
+function paintUse() {
+  if (!maskCanvas) return;
+  paintedMask = maskCanvas.toDataURL('image/png').split(',')[1];
+  $('paint_state').textContent = 'painted mask will be used';
 }
 
 async function fileToB64(inputId) {

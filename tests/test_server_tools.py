@@ -295,7 +295,8 @@ def test_webui_dom_ids_consistent():
     # the generate form fields the server folds into parameters
     for fid in ("prompt", "negative", "model", "sampler", "steps", "W",
                 "H", "scale", "seed", "mode", "strength", "init_file",
-                "mask_file"):
+                "mask_file", "paint_canvas", "paintbox", "brush",
+                "paint_state"):
         assert fid in dom_ids, fid
 
 
