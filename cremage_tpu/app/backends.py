@@ -249,7 +249,11 @@ def sd3_factory(prefs: Preferences) -> Callable:
         opts = _opts_from_params(params)
         ckpt = opts.ckpt or _model_path(prefs, "sd3_ldm_model_path",
                                         "sd3_ldm_model")
-        bundle = load_sd3_bundle(ckpt)
+        bundle = load_sd3_bundle(
+            ckpt,
+            include_t5=params.get("include_t5", True),
+            quantize_t5=params.get("sd3_quantize_t5"),
+        )
         SD3Pipeline(bundle).generate(opts, status_cb=status_cb,
                                      result_cb=result_cb)
 

@@ -326,10 +326,18 @@ def load_sd3_bundle(
     t5_tokenize=None,
     embedding_dir: Optional[str] = None,
     policy: DTypePolicy = DEFAULT_POLICY,
+    quantize_t5: Optional[str] = None,
 ):
     """SD3-medium single-file checkpoint -> SD3Bundle
     (reference `modules/sd3/txt2img.py` loads the same single file via
-    diffusers from_single_file; quantize_t5 becomes include_t5)."""
+    diffusers from_single_file).
+
+    quantize_t5: optional 8-bit storage ("float8_e4m3") for the 4.7B
+    T5-XXL tower kernels via io/quantize.py — the full SD3 bundle (DiT
+    + bigG + CLIP-L + T5) does not fit a 16 GB chip at full precision.
+    The reference's answer is dropping T5 (its UI exposes that choice,
+    mapped here to include_t5); 8-bit T5 keeps the tower at ~1/4 the
+    bytes instead — a capability beyond the reference, default off."""
     from cremage_tpu.models.mmdit import MMDiT, sd3_medium_config
     from cremage_tpu.models.open_clip import OpenCLIPTextModel, openclip_bigg_config
     from cremage_tpu.models.t5 import T5Encoder, t5_xxl_config
@@ -390,6 +398,14 @@ def load_sd3_bundle(
         t5_params, _, _ = CK.build_flax_params(
             t5_tmpl, t5_sd, prefix="", dtype=policy.param_dtype, strict=False
         )
+        if quantize_t5 and quantize_t5 != "none":
+            from cremage_tpu.io.quantize import quantize_params_8bit
+
+            t5_params, qrep = quantize_params_8bit(t5_params,
+                                                   dtype=quantize_t5)
+            logger.info("Quantized T5 to 8 bits: %d tensors, %.1f -> %.1f GB",
+                        qrep["tensors"], qrep["bytes_before"] / 1e9,
+                        qrep["bytes_after"] / 1e9)
         t5_pair = (t5, {"params": t5_params})
 
     cond = SD3Conditioner(
