@@ -95,3 +95,68 @@ def test_tp_non_divisible_falls_back():
     placed = shard_params_tp(mesh, weird)
     sh = placed["layer"]["to_q"]["weight"].sharding
     assert sh.spec in (P(), P(None, "model"))  # no crash; replicated ok
+
+
+def tiny_flux():
+    from cremage_tpu.models.flux import (
+        FluxConfig, FluxModel, make_position_ids,
+    )
+
+    cfg = FluxConfig(
+        hidden_size=64, num_heads=2, head_dim=32, depth_double=1,
+        depth_single=1, context_dim=32, vec_dim=32, axes_dim=(8, 12, 12),
+        in_channels=16, dtype=jnp.float32,
+    )
+    model = FluxModel(cfg)
+    txt_ids, img_ids = make_position_ids(4, 4, 8)
+    ks = jax.random.split(jax.random.key(3), 3)
+    args = (
+        jax.random.normal(ks[0], (1, 16, 16)),
+        jax.random.normal(ks[1], (1, 8, 32)),
+        jnp.asarray([0.4]),
+        jax.random.normal(ks[2], (1, 32)),
+        img_ids, txt_ids, None,
+    )
+    params = model.init(jax.random.key(0), *args)
+    return model, params, args
+
+
+def test_flux_tensor_parallel_matches_replicated(mesh_4x2):
+    """The TP rules cover the FLUX layout (img/txt qkv+mlp column, proj
+    row, single-block linear1/linear2) — parity vs single device."""
+    model, params, args = tiny_flux()
+    ref = np.asarray(model.apply(params, *args), np.float32)
+    x, txt, t, vec = args[:4]
+    ids = args[4:6]  # host numpy — close over, never trace
+    fwd = jax.jit(lambda p, x, txt, t, vec: model.apply(
+        p, x, txt, t, vec, *ids, None))
+    with mesh_4x2:
+        p = shard_params_tp(mesh_4x2, params)
+        n_sharded, n_total = count_sharded(p, mesh_4x2)
+        assert n_sharded >= 8, (n_sharded, n_total)
+        out = fwd(p, x, txt, t, vec)
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flux_tp_with_fp8_weights(mesh_4x2):
+    """Production FLUX serving config: fp8 kernel leaves + per-channel
+    weight_scale siblings under tensor parallelism. Scales stay
+    replicated (1-D, no /weight$ match); GSPMD reshards around them."""
+    from cremage_tpu.io.quantize import quantize_params_8bit
+
+    model, params, args = tiny_flux()
+    qparams, rep = quantize_params_8bit(params, min_size=256)
+    assert rep["tensors"] > 0
+    ref = np.asarray(model.apply(qparams, *args), np.float32)
+    x, txt, t, vec = args[:4]
+    ids = args[4:6]
+    fwd = jax.jit(lambda p, x, txt, t, vec: model.apply(
+        p, x, txt, t, vec, *ids, None))
+    with mesh_4x2:
+        p = shard_params_tp(mesh_4x2, qparams)
+        out = fwd(p, x, txt, t, vec)
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=1e-3, rtol=1e-3)
