@@ -52,6 +52,40 @@ def _model_path(prefs: Preferences, path_attr: str, name_attr: str) -> str:
     return os.path.join(getattr(prefs, path_attr), name)
 
 
+# One resident pipeline instance, keyed on every load-relevant option —
+# the reference's keep_instance behavior (flux/txt2img.py:74,125: the
+# assembled pipe survives across generations) generalized to all
+# families.  Reusing the pipeline object is the serving win: its jitted
+# program cache carries across jobs, so only the FIRST job at a given
+# (size, steps, sampler) bucket pays a compile.  A single global slot
+# (not per-family) mirrors the one-active-model reality of a 16 GB
+# chip; swapping models frees the old params before the new load.
+_instance_key: Optional[tuple] = None
+_instance = None
+
+
+def cached_instance(key: tuple, build: Callable):
+    global _instance_key, _instance
+    if _instance_key == key and _instance is not None:
+        return _instance
+    if _instance is not None:
+        logger.info("evicting resident model instance %s", _instance_key[0])
+        _instance = None
+        _instance_key = None
+        import gc
+
+        gc.collect()
+    inst = build()
+    _instance_key, _instance = key, inst
+    return inst
+
+
+def clear_instance_cache() -> None:
+    global _instance_key, _instance
+    _instance = None
+    _instance_key = None
+
+
 def sd15_factory(prefs: Preferences) -> Callable:
     from cremage_tpu.pipelines.loader import load_sd15_bundle
     from cremage_tpu.pipelines.sd15 import SD15Pipeline
@@ -66,17 +100,25 @@ def sd15_factory(prefs: Preferences) -> Callable:
         ckpt = opts.ckpt or _model_path(
             prefs, "ldm_model_path",
             "ldm_inpaint_model" if inpaint else "ldm_model")
-        bundle = load_sd15_bundle(
+        loras = parse_lora_option_string(opts.lora_models, opts.lora_weights)
+        embedding_dir = (opts.embedding_path or prefs.embedding_path
+                         or None)
+        key = ("sd15", ckpt, opts.vae_ckpt or None,
+               tuple(tuple(x) for x in loras), embedding_dir, inpaint,
+               opts.control_net or None, opts.face_model or None,
+               opts.face_strength)
+        pipe = cached_instance(key, lambda: SD15Pipeline(load_sd15_bundle(
             ckpt,
             vae_ckpt=opts.vae_ckpt or None,
-            loras=parse_lora_option_string(opts.lora_models, opts.lora_weights),
-            embedding_dir=opts.embedding_path or prefs.embedding_path or None,
+            loras=loras,
+            embedding_dir=embedding_dir,
             inpainting=inpaint,
             control_ckpt=opts.control_net or None,
             faceid_ckpt=opts.face_model or None,
             face_strength=opts.face_strength,
-        )
-        pipe = SD15Pipeline(bundle)
+        )))
+        # per-job state on the cached instance: set OR clear
+        pipe.face_fixer = None
         if opts.auto_face_fix:
             from cremage_tpu.services.facefix import auto_face_fixer
 
@@ -144,7 +186,7 @@ def sd15_factory(prefs: Preferences) -> Callable:
             control_image=_load_image(params, "control_image_path"),
             face_embedding=_face_embedding_for(
                 params, opts, status_cb,
-                plus=(bundle.faceid_kind == "plus")),
+                plus=(getattr(pipe.bundle, "faceid_kind", None) == "plus")),
         )
 
     return generate
@@ -215,15 +257,21 @@ def sdxl_factory(prefs: Preferences) -> Callable:
         ckpt = opts.ckpt or _model_path(
             prefs, "sdxl_ldm_model_path",
             "sdxl_ldm_inpaint_model" if inpaint else "sdxl_ldm_model")
-        bundle = load_sdxl_bundle(
+        loras = parse_lora_option_string(opts.lora_models, opts.lora_weights)
+        embedding_dir = (opts.embedding_path or prefs.sdxl_embedding_path
+                         or None)
+        key = ("sdxl", ckpt, opts.vae_ckpt or None,
+               opts.refiner_ckpt or None,
+               tuple(tuple(x) for x in loras), embedding_dir, inpaint)
+        pipe = cached_instance(key, lambda: SDXLPipeline(load_sdxl_bundle(
             ckpt,
             vae_ckpt=opts.vae_ckpt or None,
             refiner_ckpt=opts.refiner_ckpt or None,
-            loras=parse_lora_option_string(opts.lora_models, opts.lora_weights),
-            embedding_dir=opts.embedding_path or prefs.sdxl_embedding_path or None,
+            loras=loras,
+            embedding_dir=embedding_dir,
             inpainting=inpaint,
-        )
-        pipe = SDXLPipeline(bundle)
+        )))
+        pipe.face_fixer = None
         if opts.auto_face_fix:
             from cremage_tpu.services.facefix import auto_face_fixer
 
@@ -249,13 +297,13 @@ def sd3_factory(prefs: Preferences) -> Callable:
         opts = _opts_from_params(params)
         ckpt = opts.ckpt or _model_path(prefs, "sd3_ldm_model_path",
                                         "sd3_ldm_model")
-        bundle = load_sd3_bundle(
-            ckpt,
-            include_t5=params.get("include_t5", True),
-            quantize_t5=params.get("sd3_quantize_t5"),
-        )
-        SD3Pipeline(bundle).generate(opts, status_cb=status_cb,
-                                     result_cb=result_cb)
+        include_t5 = params.get("include_t5", True)
+        quantize_t5 = params.get("sd3_quantize_t5")
+        pipe = cached_instance(
+            ("sd3", ckpt, include_t5, quantize_t5),
+            lambda: SD3Pipeline(load_sd3_bundle(
+                ckpt, include_t5=include_t5, quantize_t5=quantize_t5)))
+        pipe.generate(opts, status_cb=status_cb, result_cb=result_cb)
 
     return generate
 
@@ -278,14 +326,16 @@ def flux_factory(prefs: Preferences) -> Callable:
         # qfloat8-quantizes this transformer + T5 (flux/txt2img.py:125)
         # and 12B bf16 params would not fit a 16 GB chip anyway.
         # flux_quantize="none" opts out on big-HBM/multi-chip setups.
-        bundle = load_flux_bundle(
+        quantize = params.get("flux_quantize", "float8_e4m3")
+        key = ("flux", opts.ckpt, opts.vae_ckpt,
+               params.get("clip_ckpt"), params.get("t5_ckpt"), quantize)
+        pipe = cached_instance(key, lambda: FluxPipeline(load_flux_bundle(
             opts.ckpt, vae_ckpt=opts.vae_ckpt,
             clip_ckpt=params.get("clip_ckpt"),
             t5_ckpt=params.get("t5_ckpt"),
-            quantize=params.get("flux_quantize", "float8_e4m3"),
-        )
-        FluxPipeline(bundle).generate(opts, status_cb=status_cb,
-                                      result_cb=result_cb)
+            quantize=quantize,
+        )))
+        pipe.generate(opts, status_cb=status_cb, result_cb=result_cb)
 
     return generate
 
@@ -315,8 +365,10 @@ def svd_factory(prefs: Preferences) -> Callable:
             cond_aug=float(params.get("cond_aug", 0.02)),
             seed=int(params.get("seed", -1)),
         )
-        bundle = load_svd_bundle(ckpt, num_frames=opts.num_frames)
-        pipe = SVDPipeline(bundle)
+        pipe = cached_instance(
+            ("svd", ckpt, opts.num_frames),
+            lambda: SVDPipeline(load_svd_bundle(
+                ckpt, num_frames=opts.num_frames)))
         frames = pipe.sample((init + 1) / 2, opts, status_cb=status_cb,
                              output_dir=params.get("outdir"))
         passes = int(params.get("interpolation_frames", 0))
@@ -362,9 +414,11 @@ def register_default_backends(worker: EngineWorker,
             opts = _opts_from_params(params)
             ckpt = opts.ckpt or _model_path(
                 prefs, "pixart_sigma_ldm_model_path", "pixart_sigma_ldm_model")
-            bundle = load_pixart_bundle(ckpt, vae_ckpt=opts.vae_ckpt or None)
-            PixArtPipeline(bundle).generate(opts, status_cb=status_cb,
-                                            result_cb=result_cb)
+            pipe = cached_instance(
+                ("pixart", ckpt, opts.vae_ckpt or None),
+                lambda: PixArtPipeline(load_pixart_bundle(
+                    ckpt, vae_ckpt=opts.vae_ckpt or None)))
+            pipe.generate(opts, status_cb=status_cb, result_cb=result_cb)
 
         return generate
 

@@ -74,3 +74,16 @@ def mesh_4x2():
     from cremage_tpu.core.mesh import make_mesh
 
     return make_mesh(model=2)
+
+
+@pytest.fixture(autouse=True)
+def _clear_backend_instance_cache():
+    """backends.cached_instance is process-global (keep_instance
+    semantics); tests that monkeypatch loaders must not leak resident
+    pipelines into each other."""
+    yield
+    import sys
+
+    mod = sys.modules.get("cremage_tpu.app.backends")
+    if mod is not None:
+        mod.clear_instance_cache()
