@@ -423,8 +423,53 @@ def register_default_backends(worker: EngineWorker,
         return generate
 
     worker.register_backend(GMT_PIXART_SIGMA, pixart_backend)
-    # Kandinsky / Hunyuan / Cascade pipelines exist (pipelines/*.py);
-    # their diffusers/Tencent/Würstchen weight converters are pending, so
-    # job dispatch reports that clearly instead of failing deep in a load.
-    for gmt in (GMT_KANDINSKY_2_2, GMT_HUNYUAN_DIT, GMT_STABLE_CASCADE):
+
+    def kandinsky_backend():
+        from cremage_tpu.pipelines.kandinsky import KandinskyPipeline
+        from cremage_tpu.pipelines.loader import load_kandinsky_bundle
+
+        def generate(params, status_cb, result_cb):
+            opts = _opts_from_params(params)
+            # the reference pulls kandinsky-community/kandinsky-2-2-
+            # prior + -decoder via AutoPipeline (kandinsky/txt2img.py:
+            # 26,66); headless deployments point at the local component
+            # files, either individually or via a directory of the
+            # standard names
+            base = params.get("kandinsky_dir")
+            def pick(key, fname):
+                p = params.get(key)
+                if p:
+                    return p
+                if base:
+                    cand = os.path.join(base, fname)
+                    if os.path.exists(cand):
+                        return cand
+                return None
+            prior = pick("prior_ckpt", "prior.safetensors")
+            dec = pick("decoder_ckpt", "decoder.safetensors")
+            text = pick("text_encoder_ckpt", "text_encoder.safetensors")
+            movq = pick("movq_ckpt", "movq.safetensors")
+            if not (prior and dec and text):
+                raise FileNotFoundError(
+                    "Kandinsky 2.2 needs the diffusers component files: "
+                    "pass prior_ckpt + decoder_ckpt + text_encoder_ckpt "
+                    "(+ optional movq_ckpt), or kandinsky_dir containing "
+                    "prior/decoder/text_encoder[/movq].safetensors "
+                    "(kandinsky-community/kandinsky-2-2-{prior,decoder})")
+            pipe = cached_instance(
+                ("kandinsky", prior, dec, text, movq),
+                lambda: KandinskyPipeline(load_kandinsky_bundle(
+                    prior, dec, text, movq_ckpt=movq)))
+            pipe.generate(opts, status_cb=status_cb, result_cb=result_cb,
+                          init_image=_load_image(params, "init_img"),
+                          mask_image=_load_image(params, "mask_img"))
+
+        return generate
+
+    worker.register_backend(GMT_KANDINSKY_2_2, kandinsky_backend)
+    # Hunyuan / Cascade pipelines exist (pipelines/*.py) with tested
+    # converters for their diffusion cores; their full bundle assembly
+    # (text towers + stage A) is still pending, so job dispatch reports
+    # that clearly instead of failing deep in a load.
+    for gmt in (GMT_HUNYUAN_DIT, GMT_STABLE_CASCADE):
         worker.register_backend(gmt, _weightgated_factory(gmt))

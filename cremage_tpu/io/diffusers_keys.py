@@ -524,3 +524,4 @@ def pixart_from_diffusers(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]
         elif set(parts) == {"k", "v"}:
             out[key] = np.concatenate([parts["k"], parts["v"]], axis=0)
     return out
+

@@ -155,14 +155,21 @@ class MoVQDecoder(nn.Module):
     cfg: MoVQConfig
 
     @nn.compact
-    def __call__(self, zq):
+    def __call__(self, zq, x=None):
+        """zq: the (un-projected) latent conditioning every SpatialNorm;
+        x: the decoder INPUT — diffusers VQModel.decode runs
+        `decoder(post_quant_conv(quant), zq=quant)`, so the loader's
+        decode wrapper passes the 1x1-projected latent here.  Defaults
+        to zq for the projection-free path (tests, codebook-free use)."""
         from cremage_tpu.models.layers import Conv, silu
 
         cfg = self.cfg
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         boc = cfg.block_out_channels
+        if x is None:
+            x = zq
         h = Conv(boc[-1], kernel_size=3, name="conv_in", **dd)(
-            zq.astype(cfg.dtype))
+            x.astype(cfg.dtype))
         h = _MoVQResBlock(boc[-1], name="mid_block_resnets_0", **dd)(h, zq)
         h = _MoVQAttn(name="mid_block_attentions_0", **dd)(h, zq)
         h = _MoVQResBlock(boc[-1], name="mid_block_resnets_1", **dd)(h, zq)

@@ -61,6 +61,12 @@ class KandinskyBundle:
     image_cond_params: Any = None
     clip_mean: Optional[np.ndarray] = None
     clip_std: Optional[np.ndarray] = None
+    # Real-checkpoint decode/encode through the MoVQ VQ-VAE instead of
+    # the KL stand-in: decode_latent(lat (B,h,w,4)) -> [-1,1] images;
+    # encode_latent(img [-1,1] (B,H,W,3)) -> latents (img2img).  When
+    # set they take precedence over (vae, vae_params).
+    decode_latent: Optional[Callable] = None
+    encode_latent: Optional[Callable] = None
 
 
 def _noop(msg):
@@ -169,9 +175,18 @@ class KandinskyPipeline:
 
             status_cb("decoder")
             if opts.mode == MODE_IMAGE_TO_IMAGE and init_image is not None:
-                lat0 = encode_to_latent(
-                    self.bundle.vae, self.bundle.vae_params,
-                    jnp.asarray(init_image)[None].astype(jnp.bfloat16))
+                if self.bundle.encode_latent is not None:
+                    lat0 = jnp.asarray(self.bundle.encode_latent(
+                        np.asarray(init_image)[None]))
+                elif self.bundle.vae is None:
+                    raise RuntimeError(
+                        "Kandinsky img2img needs a latent encoder: load "
+                        "the MoVQ checkpoint with its encoder, or supply "
+                        "a KL vae stand-in")
+                else:
+                    lat0 = encode_to_latent(
+                        self.bundle.vae, self.bundle.vae_params,
+                        jnp.asarray(init_image)[None].astype(jnp.bfloat16))
                 lat0 = jnp.broadcast_to(lat0, (bsz,) + lat0.shape[1:])
                 t_enc = max(1, int(opts.strength * opts.sampling_steps))
                 trunc = S.truncate_for_img2img(sigmas, t_enc)
@@ -186,8 +201,12 @@ class KandinskyPipeline:
                 x = noise_like(key, (bsz, h, w, 4)) * float(sigmas[0])
                 lat = fn(self.bundle.decoder_params, x, emb_b, neg_b, key)
 
-            imgs = decode_from_latent(self.bundle.vae, self.bundle.vae_params,
-                                      lat.astype(jnp.bfloat16))
+            if self.bundle.decode_latent is not None:
+                imgs = self.bundle.decode_latent(lat)
+            else:
+                imgs = decode_from_latent(self.bundle.vae,
+                                          self.bundle.vae_params,
+                                          lat.astype(jnp.bfloat16))
             imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
             if opts.mode == MODE_INPAINTING and mask_image is not None \
                     and init_image is not None:

@@ -5,10 +5,12 @@ keyed on the model combination (`image_generator.py:652-668`)."""
 from __future__ import annotations
 
 import logging
+import re
 from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cremage_tpu.core.dtypes import DEFAULT_POLICY, DTypePolicy
 from cremage_tpu.io import checkpoint as CK
@@ -622,6 +624,7 @@ def load_flux_bundle(
 def load_kandinsky_prior(
     prior_ckpt: str,
     policy: DTypePolicy = DEFAULT_POLICY,
+    cfg=None,
 ):
     """Kandinsky 2.2 diffusers PriorTransformer file -> (DiffusionPrior,
     params, clip_mean, clip_std). The reference downloads this stage via
@@ -633,12 +636,15 @@ def load_kandinsky_prior(
     sd = kandinsky_prior_from_diffusers(CK.load_state_dict(prior_ckpt))
     clip_mean = sd.pop("clip_mean", None)
     clip_std = sd.pop("clip_std", None)
-    prior = DiffusionPrior(PriorConfig(dtype=policy.compute_dtype,
-                                       param_dtype=policy.param_dtype))
+    if cfg is None:
+        cfg = PriorConfig(dtype=policy.compute_dtype,
+                          param_dtype=policy.param_dtype)
+    prior = DiffusionPrior(cfg)
+    ied, ted = cfg.image_embed_dim, cfg.text_embed_dim
     tmpl = _template(
-        prior, jnp.zeros((1, 1280), policy.compute_dtype), jnp.zeros((1,)),
-        jnp.zeros((1, 77, 1280), policy.compute_dtype),
-        jnp.zeros((1, 1280), policy.compute_dtype),
+        prior, jnp.zeros((1, ied), policy.compute_dtype), jnp.zeros((1,)),
+        jnp.zeros((1, cfg.text_tokens, ted), policy.compute_dtype),
+        jnp.zeros((1, ted), policy.compute_dtype),
     )
     params, _, _ = CK.build_flax_params(tmpl, sd, prefix="",
                                         dtype=policy.param_dtype,
@@ -654,6 +660,7 @@ def load_kandinsky_decoder(
     unet_ckpt: str,
     in_channels: int = 4,
     policy: DTypePolicy = DEFAULT_POLICY,
+    unet_cfg=None,
 ):
     """Kandinsky 2.2 diffusers decoder-UNet file -> (KandinskyUNet,
     params, KandinskyImageConditioner, cond_params). Conditioner dims
@@ -673,10 +680,18 @@ def load_kandinsky_decoder(
     cross_dim = cond_sd["context_norm.weight"].shape[0]
     num_tokens = cond_sd["context_proj.weight"].shape[0] // cross_dim
 
-    cfg = KandinskyUNetConfig(
-        in_channels=in_channels, context_dim=cross_dim,
-        dtype=policy.compute_dtype, param_dtype=policy.param_dtype,
-    )
+    if unet_cfg is not None:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            unet_cfg, in_channels=in_channels, context_dim=cross_dim,
+            dtype=policy.compute_dtype, param_dtype=policy.param_dtype,
+        )
+    else:
+        cfg = KandinskyUNetConfig(
+            in_channels=in_channels, context_dim=cross_dim,
+            dtype=policy.compute_dtype, param_dtype=policy.param_dtype,
+        )
     model = KandinskyUNet(cfg)
     tmpl = _template(
         model, jnp.zeros((1, 8, 8, in_channels), policy.compute_dtype),
@@ -725,24 +740,144 @@ def load_hunyuan_dit(
 def load_movq_decoder(
     movq_ckpt: str,
     policy: DTypePolicy = DEFAULT_POLICY,
+    cfg=None,
 ):
-    """Kandinsky 2.2 MoVQ file -> (MoVQDecoder, params, codebook).
+    """Kandinsky 2.2 MoVQ file -> (MoVQDecoder, params, codebook,
+    post_quant_conv (w, b) numpy pair or None).
     The codebook ('quantize.embedding') is returned for index-decoding;
-    the latent pathway feeds the continuous z directly."""
+    diffusers VQModel.decode runs decoder(post_quant_conv(z), zq=z), so
+    callers apply the returned 1x1 before the decoder input while the
+    raw z conditions the spatial norms."""
     from cremage_tpu.io.diffusers_keys import movq_decoder_from_diffusers
     from cremage_tpu.models.vq import MoVQConfig, MoVQDecoder
 
     sd = movq_decoder_from_diffusers(CK.load_state_dict(movq_ckpt))
     codebook = sd.pop("quantize.embedding", None)
-    sd = {k: v for k, v in sd.items()
-          if not k.startswith("post_quant_conv.")}
-    dec = MoVQDecoder(MoVQConfig(dtype=policy.compute_dtype,
-                                 param_dtype=policy.param_dtype))
-    tmpl = _template(dec, jnp.zeros((1, 8, 8, 4), policy.compute_dtype))
+    pq_w = sd.pop("post_quant_conv.weight", None)
+    pq_b = sd.pop("post_quant_conv.bias", None)
+    post_quant = None
+    if pq_w is not None:
+        post_quant = (np.asarray(pq_w), np.asarray(pq_b))
+    if cfg is None:
+        cfg = MoVQConfig(dtype=policy.compute_dtype,
+                         param_dtype=policy.param_dtype)
+    dec = MoVQDecoder(cfg)
+    tmpl = _template(dec, jnp.zeros((1, 8, 8, cfg.latent_channels),
+                                    policy.compute_dtype))
     params, _, _ = CK.build_flax_params(tmpl, sd, prefix="",
                                         dtype=policy.param_dtype,
                                         strict=False)
-    return dec, {"params": params}, codebook
+    return dec, {"params": params}, codebook, post_quant
+
+
+def load_hf_clip_text_tower(
+    text_ckpt: str,
+    policy: DTypePolicy = DEFAULT_POLICY,
+):
+    """HF CLIPTextModelWithProjection file -> (OpenCLIPTextModel, params,
+    text_encode).  Kandinsky 2.2's prior and Stable Cascade's prior both
+    condition on this bigG-class tower shipped in HF layout (the
+    reference downloads it inside the diffusers pipelines,
+    modules/kandinsky/txt2img.py:26 / modules/stable_cascade/txt2img.py);
+    dims are derived from the tensors so tiny synthetic checkpoints load
+    the same way the 1280-wide release files do.
+
+    text_encode(prompt) -> (last_hidden (77, width) fp32,
+    projected-pooled (width,) fp32) — diffusers' last_hidden_state +
+    text_embeds pair, pooled at the first EOS like
+    CLIPTextModelWithProjection.  Divergence note: HF masks pad tokens
+    in downstream attention via attention_mask; our towers follow the
+    SD convention of EOS-padded unmasked context.
+    """
+    from cremage_tpu.models.open_clip import (
+        OpenCLIPTextConfig, OpenCLIPTextModel,
+    )
+
+    mapped = CK.hf_clip_text_to_openclip_subdict(CK.load_state_dict(text_ckpt))
+    vocab, width = mapped["token_embedding"].shape
+    layers = 1 + max(
+        int(re.match(r"transformer\.resblocks\.(\d+)\.", k).group(1))
+        for k in mapped if k.startswith("transformer.resblocks."))
+    mlp_ratio = mapped["transformer.resblocks.0.mlp.c_fc.weight"
+                       ].shape[0] // width
+    max_pos = mapped["positional_embedding"].shape[0]
+    cfg = OpenCLIPTextConfig(
+        vocab_size=vocab, width=width, num_layers=layers,
+        num_heads=max(1, width // 64), mlp_ratio=mlp_ratio,
+        max_positions=max_pos, dtype=policy.compute_dtype,
+        param_dtype=policy.param_dtype)
+    tower = OpenCLIPTextModel(cfg)
+    tmpl = _template(tower, jnp.zeros((1, max_pos), jnp.int32))
+    params, _, _ = CK.build_flax_params(tmpl, mapped, prefix="",
+                                        dtype=policy.param_dtype,
+                                        strict=False)
+    tok = default_tokenizer()
+
+    def text_encode(prompt: str):
+        ids = tok.encode_with_specials(prompt, max_len=max_pos)
+        eos_pos = min(len(tok.encode(prompt)), max_pos - 2) + 1
+        _, final = tower.apply({"params": params},
+                               jnp.asarray([ids], jnp.int32))
+        pooled = tower.apply({"params": params}, final,
+                             jnp.asarray([eos_pos]),
+                             method=OpenCLIPTextModel.project_pooled)
+        return (np.asarray(final[0], np.float32),
+                np.asarray(pooled[0], np.float32))
+
+    return tower, params, text_encode
+
+
+def load_kandinsky_bundle(
+    prior_ckpt: str,
+    decoder_ckpt: str,
+    text_encoder_ckpt: str,
+    movq_ckpt: Optional[str] = None,
+    policy: DTypePolicy = DEFAULT_POLICY,
+    prior_cfg=None,
+    movq_cfg=None,
+    decoder_cfg=None,
+):
+    """Assemble the full Kandinsky 2.2 stack (reference
+    modules/kandinsky/txt2img.py:26,66: AutoPipeline = prior
+    (PriorTransformer + bigG text tower) -> decoder UNet conditioned on
+    the diffused image embedding -> MoVQ decode).  Paths point at the
+    individual diffusers component files; movq_ckpt may be omitted to
+    fall back to index-free KL-style decode via a caller-provided vae.
+    The *_cfg overrides load tiny synthetic checkpoints through the full
+    real conversion path (tests)."""
+    from cremage_tpu.pipelines.kandinsky import KandinskyBundle
+
+    prior, prior_params, clip_mean, clip_std = load_kandinsky_prior(
+        prior_ckpt, policy, cfg=prior_cfg)
+    decoder, dec_params, cond, cond_params = load_kandinsky_decoder(
+        decoder_ckpt, policy=policy, unet_cfg=decoder_cfg)
+    _, _, text_encode = load_hf_clip_text_tower(text_encoder_ckpt, policy)
+
+    decode_latent = None
+    if movq_ckpt:
+        movq, movq_params, _codebook, post_quant = load_movq_decoder(
+            movq_ckpt, policy, cfg=movq_cfg)
+
+        def decode_latent(lat):
+            z = jnp.asarray(lat, policy.compute_dtype)
+            x = z
+            if post_quant is not None:
+                w, b = post_quant            # torch 1x1 conv (O, I, 1, 1)
+                x = jnp.einsum(
+                    "bhwi,oi->bhwo", z,
+                    jnp.asarray(w[:, :, 0, 0], policy.compute_dtype),
+                ) + jnp.asarray(b, policy.compute_dtype)
+            img = movq.apply(movq_params, z, x)
+            return np.asarray(img, np.float32)   # [-1,1]
+
+    return KandinskyBundle(
+        prior=prior, prior_params=prior_params,
+        decoder=decoder, decoder_params=dec_params,
+        vae=None, vae_params=None, text_encode=text_encode,
+        image_cond=cond, image_cond_params=cond_params,
+        clip_mean=clip_mean, clip_std=clip_std,
+        decode_latent=decode_latent,
+    )
 
 
 def load_cascade_stage_b(

@@ -41,11 +41,13 @@ def test_unconfigured_model_reports_structured_error():
 
 
 def test_weightgated_families_report_coverage_note():
+    # Kandinsky gained a real backend (test_kandinsky_bundle.py);
+    # Hunyuan/Cascade bundle assembly is still gated
     w = EngineWorker()
     register_default_backends(w, Preferences())
     w.start()
     w.submit({"type": MP_MESSAGE_TYPE_INFERENCE,
-              "generator_model_type": "Kandinsky 2.2",
+              "generator_model_type": "Hunyuan DiT",
               "parameters": {}})
     done = None
     end = time.time() + 30
