@@ -467,9 +467,49 @@ def register_default_backends(worker: EngineWorker,
         return generate
 
     worker.register_backend(GMT_KANDINSKY_2_2, kandinsky_backend)
-    # Hunyuan / Cascade pipelines exist (pipelines/*.py) with tested
-    # converters for their diffusion cores; their full bundle assembly
-    # (text towers + stage A) is still pending, so job dispatch reports
-    # that clearly instead of failing deep in a load.
-    for gmt in (GMT_HUNYUAN_DIT, GMT_STABLE_CASCADE):
-        worker.register_backend(gmt, _weightgated_factory(gmt))
+
+    def cascade_backend():
+        from cremage_tpu.pipelines.cascade import CascadePipeline
+        from cremage_tpu.pipelines.loader import load_cascade_bundle
+
+        def generate(params, status_cb, result_cb):
+            opts = _opts_from_params(params)
+            # reference: stabilityai/stable-cascade prior + decoder via
+            # diffusers (stable_cascade/txt2img.py); headless
+            # deployments point at the local component files
+            base = params.get("cascade_dir")
+            def pick(key, fname):
+                p = params.get(key)
+                if p:
+                    return p
+                if base:
+                    cand = os.path.join(base, fname)
+                    if os.path.exists(cand):
+                        return cand
+                return None
+            sc = pick("stage_c_ckpt", "stage_c.safetensors")
+            sb = pick("stage_b_ckpt", "stage_b.safetensors")
+            text = pick("text_encoder_ckpt", "text_encoder.safetensors")
+            vq = pick("vqgan_ckpt", "vqgan.safetensors")
+            if not (sc and sb and text):
+                raise FileNotFoundError(
+                    "Stable Cascade needs the diffusers component files: "
+                    "pass stage_c_ckpt + stage_b_ckpt + text_encoder_ckpt "
+                    "(+ optional vqgan_ckpt for Stage A), or cascade_dir "
+                    "containing stage_c/stage_b/text_encoder[/vqgan]"
+                    ".safetensors (stabilityai/stable-cascade)")
+            pipe = cached_instance(
+                ("cascade", sc, sb, text, vq),
+                lambda: CascadePipeline(load_cascade_bundle(
+                    sc, sb, text, vqgan_ckpt=vq)))
+            pipe.generate(opts, status_cb=status_cb, result_cb=result_cb)
+
+        return generate
+
+    worker.register_backend(GMT_STABLE_CASCADE, cascade_backend)
+    # Hunyuan's pipeline + DiT converter exist (pipelines/hunyuan.py);
+    # its full bundle assembly (Chinese-CLIP BERT + mT5 towers) is still
+    # pending, so job dispatch reports that clearly instead of failing
+    # deep in a load.
+    worker.register_backend(GMT_HUNYUAN_DIT,
+                            _weightgated_factory(GMT_HUNYUAN_DIT))

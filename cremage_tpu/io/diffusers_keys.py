@@ -525,3 +525,19 @@ def pixart_from_diffusers(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]
             out[key] = np.concatenate([parts["k"], parts["v"]], axis=0)
     return out
 
+
+def paella_vq_decoder_from_diffusers(
+    sd: Mapping[str, np.ndarray],
+) -> Dict[str, np.ndarray]:
+    """diffusers PaellaVQModel -> models/vq.py PaellaVQDecoder (decode
+    path; Stable Cascade Stage A — the reference decodes Stage B
+    latents through it in StableCascadeDecoderPipeline,
+    modules/stable_cascade/txt2img.py).  Decoder module names flatten to
+    the diffusers up_blocks/out_block strings, so this is a subset
+    filter; the encoder/vquantizer keys are dropped (the reference's
+    Cascade module is txt2img-only, so only decode is exercised)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("up_blocks.") or k.startswith("out_block."):
+            out[k] = np.asarray(v)
+    return out

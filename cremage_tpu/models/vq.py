@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -190,3 +191,131 @@ class MoVQDecoder(nn.Module):
         h = Conv(cfg.out_channels, kernel_size=3, name="conv_out",
                  dtype=jnp.float32, param_dtype=cfg.param_dtype)(silu(h))
         return h
+
+
+# ---------------------------------------------------------------------------
+# Stable Cascade Stage A (Paella VQGAN, decoder path)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PaellaVQConfig:
+    """diffusers PaellaVQModel geometry (wuerstchen/modeling_paella_
+    vq_model.py; the reference decodes Stage B latents through it inside
+    StableCascadeDecoderPipeline, modules/stable_cascade/txt2img.py).
+    c_levels = [embed_dim / 2^i for i in reversed(range(levels))]."""
+
+    out_channels: int = 3
+    up_down_scale_factor: int = 2
+    levels: int = 2
+    bottleneck_blocks: int = 12
+    embed_dim: int = 384
+    latent_channels: int = 4
+    scale_factor: float = 0.3764     # pipeline multiplies latents by this
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+
+class MixingResidualBlock(nn.Module):
+    """Paella VQGAN block: affine-free channel LN modulated by 6 learned
+    gammas, depthwise 3x3 (replication pad) + Linear-GELU-Linear."""
+
+    dim: int
+    embed_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from cremage_tpu.models.cascade import _channel_ln
+        from cremage_tpu.models.layers import Dense
+
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        g = self.param("gammas", nn.initializers.zeros, (6,), jnp.float32)
+        g = g.astype(self.dtype)
+
+        t = _channel_ln(x) * (1 + g[0]) + g[1]
+        t = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        dw = self.param("depthwise_1_weight",
+                        nn.initializers.lecun_normal(),
+                        (3, 3, 1, self.dim), self.param_dtype)
+        dwb = self.param("depthwise_1_bias", nn.initializers.zeros,
+                         (self.dim,), self.param_dtype)
+        conv = jax.lax.conv_general_dilated(
+            t.astype(self.dtype), dw.astype(self.dtype), (1, 1),
+            [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.dim,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype) + dwb.astype(self.dtype)
+        x = x + conv * g[2]
+
+        t = _channel_ln(x) * (1 + g[3]) + g[4]
+        t = Dense(self.embed_dim, name="channelwise_0", **dd)(t)
+        t = nn.gelu(t, approximate=False)
+        t = Dense(self.dim, name="channelwise_2", **dd)(t)
+        return x + t * g[5]
+
+
+class ConvTranspose4x4s2(nn.Module):
+    """torch ConvTranspose2d(k=4, s=2, p=1) (the Paella VQGAN level
+    upscaler): input-dilated conv with the spatially flipped kernel and
+    k-1-p = 2 padding.  Weight stored (4, 4, out, in) — what the
+    shape-directed converter produces from torch's (in, out, 4, 4)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        w = self.param("weight", nn.initializers.lecun_normal(),
+                       (4, 4, self.features, in_ch), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), self.param_dtype)
+        wk = jnp.flip(w, axis=(0, 1)).transpose(0, 1, 3, 2)  # HWIO
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), wk.astype(self.dtype),
+            window_strides=(1, 1), padding=[(2, 2), (2, 2)],
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        return y + b.astype(self.dtype)
+
+
+class PaellaVQDecoder(nn.Module):
+    """Decode (force_not_quantize) path of PaellaVQModel: module names
+    flatten to the diffusers up_blocks/out_block key strings.  The
+    caller pre-multiplies latents by cfg.scale_factor
+    (StableCascadeDecoderPipeline semantics)."""
+
+    cfg: PaellaVQConfig
+
+    @nn.compact
+    def __call__(self, z):
+        from cremage_tpu.models.cascade import _pixel_shuffle
+        from cremage_tpu.models.layers import Conv
+
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        c_levels = [cfg.embed_dim // (2 ** i)
+                    for i in reversed(range(cfg.levels))]
+        h = Conv(c_levels[-1], kernel_size=1, padding=0,
+                 name="up_blocks_0_0", **dd)(z.astype(cfg.dtype))
+        idx = 1
+        for i in range(cfg.levels):
+            c = c_levels[cfg.levels - 1 - i]
+            for _ in range(cfg.bottleneck_blocks if i == 0 else 1):
+                h = MixingResidualBlock(c, c * 4, name=f"up_blocks_{idx}",
+                                        **dd)(h)
+                idx += 1
+            if i < cfg.levels - 1:
+                h = ConvTranspose4x4s2(
+                    c_levels[cfg.levels - 2 - i],
+                    name=f"up_blocks_{idx}", **dd)(h)
+                idx += 1
+        r = cfg.up_down_scale_factor
+        h = Conv(cfg.out_channels * r * r, kernel_size=1, padding=0,
+                 name="out_block_0", dtype=jnp.float32,
+                 param_dtype=cfg.param_dtype)(h)
+        return _pixel_shuffle(h, r)

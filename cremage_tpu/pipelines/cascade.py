@@ -76,6 +76,10 @@ class CascadeBundle:
     b_compression: int = 4
     schedule: S.DiscreteSchedule = dataclasses.field(
         default_factory=S.default_sd_schedule)
+    # Real-checkpoint Stage A decode (Paella VQGAN) — takes precedence
+    # over the KL-interface (vqgan, vqgan_params) stand-in when set:
+    # decode_latent(lat (B,h,w,4)) -> [-1,1] images
+    decode_latent: Optional[Callable] = None
 
 
 def _noop(msg):
@@ -169,8 +173,11 @@ class CascadePipeline:
                          jax.random.fold_in(key, 2))
 
             status_cb("Stage A decode")
-            imgs = decode_from_latent(b.vqgan, b.vqgan_params,
-                                      b_lat.astype(jnp.bfloat16))
+            if b.decode_latent is not None:
+                imgs = b.decode_latent(b_lat)
+            else:
+                imgs = decode_from_latent(b.vqgan, b.vqgan_params,
+                                          b_lat.astype(jnp.bfloat16))
             imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
             if opts.safety_check:
                 imgs, _ = self.safety.check(imgs)

@@ -621,6 +621,61 @@ def load_flux_bundle(
                       vae_params={"params": v_params})
 
 
+def load_cascade_bundle(
+    stage_c_ckpt: str,
+    stage_b_ckpt: str,
+    text_encoder_ckpt: str,
+    vqgan_ckpt: Optional[str] = None,
+    policy: DTypePolicy = DEFAULT_POLICY,
+    stage_c_cfg=None,
+    stage_b_cfg=None,
+    vq_cfg=None,
+):
+    """Assemble the full Stable Cascade stack (reference
+    modules/stable_cascade/txt2img.py: StableCascadePriorPipeline +
+    StableCascadeDecoderPipeline = Stage C prior + Stage B decoder +
+    Paella VQGAN Stage A, all conditioned on the bigG text tower).
+    Text tokens follow the diffusers contract (hidden_states[-1], i.e.
+    pre-final-LN) with the projected pooled embedding.  The *_cfg
+    overrides load tiny synthetic checkpoints through the full real
+    conversion path (tests)."""
+    from cremage_tpu.pipelines.cascade import CascadeBundle
+
+    sc, scp = load_cascade_stage_c(stage_c_ckpt, policy, cfg=stage_c_cfg)
+    sb, sbp = load_cascade_stage_b(stage_b_ckpt, policy, cfg=stage_b_cfg)
+    _, _, text_encode = load_hf_clip_text_tower(text_encoder_ckpt, policy,
+                                                pre_final_ln=True)
+
+    decode_latent = None
+    if vqgan_ckpt:
+        from cremage_tpu.io.diffusers_keys import (
+            paella_vq_decoder_from_diffusers,
+        )
+        from cremage_tpu.models.vq import PaellaVQConfig, PaellaVQDecoder
+
+        cfgv = vq_cfg or PaellaVQConfig(dtype=policy.compute_dtype,
+                                        param_dtype=policy.param_dtype)
+        dec = PaellaVQDecoder(cfgv)
+        vsd = paella_vq_decoder_from_diffusers(CK.load_state_dict(vqgan_ckpt))
+        v_tmpl = _template(dec, jnp.zeros((1, 8, 8, cfgv.latent_channels),
+                                          policy.compute_dtype))
+        v_params, _, _ = CK.build_flax_params(v_tmpl, vsd, prefix="",
+                                              dtype=policy.param_dtype,
+                                              strict=False)
+
+        def decode_latent(lat):
+            # StableCascadeDecoderPipeline: latents *= scale_factor
+            z = jnp.asarray(lat, policy.compute_dtype) * cfgv.scale_factor
+            img = dec.apply({"params": v_params}, z)
+            return np.asarray(img, np.float32)     # [-1,1]
+
+    return CascadeBundle(
+        stage_c=sc, stage_c_params=scp, stage_b=sb, stage_b_params=sbp,
+        vqgan=None, vqgan_params=None, text_encode=text_encode,
+        decode_latent=decode_latent,
+    )
+
+
 def load_kandinsky_prior(
     prior_ckpt: str,
     policy: DTypePolicy = DEFAULT_POLICY,
@@ -773,6 +828,7 @@ def load_movq_decoder(
 def load_hf_clip_text_tower(
     text_ckpt: str,
     policy: DTypePolicy = DEFAULT_POLICY,
+    pre_final_ln: bool = False,
 ):
     """HF CLIPTextModelWithProjection file -> (OpenCLIPTextModel, params,
     text_encode).  Kandinsky 2.2's prior and Stable Cascade's prior both
@@ -785,7 +841,11 @@ def load_hf_clip_text_tower(
     text_encode(prompt) -> (last_hidden (77, width) fp32,
     projected-pooled (width,) fp32) — diffusers' last_hidden_state +
     text_embeds pair, pooled at the first EOS like
-    CLIPTextModelWithProjection.  Divergence note: HF masks pad tokens
+    CLIPTextModelWithProjection.  pre_final_ln=True returns
+    hidden_states[-1] (the last block output BEFORE the final LN)
+    instead — Stable Cascade's prompt_embeds contract
+    (StableCascadePriorPipeline passes output_hidden_states=True and
+    takes hidden_states[-1]).  Divergence note: HF masks pad tokens
     in downstream attention via attention_mask; our towers follow the
     SD convention of EOS-padded unmasked context.
     """
@@ -816,12 +876,13 @@ def load_hf_clip_text_tower(
     def text_encode(prompt: str):
         ids = tok.encode_with_specials(prompt, max_len=max_pos)
         eos_pos = min(len(tok.encode(prompt)), max_pos - 2) + 1
-        _, final = tower.apply({"params": params},
-                               jnp.asarray([ids], jnp.int32))
+        hidden, final = tower.apply({"params": params},
+                                    jnp.asarray([ids], jnp.int32))
         pooled = tower.apply({"params": params}, final,
                              jnp.asarray([eos_pos]),
                              method=OpenCLIPTextModel.project_pooled)
-        return (np.asarray(final[0], np.float32),
+        toks = hidden[-1] if pre_final_ln else final
+        return (np.asarray(toks[0], np.float32),
                 np.asarray(pooled[0], np.float32))
 
     return tower, params, text_encode
@@ -883,6 +944,7 @@ def load_kandinsky_bundle(
 def load_cascade_stage_b(
     ckpt: str,
     policy: DTypePolicy = DEFAULT_POLICY,
+    cfg=None,
 ):
     """Stable Cascade Stage B diffusers file -> (StageB, params)
     (reference modules/stable_cascade/txt2img.py
@@ -891,13 +953,15 @@ def load_cascade_stage_b(
     from cremage_tpu.models.cascade import StageB, StageBConfig
 
     sd = cascade_unet_from_diffusers(CK.load_state_dict(ckpt))
-    model = StageB(StageBConfig(dtype=policy.compute_dtype,
-                                param_dtype=policy.param_dtype))
+    if cfg is None:
+        cfg = StageBConfig(dtype=policy.compute_dtype,
+                           param_dtype=policy.param_dtype)
+    model = StageB(cfg)
     tmpl = _template(
-        model, jnp.zeros((1, 16, 16, 4), policy.compute_dtype),
+        model, jnp.zeros((1, 16, 16, cfg.in_channels), policy.compute_dtype),
         jnp.zeros((1,)),
-        jnp.zeros((1, 4, 4, 16), policy.compute_dtype),
-        jnp.zeros((1, 1280), policy.compute_dtype),
+        jnp.zeros((1, 4, 4, cfg.effnet_channels), policy.compute_dtype),
+        jnp.zeros((1, cfg.clip_text_pooled_dim), policy.compute_dtype),
     )
     params, _, _ = CK.build_flax_params(tmpl, sd, prefix="",
                                         dtype=policy.param_dtype,
@@ -908,6 +972,7 @@ def load_cascade_stage_b(
 def load_cascade_stage_c(
     ckpt: str,
     policy: DTypePolicy = DEFAULT_POLICY,
+    cfg=None,
 ):
     """Stable Cascade Stage C diffusers file -> (StageC, params)
     (reference modules/stable_cascade/txt2img.py StableCascadePrior
@@ -916,13 +981,15 @@ def load_cascade_stage_c(
     from cremage_tpu.models.cascade import StageC, StageCConfig
 
     sd = cascade_unet_from_diffusers(CK.load_state_dict(ckpt))
-    model = StageC(StageCConfig(dtype=policy.compute_dtype,
-                                param_dtype=policy.param_dtype))
+    if cfg is None:
+        cfg = StageCConfig(dtype=policy.compute_dtype,
+                           param_dtype=policy.param_dtype)
+    model = StageC(cfg)
     tmpl = _template(
-        model, jnp.zeros((1, 24, 24, 16), policy.compute_dtype),
+        model, jnp.zeros((1, 24, 24, cfg.in_channels), policy.compute_dtype),
         jnp.zeros((1,)),
-        jnp.zeros((1, 77, 1280), policy.compute_dtype),
-        jnp.zeros((1, 1280), policy.compute_dtype),
+        jnp.zeros((1, 77, cfg.clip_text_dim), policy.compute_dtype),
+        jnp.zeros((1, cfg.clip_text_pooled_dim), policy.compute_dtype),
     )
     params, _, _ = CK.build_flax_params(tmpl, sd, prefix="",
                                         dtype=policy.param_dtype,
