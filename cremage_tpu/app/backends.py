@@ -387,16 +387,6 @@ def svd_factory(prefs: Preferences) -> Callable:
     return generate
 
 
-def _weightgated_factory(name: str) -> Callable:
-    def factory():
-        def generate(params, status_cb, result_cb):
-            raise FileNotFoundError(
-                f"{name}: checkpoint mapping for this family lands with its "
-                f"weights; see COVERAGE.md")
-        return generate
-    return factory
-
-
 def register_default_backends(worker: EngineWorker,
                               prefs: Optional[Preferences] = None) -> None:
     prefs = prefs or Preferences()
@@ -507,9 +497,48 @@ def register_default_backends(worker: EngineWorker,
         return generate
 
     worker.register_backend(GMT_STABLE_CASCADE, cascade_backend)
-    # Hunyuan's pipeline + DiT converter exist (pipelines/hunyuan.py);
-    # its full bundle assembly (Chinese-CLIP BERT + mT5 towers) is still
-    # pending, so job dispatch reports that clearly instead of failing
-    # deep in a load.
-    worker.register_backend(GMT_HUNYUAN_DIT,
-                            _weightgated_factory(GMT_HUNYUAN_DIT))
+
+    def hunyuan_backend():
+        from cremage_tpu.pipelines.hunyuan import HunyuanPipeline
+        from cremage_tpu.pipelines.loader import load_hunyuan_bundle
+
+        def generate(params, status_cb, result_cb):
+            opts = _opts_from_params(params)
+            # reference: Tencent-Hunyuan/HunyuanDiT-Diffusers via
+            # diffusers (hunyuan_dit/txt2img.py); headless deployments
+            # point at the local component files
+            base = params.get("hunyuan_dir")
+            def pick(key, fname):
+                p = params.get(key)
+                if p:
+                    return p
+                if base:
+                    cand = os.path.join(base, fname)
+                    if os.path.exists(cand):
+                        return cand
+                return None
+            dit = opts.ckpt or pick("dit_ckpt", "transformer.safetensors")
+            if not dit:
+                raise FileNotFoundError(
+                    "Hunyuan-DiT needs the diffusers component files: "
+                    "pass ckpt/dit_ckpt (+ vae_ckpt, clip_ckpt + "
+                    "clip_vocab for the BertModel branch, mt5_ckpt + "
+                    "mt5_spiece for the mT5 branch), or hunyuan_dir "
+                    "with transformer/vae/clip/mt5.safetensors + "
+                    "vocab.txt + spiece.model "
+                    "(Tencent-Hunyuan/HunyuanDiT-Diffusers)")
+            vae = opts.vae_ckpt or pick("_", "vae.safetensors")
+            clip = pick("clip_ckpt", "clip.safetensors")
+            vocab = pick("clip_vocab", "vocab.txt")
+            mt5 = pick("mt5_ckpt", "mt5.safetensors")
+            spiece = pick("mt5_spiece", "spiece.model")
+            key = ("hunyuan", dit, vae, clip, vocab, mt5, spiece)
+            pipe = cached_instance(
+                key, lambda: HunyuanPipeline(load_hunyuan_bundle(
+                    dit, vae_ckpt=vae, clip_ckpt=clip, clip_vocab=vocab,
+                    mt5_ckpt=mt5, mt5_tokenize=spiece)))
+            pipe.generate(opts, status_cb=status_cb, result_cb=result_cb)
+
+        return generate
+
+    worker.register_backend(GMT_HUNYUAN_DIT, hunyuan_backend)

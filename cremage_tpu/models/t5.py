@@ -50,6 +50,13 @@ def t5_large_config(**kw) -> T5Config:  # PixArt small variants / tests
     return T5Config(d_model=1024, num_heads=16, d_ff=2816, num_layers=24, **kw)
 
 
+def mt5_xl_config(**kw) -> T5Config:
+    """Hunyuan-DiT text_encoder_2: mT5-XL encoder (multilingual vocab,
+    same gated-gelu v1.1 block anatomy the T5Encoder implements)."""
+    return T5Config(vocab_size=250112, d_model=2048, num_heads=32,
+                    d_ff=5120, num_layers=24, **kw)
+
+
 class RMSNorm(nn.Module):
     epsilon: float = 1e-6
 

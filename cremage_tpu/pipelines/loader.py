@@ -770,6 +770,7 @@ def load_kandinsky_decoder(
 def load_hunyuan_dit(
     dit_ckpt: str,
     policy: DTypePolicy = DEFAULT_POLICY,
+    cfg=None,
 ):
     """Hunyuan-DiT diffusers transformer file -> (HunyuanDiT, params)
     (the reference downloads the diffusers HunyuanDiTPipeline,
@@ -778,18 +779,119 @@ def load_hunyuan_dit(
     from cremage_tpu.models.hunyuan import HunyuanConfig, HunyuanDiT
 
     sd = hunyuan_from_diffusers(CK.load_state_dict(dit_ckpt))
-    model = HunyuanDiT(HunyuanConfig(dtype=policy.compute_dtype,
-                                     param_dtype=policy.param_dtype))
+    if cfg is None:
+        cfg = HunyuanConfig(dtype=policy.compute_dtype,
+                            param_dtype=policy.param_dtype)
+    model = HunyuanDiT(cfg)
     tmpl = _template(
-        model, jnp.zeros((1, 16, 16, 4), policy.compute_dtype),
+        model,
+        jnp.zeros((1, 16, 16, cfg.in_channels), policy.compute_dtype),
         jnp.zeros((1,)),
-        jnp.zeros((1, 77, 1024), policy.compute_dtype),
-        jnp.zeros((1, 256, 2048), policy.compute_dtype),
+        jnp.zeros((1, cfg.text_len, cfg.clip_dim), policy.compute_dtype),
+        jnp.zeros((1, cfg.text_len_t5, cfg.mt5_dim), policy.compute_dtype),
     )
     params, _, _ = CK.build_flax_params(tmpl, sd, prefix="",
                                         dtype=policy.param_dtype,
                                         strict=False)
     return model, {"params": params}
+
+
+def load_hunyuan_bundle(
+    dit_ckpt: str,
+    vae_ckpt: Optional[str] = None,
+    clip_ckpt: Optional[str] = None,
+    clip_vocab: Optional[str] = None,
+    mt5_ckpt: Optional[str] = None,
+    mt5_tokenize=None,
+    policy: DTypePolicy = DEFAULT_POLICY,
+    dit_cfg=None,
+    clip_cfg=None,
+    mt5_cfg=None,
+    vae_cfg=None,
+):
+    """Assemble the full Hunyuan-DiT stack (reference
+    modules/hunyuan_dit/txt2img.py: diffusers HunyuanDiTPipeline =
+    bilingual Chinese-CLIP BertModel + mT5-XL + depth-40 DiT + the SDXL
+    KL VAE).  clip_ckpt/clip_vocab feed the BertModel branch (HF
+    BertModel layout + vocab.txt); mt5_ckpt/mt5_tokenize the mT5 branch
+    (T5EncoderModel layout + spiece.model path or callable).  Either
+    branch may be omitted — the conditioner zero-fills it (weights are
+    runtime downloads in the reference too).  The *_cfg overrides load
+    tiny synthetic checkpoints through the full real conversion path
+    (tests)."""
+    from cremage_tpu.models.bert import BertModel, hunyuan_clip_config
+    from cremage_tpu.models.t5 import T5Encoder, mt5_xl_config
+    from cremage_tpu.models.vae import sdxl_vae_config
+    from cremage_tpu.pipelines.hunyuan import (
+        HunyuanBundle, make_hunyuan_text_encode,
+    )
+
+    dit, dit_params = load_hunyuan_dit(dit_ckpt, policy, cfg=dit_cfg)
+    dcfg = dit.cfg
+
+    import dataclasses as _dc
+
+    dd = dict(dtype=policy.compute_dtype, param_dtype=policy.param_dtype)
+    vcfg = (_dc.replace(vae_cfg, **dd) if vae_cfg is not None
+            else sdxl_vae_config(**dd))
+    vae = AutoencoderKL(vcfg)
+    v_tmpl = _template(vae, jnp.zeros((1, 64, 64, 3), policy.compute_dtype))
+    if vae_ckpt:
+        vsd = CK.vae_state_dict_from_standalone(CK.load_state_dict(vae_ckpt))
+        v_params, _, _ = CK.build_flax_params(
+            v_tmpl, vsd, CK.PREFIX_VAE, dtype=policy.param_dtype,
+            strict=False)
+    else:
+        v_params = jax.tree.map(lambda t: jnp.zeros(t.shape, t.dtype),
+                                v_tmpl)
+
+    clip_pair = None
+    if clip_ckpt:
+        bcfg = (_dc.replace(clip_cfg, **dd) if clip_cfg is not None
+                else hunyuan_clip_config(**dd))
+        bert = BertModel(bcfg)
+        b_tmpl = _template(bert, jnp.zeros((1, 8), jnp.int32))
+        bsd = CK.load_state_dict(clip_ckpt)
+        # plain BertModel layout; tolerate a bert. prefix
+        if any(k.startswith("bert.") for k in bsd):
+            bsd = {k[len("bert."):]: v for k, v in bsd.items()
+                   if k.startswith("bert.")}
+        b_params, _, _ = CK.build_flax_params(b_tmpl, bsd, prefix="",
+                                              dtype=policy.param_dtype,
+                                              strict=False)
+        clip_pair = (bert, {"params": b_params})
+
+    mt5_pair = None
+    if mt5_ckpt:
+        tcfg = (_dc.replace(mt5_cfg, **dd) if mt5_cfg is not None
+                else mt5_xl_config(**dd))
+        t5 = T5Encoder(tcfg)
+        t5_tmpl = _template(t5, jnp.zeros((1, 8), jnp.int32))
+        tsd = CK.load_state_dict(mt5_ckpt)
+        t5_sd = {k[len("encoder."):] if k.startswith("encoder.") else k: v
+                 for k, v in tsd.items()}
+        t5_sd = {k.replace(
+            "block.0.layer.0.SelfAttention.relative_attention_bias.weight",
+            "relative_attention_bias").replace("shared.weight", "shared"): v
+            for k, v in t5_sd.items()}
+        t5_params, _, _ = CK.build_flax_params(
+            t5_tmpl, t5_sd, prefix="", dtype=policy.param_dtype,
+            strict=False)
+        mt5_pair = (t5, {"params": t5_params})
+
+    if clip_pair is not None and clip_vocab:
+        text_encode = make_hunyuan_text_encode(
+            clip_pair, clip_vocab, mt5_pair=mt5_pair,
+            mt5_spiece=mt5_tokenize, clip_len=dcfg.text_len,
+            mt5_len=dcfg.text_len_t5, mt5_dim=dcfg.mt5_dim)
+    else:
+        def text_encode(prompt: str):
+            return (np.zeros((dcfg.text_len, dcfg.clip_dim), np.float32),
+                    np.zeros((dcfg.text_len_t5, dcfg.mt5_dim), np.float32))
+
+    return HunyuanBundle(dit=dit, dit_params=dit_params, vae=vae,
+                         vae_params={"params": v_params},
+                         text_encode=text_encode)
 
 
 def load_movq_decoder(

@@ -40,27 +40,35 @@ def test_unconfigured_model_reports_structured_error():
     assert "ldm_model" in done["job_done"]["error"]
 
 
-def test_weightgated_families_report_coverage_note():
-    # Kandinsky gained a real backend (test_kandinsky_bundle.py);
-    # Hunyuan/Cascade bundle assembly is still gated
+def test_all_families_have_real_backends_with_actionable_errors():
+    """No weight-gated stubs remain: every family routes to a real
+    loader, and a job without weights fails with a message naming the
+    checkpoint inputs it needs (not a COVERAGE pointer)."""
     w = EngineWorker()
     register_default_backends(w, Preferences())
     w.start()
-    w.submit({"type": MP_MESSAGE_TYPE_INFERENCE,
-              "generator_model_type": "Hunyuan DiT",
-              "parameters": {}})
-    done = None
-    end = time.time() + 30
-    while time.time() < end:
-        try:
-            m = w.status_queue.get(timeout=0.5)
-        except queue.Empty:
-            continue
-        if isinstance(m, dict) and "job_done" in m:
-            done = m
-            break
+    expectations = {
+        "Kandinsky 2.2": "prior_ckpt",
+        "Stable Cascade": "stage_c_ckpt",
+        "Hunyuan DiT": "dit_ckpt",
+    }
+    for gmt, needle in expectations.items():
+        w.submit({"type": MP_MESSAGE_TYPE_INFERENCE,
+                  "generator_model_type": gmt,
+                  "parameters": {"prompt": "x"}})
+        done = None
+        end = time.time() + 30
+        while time.time() < end:
+            try:
+                m = w.status_queue.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            if isinstance(m, dict) and "job_done" in m:
+                done = m
+                break
+        assert done is not None and not done["job_done"]["ok"], gmt
+        assert needle in done["job_done"]["error"], (gmt, done)
     w.stop()
-    assert done and "COVERAGE" in done["job_done"]["error"]
 
 
 def test_loader_signatures_importable():
