@@ -103,6 +103,10 @@ INDEX_HTML = """<!doctype html>
   <input id="init_file" type="file" accept="image/*">
   <label>Mask image (inpaint; white = repaint)</label>
   <input id="mask_file" type="file" accept="image/*">
+  <label>Advanced parameters (JSON, merged into the job — e.g.
+    Kandinsky/Cascade/Hunyuan component checkpoint paths,
+    flux_quantize, control_net)</label>
+  <textarea id="advanced" rows="2" placeholder='{"prior_ckpt": "..."}'></textarea>
   <button class="small" id="paint_btn" onclick="paintOpen()">Paint mask on init image</button>
   <div id="paintbox" style="display:none">
     <canvas id="paint_canvas" style="max-width:100%; cursor:crosshair; touch-action:none"></canvas>
@@ -257,7 +261,13 @@ async function generate() {
       const v = (f || parseInt)($(id).value);
       return Number.isFinite(v) ? v : d;
     };
+    let advanced = {};
+    if ($('advanced').value.trim()) {
+      try { advanced = JSON.parse($('advanced').value); }
+      catch (e) { throw new Error('advanced parameters are not valid JSON'); }
+    }
     await api('/v1/generate', {
+      ...advanced,
       mode: $('mode').value,
       init_img, mask_img,
       strength: num('strength', 0.75, parseFloat),
