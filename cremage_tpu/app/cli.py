@@ -36,7 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_samples", type=int, default=1)
     p.add_argument("--scale", type=float, default=7.5)
     p.add_argument("--strength", type=float, default=0.75)
-    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--ckpt", type=str, default="",
+                   help="model checkpoint (required for single-file "
+                        "families; component-path families use --param")
     p.add_argument("--inpaint_ckpt", type=str, default="")
     p.add_argument("--vae_ckpt", type=str, default="")
     p.add_argument("--lora_models", type=str, default="")
@@ -72,6 +74,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--refiner_sdxl_ckpt", type=str, default="")
     p.add_argument("--refiner_strength", type=float, default=0.0)
     p.add_argument("--generator_model_type", type=str, default="SD 1.5")
+    p.add_argument("--param", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="extra job parameter, repeatable — e.g. the "
+                        "component checkpoint paths of Kandinsky "
+                        "(prior_ckpt=...), Stable Cascade "
+                        "(stage_c_ckpt=...), Hunyuan (clip_ckpt=...), "
+                        "or flux_quantize=none")
     # replay options from a past image's metadata (the UI's
     # "Use generation info" checkbox, generate_handler.py:274-279)
     p.add_argument("--use_generation_info", type=str, default="",
@@ -165,6 +174,58 @@ def main(argv=None) -> int:
                 "InsightFace (unavailable here); pass a precomputed 512-d "
                 "embedding as .npy via --face_input_img")
 
+    if args.generator_model_type != "SD 1.5":
+        # every other family routes through the worker backend registry
+        # — the same dispatch the HTTP server uses (reference
+        # mp.py:46-121 family table), sharing the resident instance
+        # cache and each family's component-path parameters
+        import dataclasses
+
+        import numpy as np
+
+        from cremage_tpu.app.backends import register_default_backends
+        from cremage_tpu.app.worker import EngineWorker
+        from cremage_tpu.core.config import Preferences, load_preferences
+
+        prefs = (load_preferences(args.config_yaml) if args.config_yaml
+                 else Preferences())
+        w = EngineWorker()
+        register_default_backends(w, prefs)
+        params = dataclasses.asdict(opts)
+        params.pop("extra", None)
+        params["generator_model_type"] = args.generator_model_type
+        if args.init_img:
+            params["init_img"] = args.init_img
+        if args.mask_img:
+            params["mask_img"] = args.mask_img
+        for kv in args.param:
+            if "=" not in kv:
+                raise SystemExit(f"--param needs KEY=VALUE, got {kv!r}")
+            k, v = kv.split("=", 1)
+            params[k] = v
+
+        os.makedirs(args.outdir, exist_ok=True)
+        saved = []
+
+        def result_cb(img01, meta):
+            base = int(time.time())
+            path = os.path.join(args.outdir,
+                                f"{base}_{len(saved):05}.png")
+            if not args.skip_save:
+                save_png_with_metadata(
+                    image_from_array(np.asarray(img01)), path, meta)
+                print(path)
+            saved.append(path)
+
+        t0 = time.perf_counter()
+        backend = w._backend_for(args.generator_model_type)
+        backend(params, lambda m: print(m, file=sys.stderr), result_cb)
+        dt = time.perf_counter() - t0
+        print(f"{len(saved)} images in {dt:.1f}s", file=sys.stderr)
+        return 0
+
+    if not args.ckpt:
+        raise SystemExit("--ckpt is required for SD 1.5")
     ckpt = args.inpaint_ckpt if mode == MODE_INPAINTING and args.inpaint_ckpt \
         else args.ckpt
     bundle = load_sd15_bundle(
