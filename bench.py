@@ -273,13 +273,17 @@ def bench_svd():
           frames * n_rounds / dt, "frames/s", FLUX_4090_ANCHOR)
 
 
-def bench_flux():
+def bench_flux(quant_dtype="float8_e4m3"):
     """FLUX.1-schnell 1024^2 4-step txt2img with 8-bit transformer
     weights — the ONLY lane with a direct published reference number:
     the reference runs this exact model qfloat8-quantized at ~0.125
     img/s on an RTX 4090 (ug_flux.md:14-15, txt2img.py:56-68); here the
     12B transformer is stored float8_e4m3 + per-channel scales
-    (io/quantize.py), which is also what fits it into 16 GB HBM."""
+    (io/quantize.py), which is also what fits it into 16 GB HBM.
+
+    quant_dtype="int8" selects the opt-in w8a8 path instead (dynamic
+    per-token activation quantization + s8 x s8 -> s32 MXU dots,
+    models/layers.py Dense) — the 'flux_int8' lane."""
     from cremage_tpu.io.quantize import quantized_zeros
     from cremage_tpu.models.flux import (
         FluxModel, flux_schnell_config, make_position_ids, pack_latents,
@@ -308,9 +312,9 @@ def bench_flux():
             jnp.zeros((1, 8, 4096), jnp.bfloat16), jnp.zeros((1,)),
             jnp.zeros((1, 768)), img_ids[:16], txt_ids[:8], None),
         jax.random.key(0))
-    # 12B fp8 kernels + fp32 scales/norms/biases (~12.3 GB total); the
-    # fp32 tree would be 48 GB and never exists
-    params = quantized_zeros(shapes)
+    # 12B 8-bit kernels + fp32 scales/norms/biases (~12.3 GB total);
+    # the fp32 tree would be 48 GB and never exists
+    params = quantized_zeros(shapes, dtype=quant_dtype)
 
     vae = AutoencoderKL(flux_vae_config())
     vae_params = zeros_params(vae, jnp.zeros((1, 256, 256, 3), jnp.bfloat16))
@@ -343,7 +347,8 @@ def bench_flux():
         lambda i: generate(params, vae_params, txt, vec,
                            jax.random.key(i + 1)), n_rounds)
 
-    _emit("flux_schnell_txt2img_1024_4step_fp8_images_per_sec_per_chip",
+    tag = "int8" if quant_dtype == "int8" else "fp8"
+    _emit(f"flux_schnell_txt2img_1024_4step_{tag}_images_per_sec_per_chip",
           batch * n_rounds / dt, "images/s", FLUX_4090_ANCHOR)
 
 
@@ -450,7 +455,10 @@ def bench_sd15_e2e():
 
 
 LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
-         "flux": bench_flux, "sd15_e2e": bench_sd15_e2e}
+         "flux": bench_flux, "sd15_e2e": bench_sd15_e2e,
+         # opt-in w8a8 lane (not in the default set: quality grade is
+         # weight+activation 8-bit; select with BENCH_LANES=flux_int8)
+         "flux_int8": lambda: bench_flux(quant_dtype="int8")}
 
 
 def main() -> int:

@@ -41,6 +41,13 @@ E4M3_MAX = 448.0
 QUANT_DTYPES = {
     "float8_e4m3": (jnp.float8_e4m3fn, 448.0),
     "float8_e5m2": (jnp.float8_e5m2, 57344.0),
+    # w8a8: int8 weight storage; models/layers.py Dense detects the
+    # int8 kernel dtype and switches to dynamic per-token activation
+    # quantization with an s8 x s8 -> s32 MXU dot (the v5e int8 MXU
+    # path peaks at 2x the bf16 rate).  Opt-in (quality grade is
+    # SmoothQuant-without-calibration: ~0.4% weight rounding + dynamic
+    # per-token activation rounding); float8_e4m3 stays the default.
+    "int8": (jnp.int8, 127.0),
 }
 
 DEFAULT_EXCLUDE = ("embed", "shared", "wte", "token_embedding")
@@ -51,10 +58,14 @@ def _is_mapping(x) -> bool:
 
 
 def should_quantize(name: str, path: str, leaf, *, min_size: int,
-                    exclude: Iterable[str]) -> bool:
+                    exclude: Iterable[str],
+                    include_convs: bool = False) -> bool:
     """Matmul kernels only: 2-D float 'weight'/'kernel' leaves of at
-    least min_size elements whose path hits no exclude substring."""
-    if getattr(leaf, "ndim", 0) != 2 or leaf.size < min_size:
+    least min_size elements whose path hits no exclude substring.
+    include_convs additionally admits 4-D HWIO conv kernels (int8 w8a8
+    only — models/layers.py Conv has no float8 branch)."""
+    ndims = (2, 4) if include_convs else (2,)
+    if getattr(leaf, "ndim", 0) not in ndims or leaf.size < min_size:
         return False
     if name not in ("weight", "kernel"):
         return False
@@ -68,15 +79,24 @@ def quantize_params_8bit(
     dtype: str = "float8_e4m3",
     min_size: int = 65536,
     exclude: Tuple[str, ...] = DEFAULT_EXCLUDE,
+    include_convs: bool = False,
 ) -> Tuple[Any, dict]:
-    """Cast matmul kernel leaves to 8-bit float storage with a
-    per-output-channel `weight_scale` sibling leaf.
+    """Cast matmul kernel leaves to 8-bit storage with a per-output-
+    channel `weight_scale` sibling leaf.
+
+    include_convs (int8 only) also quantizes 4-D HWIO conv kernels with
+    per-output-channel scales over the (h, w, in) reduction axes — the
+    w8a8 path for the conv-bound UNet families.
 
     Returns (new_params, report) where report counts tensors/bytes so
     callers can log the memory win (reference logs "Quantizing ... to 8
     bits", txt2img.py:126-135).
     """
     qdt, qmax = QUANT_DTYPES[dtype]
+    if include_convs and not jnp.issubdtype(qdt, jnp.integer):
+        raise ValueError(
+            "include_convs requires dtype='int8' (Conv has no float8 "
+            "branch)")
     report = {"tensors": 0, "bytes_before": 0, "bytes_after": 0,
               "dtype": dtype}
 
@@ -87,12 +107,20 @@ def quantize_params_8bit(
             if _is_mapping(v):
                 out[k] = walk(v, path + "/" + key)
             elif should_quantize(key, path + "/" + key, v,
-                                 min_size=min_size, exclude=exclude):
+                                 min_size=min_size, exclude=exclude,
+                                 include_convs=include_convs):
                 v = jnp.asarray(v)
-                # per-output-channel scale; kernel is stored (in, out)
-                s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=0)
+                # per-output-channel scale; kernels are stored with the
+                # output channel last ((in, out) matmul / HWIO conv)
+                red = tuple(range(v.ndim - 1))
+                s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=red)
                 s = jnp.maximum(s / qmax, 1e-12)
-                out[k] = (v.astype(jnp.float32) / s).astype(qdt)
+                q = v.astype(jnp.float32) / s
+                if jnp.issubdtype(qdt, jnp.integer):
+                    # astype truncates toward zero; integer codes need
+                    # round-to-nearest (and a clip against fp wobble)
+                    q = jnp.clip(jnp.round(q), -qmax, qmax)
+                out[k] = q.astype(qdt)
                 out[key + "_scale"] = s
                 report["tensors"] += 1
                 report["bytes_before"] += v.size * v.dtype.itemsize
@@ -109,7 +137,8 @@ def quantize_params_8bit(
 def quantized_zeros(shapes: Any, dtype: str = "float8_e4m3",
                     min_size: int = 65536,
                     exclude: Tuple[str, ...] = DEFAULT_EXCLUDE,
-                    other_dtype: Optional[Any] = None) -> Any:
+                    other_dtype: Optional[Any] = None,
+                    include_convs: bool = False) -> Any:
     """Build an all-zeros params tree directly at quantized storage
     dtypes (with unit scales) from a `jax.eval_shape` tree — never
     materializes the full-precision tree (12B fp32 = 48 GB would not
@@ -125,7 +154,8 @@ def quantized_zeros(shapes: Any, dtype: str = "float8_e4m3",
             if _is_mapping(v):
                 out[k] = walk(v, path + "/" + key)
             elif should_quantize(key, path + "/" + key, v,
-                                 min_size=min_size, exclude=exclude):
+                                 min_size=min_size, exclude=exclude,
+                                 include_convs=include_convs):
                 out[k] = jnp.zeros(v.shape, qdt)
                 out[key + "_scale"] = jnp.ones((v.shape[-1],), jnp.float32)
             else:

@@ -72,7 +72,15 @@ class GroupNorm(nn.Module):
 
 
 class Conv(nn.Module):
-    """Conv2D with torch-compatible param names (weight/bias), NHWC/HWIO."""
+    """Conv2D with torch-compatible param names (weight/bias), NHWC/HWIO.
+
+    int8 kernels (io/quantize.py quantize_conv_params_int8) switch to
+    the w8a8 path: activations are dynamically quantized per batch
+    element (the 3x3 window spans neighbor pixels, so the scale must
+    cover every contributing input — per-image max-abs is the finest
+    exact granularity), the conv runs s8 x s8 -> s32 on the MXU's
+    native int8 mode (2x bf16 peak on v5e), and the output is rescaled
+    by (image scale) x (output-channel weight scale)."""
 
     features: int
     kernel_size: int = 3
@@ -93,14 +101,30 @@ class Conv(nn.Module):
             self.param_dtype,
         )
         pad = [(self.padding, self.padding)] * 2
-        y = lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(self.stride, self.stride),
-            padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=_matmul_accum_dtype(self.dtype),
-        ).astype(self.dtype)
+        if kernel.dtype == jnp.int8:
+            xf = x.astype(jnp.float32)
+            a_scale = jnp.maximum(
+                jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
+                / 127.0, 1e-12)
+            xq = jnp.round(xf / a_scale).astype(jnp.int8)
+            acc = lax.conv_general_dilated(
+                xq, kernel,
+                window_strides=(self.stride, self.stride),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * a_scale
+            y = (y * self.get_variable("params", "weight_scale")
+                 ).astype(self.dtype)
+        else:
+            y = lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=_matmul_accum_dtype(self.dtype),
+            ).astype(self.dtype)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.param_dtype
@@ -118,7 +142,14 @@ class Dense(nn.Module):
     modules/flux/txt2img.py:56-68), the scale is applied to the matmul
     output — exact column rescaling, one (features,) multiply.  The
     leaf is read with has_variable/get_variable so unquantized trees
-    (and init) are untouched."""
+    (and init) are untouched.
+
+    int8 kernels (io/quantize.py "int8") switch to the w8a8 path:
+    activations are dynamically quantized per token (row max-abs
+    symmetric, exact 127-level code), the contraction runs as an
+    s8 x s8 -> s32 dot — the MXU's native int8 mode, 2x the bf16 peak
+    on v5e — and the output is rescaled by (row activation scale) x
+    (column weight scale)."""
 
     features: int
     use_bias: bool = True
@@ -133,14 +164,27 @@ class Dense(nn.Module):
             (x.shape[-1], self.features),
             self.param_dtype,
         )
-        y = jnp.dot(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            preferred_element_type=_matmul_accum_dtype(self.dtype),
-        )
-        if self.has_variable("params", "weight_scale"):
-            y = y * self.get_variable(
-                "params", "weight_scale").astype(y.dtype)
+        if kernel.dtype == jnp.int8:
+            xf = x.astype(jnp.float32)
+            a_scale = jnp.maximum(
+                jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
+                1e-12)
+            xq = jnp.round(xf / a_scale).astype(jnp.int8)
+            acc = lax.dot_general(
+                xq, kernel,
+                (((xq.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * a_scale
+            y = y * self.get_variable("params", "weight_scale")
+        else:
+            y = jnp.dot(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                preferred_element_type=_matmul_accum_dtype(self.dtype),
+            )
+            if self.has_variable("params", "weight_scale"):
+                y = y * self.get_variable(
+                    "params", "weight_scale").astype(y.dtype)
         y = y.astype(self.dtype)
         if self.use_bias:
             bias = self.param(

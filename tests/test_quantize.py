@@ -171,6 +171,153 @@ def test_quantized_zeros_matches_quantize_of_zeros():
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+def test_int8_codes_and_reconstruction():
+    """int8 storage: codes are round-to-nearest in [-127, 127] and
+    W_q * s reconstructs W at the 127-level rounding floor."""
+    key = jax.random.key(0)
+    w = jax.random.normal(key, (3072, 256), jnp.float32) * 0.02
+    q, rep = quantize_params_8bit({"m": {"weight": w}}, dtype="int8",
+                                  min_size=1024)
+    wq = np.asarray(q["m"]["weight"])
+    assert wq.dtype == np.int8 and rep["tensors"] == 1
+    assert wq.min() >= -127 and wq.max() == 127  # colmax maps to 127
+    s = np.asarray(q["m"]["weight_scale"])
+    # exact round-to-nearest against the stored scale
+    np.testing.assert_array_equal(
+        wq, np.clip(np.round(np.asarray(w) / s), -127, 127))
+    err = np.abs(wq * s - np.asarray(w))
+    assert (err <= 0.5 * s + 1e-9).all()  # half-ULP of the 127 grid
+
+
+def test_int8_dense_matches_integer_oracle():
+    """The w8a8 Dense path is exact integer arithmetic: s8 x s8 -> s32
+    then (row activation scale) x (column weight scale).  Replay the
+    same quantization in numpy and demand bit-level agreement of the
+    integer accumulator path (fp32 IO, bf16-free)."""
+    from cremage_tpu.models.layers import Dense
+
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (3, 5, 48), jnp.float32)
+    w = jax.random.normal(jax.random.key(1), (48, 64), jnp.float32) * 0.1
+    q, _ = quantize_params_8bit({"m": {"weight": w}}, dtype="int8",
+                                min_size=1)
+    wq, ws = q["m"]["weight"], q["m"]["weight_scale"]
+
+    d = Dense(64, dtype=jnp.float32)
+    out = d.apply({"params": {"weight": wq, "weight_scale": ws,
+                              "bias": jnp.zeros((64,))}}, x)
+
+    xn = np.asarray(x, np.float64)
+    a_scale = np.maximum(np.abs(xn).max(-1, keepdims=True) / 127.0,
+                         1e-12)
+    # jnp.round is round-half-to-even, same as np.round
+    xq = np.round(np.asarray(x, np.float32) / a_scale).astype(np.int8)
+    acc = xq.astype(np.int32) @ np.asarray(wq).astype(np.int32)
+    ref = acc.astype(np.float32) * a_scale.astype(np.float32) * \
+        np.asarray(ws, np.float32)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-6,
+                               atol=1e-6)
+    # and the quantized result tracks the full-precision matmul
+    full = np.einsum("bsk,ko->bso", np.asarray(x), np.asarray(w))
+    rel = np.abs(ref - full) / np.maximum(np.abs(full), 1e-3)
+    assert np.median(rel) < 0.03
+
+
+def test_int8_quantized_flux_forward_close():
+    """End-to-end FLUX forward with w8a8 int8 matmuls stays within the
+    same few-percent envelope as the fp8 weight-only path."""
+    cfg = tiny_cfg()
+    model = FluxModel(cfg)
+    args = tiny_inputs(cfg)
+    params = model.init(jax.random.key(3), *args, None)
+    ref = np.asarray(model.apply(params, *args, None), np.float32)
+
+    qparams, rep = quantize_params_8bit(params, dtype="int8",
+                                        min_size=1024)
+    assert rep["tensors"] > 0
+    out = np.asarray(model.apply(qparams, *args, None), np.float32)
+    denom = np.maximum(np.abs(ref), 1e-2)
+    assert np.median(np.abs(out - ref) / denom) < 0.12
+    assert np.isfinite(out).all()
+
+
+def test_int8_conv_matches_integer_oracle():
+    """w8a8 Conv: per-image activation scale (the 3x3 window spans
+    neighbor pixels, so one scale must cover every contributing input),
+    s8 x s8 -> s32 conv, (image scale) x (channel scale) rescale.
+    Replayed exactly in numpy."""
+    from cremage_tpu.models.layers import Conv
+
+    key = jax.random.key(0)
+    x = jax.random.normal(key, (2, 8, 8, 16), jnp.float32)
+    w = jax.random.normal(jax.random.key(1), (3, 3, 16, 32),
+                          jnp.float32) * 0.1
+    q, rep = quantize_params_8bit({"m": {"weight": w}}, dtype="int8",
+                                  min_size=1, include_convs=True)
+    wq, ws = q["m"]["weight"], q["m"]["weight_scale"]
+    assert wq.dtype == jnp.int8 and ws.shape == (32,)
+    assert rep["tensors"] == 1
+
+    c = Conv(32, dtype=jnp.float32)
+    out = c.apply({"params": {"weight": wq, "weight_scale": ws,
+                              "bias": jnp.zeros((32,))}}, x)
+
+    xn = np.asarray(x, np.float32)
+    a_scale = np.maximum(
+        np.abs(xn).max(axis=(1, 2, 3), keepdims=True) / 127.0, 1e-12)
+    xq = np.round(xn / a_scale).astype(np.int8)
+    xp = np.pad(xq.astype(np.int32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wn = np.asarray(wq, np.int32)
+    acc = np.zeros((2, 8, 8, 32), np.int32)
+    for dy in range(3):
+        for dx in range(3):
+            acc += np.einsum("bhwc,co->bhwo",
+                             xp[:, dy:dy + 8, dx:dx + 8, :], wn[dy, dx])
+    ref = acc.astype(np.float32) * a_scale * np.asarray(ws, np.float32)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5,
+                               atol=1e-5)
+    # and it tracks the full-precision conv
+    full = np.zeros((2, 8, 8, 32), np.float64)
+    xf = np.pad(xn.astype(np.float64), ((0, 0), (1, 1), (1, 1), (0, 0)))
+    for dy in range(3):
+        for dx in range(3):
+            full += np.einsum("bhwc,co->bhwo",
+                              xf[:, dy:dy + 8, dx:dx + 8, :],
+                              np.asarray(w, np.float64)[dy, dx])
+    rel = np.abs(ref - full) / np.maximum(np.abs(full), 1e-2)
+    assert np.median(rel) < 0.03
+
+
+def test_int8_unet_forward_close():
+    """Full-UNet sanity for the conv+dense w8a8 path: a tiny SD-style
+    UNet quantized end-to-end (convs included) stays within the few-
+    percent 8-bit envelope of the fp32 forward."""
+    from cremage_tpu.models.unet import UNetConfig, UNetModel
+
+    cfg = UNetConfig(in_channels=4, out_channels=4, model_channels=32,
+                     num_res_blocks=1, attention_resolutions=(1,),
+                     channel_mult=(1, 2), num_heads=2,
+                     transformer_depth=(1, 1), context_dim=32,
+                     dtype=jnp.float32)
+    model = UNetModel(cfg)
+    x = jax.random.normal(jax.random.key(0), (1, 8, 8, 4), jnp.float32)
+    t = jnp.asarray([3.0], jnp.float32)
+    ctx = jax.random.normal(jax.random.key(1), (1, 7, 32), jnp.float32)
+    params = model.init(jax.random.key(2), x, t, ctx)
+    ref = np.asarray(model.apply(params, x, t, ctx), np.float32)
+
+    qparams, rep = quantize_params_8bit(params, dtype="int8",
+                                        min_size=256,
+                                        include_convs=True)
+    n_conv = sum(1 for leaf in jax.tree.leaves(qparams)
+                 if leaf.ndim == 4 and leaf.dtype == jnp.int8)
+    assert n_conv > 0 and rep["tensors"] > n_conv  # convs AND matmuls
+    out = np.asarray(model.apply(qparams, x, t, ctx), np.float32)
+    denom = np.maximum(np.abs(ref), 1e-2)
+    assert np.median(np.abs(out - ref) / denom) < 0.12
+    assert np.isfinite(out).all()
+
+
 def test_fullsize_flux_template_builds():
     """Regression for the load_flux_bundle template: eval_shape must
     not abstract the host-numpy position ids (loader closes over them).
