@@ -103,10 +103,12 @@ def sd15_factory(prefs: Preferences) -> Callable:
         loras = parse_lora_option_string(opts.lora_models, opts.lora_weights)
         embedding_dir = (opts.embedding_path or prefs.embedding_path
                          or None)
+        # opt-in 8-bit UNet weight storage ("int8" w8a8 / "float8_e4m3")
+        quantize = params.get("unet_quantize") or None
         key = ("sd15", ckpt, opts.vae_ckpt or None,
                tuple(tuple(x) for x in loras), embedding_dir, inpaint,
                opts.control_net or None, opts.face_model or None,
-               opts.face_strength)
+               opts.face_strength, quantize)
         pipe = cached_instance(key, lambda: SD15Pipeline(load_sd15_bundle(
             ckpt,
             vae_ckpt=opts.vae_ckpt or None,
@@ -116,6 +118,7 @@ def sd15_factory(prefs: Preferences) -> Callable:
             control_ckpt=opts.control_net or None,
             faceid_ckpt=opts.face_model or None,
             face_strength=opts.face_strength,
+            quantize_unet=quantize,
         )))
         # per-job state on the cached instance: set OR clear
         pipe.face_fixer = None
@@ -260,9 +263,11 @@ def sdxl_factory(prefs: Preferences) -> Callable:
         loras = parse_lora_option_string(opts.lora_models, opts.lora_weights)
         embedding_dir = (opts.embedding_path or prefs.sdxl_embedding_path
                          or None)
+        quantize = params.get("unet_quantize") or None
         key = ("sdxl", ckpt, opts.vae_ckpt or None,
                opts.refiner_ckpt or None,
-               tuple(tuple(x) for x in loras), embedding_dir, inpaint)
+               tuple(tuple(x) for x in loras), embedding_dir, inpaint,
+               quantize)
         pipe = cached_instance(key, lambda: SDXLPipeline(load_sdxl_bundle(
             ckpt,
             vae_ckpt=opts.vae_ckpt or None,
@@ -270,6 +275,7 @@ def sdxl_factory(prefs: Preferences) -> Callable:
             loras=loras,
             embedding_dir=embedding_dir,
             inpainting=inpaint,
+            quantize_unet=quantize,
         )))
         pipe.face_fixer = None
         if opts.auto_face_fix:

@@ -74,8 +74,9 @@ class GroupNorm(nn.Module):
 class Conv(nn.Module):
     """Conv2D with torch-compatible param names (weight/bias), NHWC/HWIO.
 
-    int8 kernels (io/quantize.py quantize_conv_params_int8) switch to
-    the w8a8 path: activations are dynamically quantized per batch
+    int8 kernels (io/quantize.py quantize_params_8bit with
+    include_convs=True) switch to the w8a8 path: activations are
+    dynamically quantized per batch
     element (the 3x3 window spans neighbor pixels, so the scale must
     cover every contributing input — per-image max-abs is the finest
     exact granularity), the conv runs s8 x s8 -> s32 on the MXU's

@@ -47,14 +47,22 @@ def load_sd15_bundle(
     unet_cfg_override=None,
     vae_cfg_override=None,
     clip_cfg_override=None,
+    quantize_unet: Optional[str] = None,
+    quantize_min_size: int = 65536,
 ) -> SD15Bundle:
     """Config overrides load non-standard (e.g. tiny test) checkpoints
-    through the full real conversion path; they bypass the caches."""
+    through the full real conversion path; they bypass the caches.
+
+    quantize_unet: optional 8-bit UNet weight storage ("int8" = the
+    w8a8 MXU path incl. convs, "float8_e4m3" = weight-only matmuls;
+    io/quantize.py).  Applied AFTER every overlay/LoRA/FaceID merge —
+    merges need float weights — and after the disk params cache, so
+    the cached tree stays full-precision and reusable."""
     if unet_cfg_override or vae_cfg_override or clip_cfg_override:
         use_cache = False
     cache_key = (ckpt, vae_ckpt, tuple(loras), embedding_dir, inpainting,
                  control_ckpt, faceid_ckpt, face_strength,
-                 str(policy.param_dtype))
+                 str(policy.param_dtype), quantize_unet)
     if use_cache and cache_key in _bundle_cache:
         logger.info("bundle cache hit for %s", ckpt)
         return _bundle_cache[cache_key]
@@ -160,6 +168,18 @@ def load_sd15_bundle(
             except Exception as e:  # cache is best-effort
                 logger.warning("params cache save failed: %s", e)
 
+    if quantize_unet and quantize_unet != "none":
+        from cremage_tpu.io.quantize import quantize_params_8bit
+
+        unet_params, qrep = quantize_params_8bit(
+            unet_params, dtype=quantize_unet,
+            min_size=quantize_min_size,
+            include_convs=(quantize_unet == "int8"))
+        logger.info("UNet quantized to %s: %d tensors, %.0f MB -> %.0f MB",
+                    quantize_unet, qrep["tensors"],
+                    qrep["bytes_before"] / 2**20,
+                    qrep["bytes_after"] / 2**20)
+
     faceid_proj = None
     faceid_kind = "mlp"
     if faceid_ckpt and proj_params is not None:
@@ -214,16 +234,22 @@ def load_sdxl_bundle(
     inpainting: bool = False,
     policy: DTypePolicy = DEFAULT_POLICY,
     use_cache: bool = True,
+    quantize_unet: Optional[str] = None,
+    quantize_min_size: int = 65536,
 ):
     """SDXL base (+ optional refiner) bundle; overlay + LoRA merge as in
-    `sdxl_image_generator.py:438-477` / `init_st`."""
+    `sdxl_image_generator.py:438-477` / `init_st`.
+
+    quantize_unet: optional 8-bit weight storage for the base (and
+    refiner) UNet — see load_sd15_bundle; applied after LoRA merges."""
     from cremage_tpu.models.open_clip import OpenCLIPTextModel, openclip_bigg_config
     from cremage_tpu.models.unet import sdxl_base_unet_config, sdxl_refiner_unet_config
     from cremage_tpu.models.vae import sdxl_vae_config
     from cremage_tpu.pipelines.sdxl import SDXLBundle, SDXLConditioner
 
     cache_key = ("sdxl", ckpt, vae_ckpt, refiner_ckpt, tuple(loras),
-                 embedding_dir, inpainting, str(policy.param_dtype))
+                 embedding_dir, inpainting, str(policy.param_dtype),
+                 quantize_unet)
     if use_cache and cache_key in _bundle_cache:
         return _bundle_cache[cache_key]
 
@@ -275,6 +301,18 @@ def load_sdxl_bundle(
                                      weight, unet_cfg)
         logger.info("LoRA %s: merged %d, skipped %d", path, merged, skipped)
 
+    if quantize_unet and quantize_unet != "none":
+        from cremage_tpu.io.quantize import quantize_params_8bit
+
+        unet_params, qrep = quantize_params_8bit(
+            unet_params, dtype=quantize_unet,
+            min_size=quantize_min_size,
+            include_convs=(quantize_unet == "int8"))
+        logger.info("SDXL UNet quantized to %s: %d tensors, "
+                    "%.0f MB -> %.0f MB", quantize_unet, qrep["tensors"],
+                    qrep["bytes_before"] / 2**20,
+                    qrep["bytes_after"] / 2**20)
+
     tok = default_tokenizer()
     conditioner = SDXLConditioner(
         (clip, {"params": clip_params}), (oc, {"params": oc_params}), tok,
@@ -292,6 +330,13 @@ def load_sdxl_bundle(
         )
         rp, _, _ = CK.build_flax_params(r_tmpl, rsd, CK.PREFIX_UNET,
                                         dtype=policy.param_dtype)
+        if quantize_unet and quantize_unet != "none":
+            from cremage_tpu.io.quantize import quantize_params_8bit
+
+            rp, _ = quantize_params_8bit(
+                rp, dtype=quantize_unet,
+                min_size=quantize_min_size,
+                include_convs=(quantize_unet == "int8"))
         refiner_params = {"params": rp}
         roc = OpenCLIPTextModel(openclip_bigg_config(**dd))
         roc_params, _, _ = CK.build_flax_params(

@@ -77,6 +77,38 @@ def test_export_emits_real_ldm_keys(dummy_ckpt):
     assert q.shape == (HID, HID)
 
 
+def test_loader_quantize_unet_int8_generates(dummy_ckpt):
+    """quantize_unet="int8" through the REAL conversion path: UNet conv
+    AND matmul kernels land as int8 with scale siblings (applied after
+    all merges), and the pipeline still generates an image."""
+    from cremage_tpu.core.dtypes import FP32_POLICY
+    from cremage_tpu.pipelines.loader import load_sd15_bundle
+    from cremage_tpu.pipelines.sd15 import GenerationOptions, SD15Pipeline
+
+    path, _ = dummy_ckpt
+    bundle = load_sd15_bundle(
+        path, unet_cfg_override=UNET_CFG, vae_cfg_override=VAE_CFG,
+        clip_cfg_override=CLIP_CFG, use_cache=False, policy=FP32_POLICY,
+        quantize_unet="int8", quantize_min_size=256,
+    )
+    leaves = jax.tree.leaves(bundle.unet_params["params"])
+    n2 = sum(1 for x in leaves if x.dtype == jnp.int8 and x.ndim == 2)
+    n4 = sum(1 for x in leaves if x.dtype == jnp.int8 and x.ndim == 4)
+    assert n2 > 0 and n4 > 0  # matmuls AND convs quantized
+    # VAE / CLIP untouched
+    assert all(x.dtype != jnp.int8
+               for x in jax.tree.leaves(bundle.vae_params))
+
+    pipe = SD15Pipeline(bundle)
+    results = pipe.generate(GenerationOptions(
+        prompt="a cat", negative_prompt="bad", H=64, W=64,
+        sampling_steps=2, n_samples=1, n_iter=1, seed=7,
+        sampler="Euler A", scale=7.5, safety_check=False))
+    arr = np.asarray(results[0][0])
+    assert arr.shape == (64, 64, 3)
+    assert np.isfinite(arr).all()
+
+
 def test_roundtrip_through_loader_is_exact(dummy_ckpt):
     from cremage_tpu.core.dtypes import FP32_POLICY
     from cremage_tpu.pipelines.loader import load_sd15_bundle
