@@ -160,3 +160,28 @@ def test_flux_tp_with_fp8_weights(mesh_4x2):
         out.block_until_ready()
     np.testing.assert_allclose(np.asarray(out, np.float32), ref,
                                atol=1e-3, rtol=1e-3)
+
+
+def test_flux_tp_with_int8_weights(mesh_4x2):
+    """w8a8 under tensor parallelism: the per-token activation scale is
+    computed from the full (replicated) activation row, so sharding the
+    int8 kernel column-wise must not change the quantized codes — TP
+    output matches the single-device int8 forward exactly up to fp
+    reduction order."""
+    from cremage_tpu.io.quantize import quantize_params_8bit
+
+    model, params, args = tiny_flux()
+    qparams, rep = quantize_params_8bit(params, dtype="int8",
+                                        min_size=256)
+    assert rep["tensors"] > 0
+    ref = np.asarray(model.apply(qparams, *args), np.float32)
+    x, txt, t, vec = args[:4]
+    ids = args[4:6]
+    fwd = jax.jit(lambda p, x, txt, t, vec: model.apply(
+        p, x, txt, t, vec, *ids, None))
+    with mesh_4x2:
+        p = shard_params_tp(mesh_4x2, qparams)
+        out = fwd(p, x, txt, t, vec)
+        out.block_until_ready()
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref,
+                               atol=1e-3, rtol=1e-3)
