@@ -80,7 +80,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "component checkpoint paths of Kandinsky "
                         "(prior_ckpt=...), Stable Cascade "
                         "(stage_c_ckpt=...), Hunyuan (clip_ckpt=...), "
-                        "or flux_quantize=none")
+                        "flux_quantize=none, or unet_quantize=int8")
     # replay options from a past image's metadata (the UI's
     # "Use generation info" checkbox, generate_handler.py:274-279)
     p.add_argument("--use_generation_info", type=str, default="",
@@ -228,6 +228,7 @@ def main(argv=None) -> int:
         raise SystemExit("--ckpt is required for SD 1.5")
     ckpt = args.inpaint_ckpt if mode == MODE_INPAINTING and args.inpaint_ckpt \
         else args.ckpt
+    extra = dict(kv.split("=", 1) for kv in args.param if "=" in kv)
     bundle = load_sd15_bundle(
         ckpt,
         vae_ckpt=args.vae_ckpt or None,
@@ -236,6 +237,7 @@ def main(argv=None) -> int:
         inpainting=(mode == MODE_INPAINTING),
         faceid_ckpt=args.face_model or None,
         face_strength=args.face_strength,
+        quantize_unet=extra.get("unet_quantize") or None,
     )
     pipe = SD15Pipeline(bundle)
 
