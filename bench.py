@@ -79,7 +79,19 @@ def _emit(metric, value, unit, baseline):
     }), flush=True)
 
 
-def bench_sd15():
+def quantized_unet_zeros(model, *example_args):
+    """All-zeros UNet params at int8 w8a8 storage (convs included) —
+    the opt-in sd15_int8/sdxl_int8 lanes.  The UNet families are
+    conv-bound (NOTES_r3 profiles: convs 54-64% of lane time), and the
+    v5e MXU runs s8 x s8 -> s32 at 2x the bf16 peak, so this is the one
+    lever that can move those lanes past their measured bf16 floors."""
+    from cremage_tpu.io.quantize import quantized_zeros
+
+    shapes = jax.eval_shape(model.init, jax.random.key(0), *example_args)
+    return quantized_zeros(shapes, dtype="int8", include_convs=True)
+
+
+def bench_sd15(quant_dtype=None):
     from cremage_tpu.models.unet import UNetModel, sd15_unet_config
     from cremage_tpu.models.vae import AutoencoderKL, VAEConfig, decode_from_latent
     from cremage_tpu.samplers import kdiffusion as K
@@ -97,7 +109,10 @@ def bench_sd15():
     x1 = jnp.zeros((1, h, w, 4), jnp.bfloat16)
     t1 = jnp.zeros((1,), jnp.float32)
     c1 = jnp.zeros((1, 77, 768), jnp.bfloat16)
-    params = zeros_params(unet, x1, t1, c1)
+    if quant_dtype == "int8":
+        params = quantized_unet_zeros(unet, x1, t1, c1)
+    else:
+        params = zeros_params(unet, x1, t1, c1)
 
     vae = AutoencoderKL(VAEConfig())
     vae_params = zeros_params(vae, jnp.zeros((1, 64, 64, 3), jnp.bfloat16))
@@ -134,11 +149,12 @@ def bench_sd15():
         lambda i: generate(params, vae_params, c, uc, jax.random.key(i + 1)),
         n_rounds)
 
-    _emit("sd15_txt2img_512_20step_euler_a_images_per_sec_per_chip",
+    tag = "_int8" if quant_dtype == "int8" else ""
+    _emit(f"sd15_txt2img_512_20step_euler_a{tag}_images_per_sec_per_chip",
           batch * n_rounds / dt, "images/s", FLUX_4090_ANCHOR)
 
 
-def bench_sdxl():
+def bench_sdxl(quant_dtype=None):
     """SDXL 1024^2 30-step EulerEDM with CFG + VAE decode — the
     BASELINE.json north-star configuration."""
     from cremage_tpu.models.unet import UNetModel, sdxl_base_unet_config
@@ -154,10 +170,13 @@ def bench_sdxl():
     h = w = 128  # 1024/8
 
     unet = UNetModel(sdxl_base_unet_config())
-    params = zeros_params(
-        unet, jnp.zeros((1, h, w, 4), jnp.bfloat16), jnp.zeros((1,)),
-        jnp.zeros((1, 77, 2048), jnp.bfloat16), jnp.zeros((1, 2816)),
-    )
+    unet_example = (jnp.zeros((1, h, w, 4), jnp.bfloat16), jnp.zeros((1,)),
+                    jnp.zeros((1, 77, 2048), jnp.bfloat16),
+                    jnp.zeros((1, 2816)))
+    if quant_dtype == "int8":
+        params = quantized_unet_zeros(unet, *unet_example)
+    else:
+        params = zeros_params(unet, *unet_example)
     vae = AutoencoderKL(sdxl_vae_config())
     vae_params = zeros_params(vae, jnp.zeros((1, 512, 512, 3), jnp.bfloat16))
 
@@ -190,7 +209,8 @@ def bench_sdxl():
         lambda i: generate(params, vae_params, c, uc, jax.random.key(i + 1)),
         n_rounds)
 
-    _emit("sdxl_txt2img_1024_30step_euler_edm_images_per_sec_per_chip",
+    tag = "_int8" if quant_dtype == "int8" else ""
+    _emit(f"sdxl_txt2img_1024_30step_euler_edm{tag}_images_per_sec_per_chip",
           batch * n_rounds / dt, "images/s", SDXL_NORTH_STAR)
 
 
@@ -456,9 +476,11 @@ def bench_sd15_e2e():
 
 LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
          "flux": bench_flux, "sd15_e2e": bench_sd15_e2e,
-         # opt-in w8a8 lane (not in the default set: quality grade is
-         # weight+activation 8-bit; select with BENCH_LANES=flux_int8)
-         "flux_int8": lambda: bench_flux(quant_dtype="int8")}
+         # opt-in w8a8 lanes (not in the default set: quality grade is
+         # weight+activation 8-bit; select with e.g. BENCH_LANES=flux_int8)
+         "flux_int8": lambda: bench_flux(quant_dtype="int8"),
+         "sd15_int8": lambda: bench_sd15(quant_dtype="int8"),
+         "sdxl_int8": lambda: bench_sdxl(quant_dtype="int8")}
 
 
 def main() -> int:
