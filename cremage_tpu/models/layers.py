@@ -103,11 +103,14 @@ class Conv(nn.Module):
         )
         pad = [(self.padding, self.padding)] * 2
         if kernel.dtype == jnp.int8:
-            xf = x.astype(jnp.float32)
+            # abs/max are exact in any float dtype: reduce on the INPUT
+            # dtype (half the HBM read of an fp32-materialized copy) and
+            # cast only the tiny reduce result; the quantize chain below
+            # then fuses into one bf16-in/int8-out elementwise kernel
             a_scale = jnp.maximum(
-                jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)
-                / 127.0, 1e-12)
-            xq = jnp.round(xf / a_scale).astype(jnp.int8)
+                jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
+                .astype(jnp.float32) / 127.0, 1e-12)
+            xq = jnp.round(x.astype(jnp.float32) / a_scale).astype(jnp.int8)
             acc = lax.conv_general_dilated(
                 xq, kernel,
                 window_strides=(self.stride, self.stride),
@@ -166,11 +169,13 @@ class Dense(nn.Module):
             self.param_dtype,
         )
         if kernel.dtype == jnp.int8:
-            xf = x.astype(jnp.float32)
+            # reduce on the input dtype (abs/max are exact; avoids an
+            # fp32-materialized copy of x), fp32 only in the fused
+            # quantize chain
             a_scale = jnp.maximum(
-                jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0,
-                1e-12)
-            xq = jnp.round(xf / a_scale).astype(jnp.int8)
+                jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+                .astype(jnp.float32) / 127.0, 1e-12)
+            xq = jnp.round(x.astype(jnp.float32) / a_scale).astype(jnp.int8)
             acc = lax.dot_general(
                 xq, kernel,
                 (((xq.ndim - 1,), (0,)), ((), ())),
