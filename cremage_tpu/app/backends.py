@@ -305,10 +305,12 @@ def sd3_factory(prefs: Preferences) -> Callable:
                                         "sd3_ldm_model")
         include_t5 = params.get("include_t5", True)
         quantize_t5 = params.get("sd3_quantize_t5")
+        quantize_dit = params.get("dit_quantize") or None
         pipe = cached_instance(
-            ("sd3", ckpt, include_t5, quantize_t5),
+            ("sd3", ckpt, include_t5, quantize_t5, quantize_dit),
             lambda: SD3Pipeline(load_sd3_bundle(
-                ckpt, include_t5=include_t5, quantize_t5=quantize_t5)))
+                ckpt, include_t5=include_t5, quantize_t5=quantize_t5,
+                quantize_dit=quantize_dit)))
         pipe.generate(opts, status_cb=status_cb, result_cb=result_cb)
 
     return generate
@@ -410,10 +412,13 @@ def register_default_backends(worker: EngineWorker,
             opts = _opts_from_params(params)
             ckpt = opts.ckpt or _model_path(
                 prefs, "pixart_sigma_ldm_model_path", "pixart_sigma_ldm_model")
+            # opt-in 8-bit DiT storage, uniform with flux_quantize
+            quantize = params.get("dit_quantize") or None
             pipe = cached_instance(
-                ("pixart", ckpt, opts.vae_ckpt or None),
+                ("pixart", ckpt, opts.vae_ckpt or None, quantize),
                 lambda: PixArtPipeline(load_pixart_bundle(
-                    ckpt, vae_ckpt=opts.vae_ckpt or None)))
+                    ckpt, vae_ckpt=opts.vae_ckpt or None,
+                    quantize_dit=quantize)))
             pipe.generate(opts, status_cb=status_cb, result_cb=result_cb)
 
         return generate
@@ -538,11 +543,13 @@ def register_default_backends(worker: EngineWorker,
             vocab = pick("clip_vocab", "vocab.txt")
             mt5 = pick("mt5_ckpt", "mt5.safetensors")
             spiece = pick("mt5_spiece", "spiece.model")
-            key = ("hunyuan", dit, vae, clip, vocab, mt5, spiece)
+            quantize = params.get("dit_quantize") or None
+            key = ("hunyuan", dit, vae, clip, vocab, mt5, spiece, quantize)
             pipe = cached_instance(
                 key, lambda: HunyuanPipeline(load_hunyuan_bundle(
                     dit, vae_ckpt=vae, clip_ckpt=clip, clip_vocab=vocab,
-                    mt5_ckpt=mt5, mt5_tokenize=spiece)))
+                    mt5_ckpt=mt5, mt5_tokenize=spiece,
+                    quantize_dit=quantize)))
             pipe.generate(opts, status_cb=status_cb, result_cb=result_cb)
 
         return generate

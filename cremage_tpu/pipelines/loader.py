@@ -367,6 +367,22 @@ PREFIX_SD3_CLIP_G = "text_encoders.clip_g.transformer.text_model."
 PREFIX_SD3_T5 = "text_encoders.t5xxl.transformer.encoder."
 
 
+def _quantize_tree(params, dtype, label, min_size=65536):
+    """8-bit storage for a transformer param tree (io/quantize.py) —
+    the same load-time transform the reference applies to FLUX via
+    optimum-quanto (flux/txt2img.py:125-135), offered uniformly on the
+    big DiT families here.  int8 selects the w8a8 MXU path (convs
+    included); float8_e4m3 is weight-only."""
+    from cremage_tpu.io.quantize import quantize_params_8bit
+
+    q, rep = quantize_params_8bit(params, dtype=dtype, min_size=min_size,
+                                  include_convs=(dtype == "int8"))
+    logger.info("%s quantized to %s: %d tensors, %.1f -> %.1f GB",
+                label, dtype, rep["tensors"], rep["bytes_before"] / 1e9,
+                rep["bytes_after"] / 1e9)
+    return q
+
+
 def load_sd3_bundle(
     ckpt: str,
     include_t5: bool = True,
@@ -374,6 +390,8 @@ def load_sd3_bundle(
     embedding_dir: Optional[str] = None,
     policy: DTypePolicy = DEFAULT_POLICY,
     quantize_t5: Optional[str] = None,
+    quantize_dit: Optional[str] = None,
+    quantize_min_size: int = 65536,
 ):
     """SD3-medium single-file checkpoint -> SD3Bundle
     (reference `modules/sd3/txt2img.py` loads the same single file via
@@ -402,6 +420,9 @@ def load_sd3_bundle(
     m_params, _, _ = CK.build_flax_params(
         m_tmpl, sd, CK.PREFIX_UNET, dtype=policy.param_dtype, strict=False
     )
+    if quantize_dit and quantize_dit != "none":
+        m_params = _quantize_tree(m_params, quantize_dit, "SD3 MMDiT",
+                                  min_size=quantize_min_size)
 
     vae = AutoencoderKL(sd3_vae_config(**dd))
     v_tmpl = _template(vae, jnp.zeros((1, 64, 64, 3), policy.compute_dtype))
@@ -471,6 +492,8 @@ def load_pixart_bundle(
     t5_tokenize=None,
     t5_len: int = 120,
     policy: DTypePolicy = DEFAULT_POLICY,
+    quantize_dit: Optional[str] = None,
+    quantize_min_size: int = 65536,
 ):
     """PixArt-Σ diffusers transformer file -> PixArtBundle (the reference
     downloads diffusers model ids, `modules/pixart_sigma/txt2img.py:84`)."""
@@ -488,6 +511,9 @@ def load_pixart_bundle(
     params, _, _ = CK.build_flax_params(tmpl, sd, prefix="",
                                         dtype=policy.param_dtype,
                                         strict=False)
+    if quantize_dit and quantize_dit != "none":
+        params = _quantize_tree(params, quantize_dit, "PixArt DiT",
+                                min_size=quantize_min_size)
     vae = AutoencoderKL(VAEConfig(**dd))
     v_tmpl = _template(vae, jnp.zeros((1, 64, 64, 3), policy.compute_dtype))
     if vae_ckpt:
@@ -853,6 +879,8 @@ def load_hunyuan_bundle(
     clip_cfg=None,
     mt5_cfg=None,
     vae_cfg=None,
+    quantize_dit: Optional[str] = None,
+    quantize_min_size: int = 65536,
 ):
     """Assemble the full Hunyuan-DiT stack (reference
     modules/hunyuan_dit/txt2img.py: diffusers HunyuanDiTPipeline =
@@ -872,6 +900,10 @@ def load_hunyuan_bundle(
     )
 
     dit, dit_params = load_hunyuan_dit(dit_ckpt, policy, cfg=dit_cfg)
+    if quantize_dit and quantize_dit != "none":
+        dit_params = {"params": _quantize_tree(
+            dit_params["params"], quantize_dit, "Hunyuan DiT",
+            min_size=quantize_min_size)}
     dcfg = dit.cfg
 
     import dataclasses as _dc

@@ -121,6 +121,34 @@ def test_load_hunyuan_bundle_end_to_end(tmp_path):
     assert meta["seed"] == 11
 
 
+def test_load_hunyuan_bundle_quantize_dit_int8(tmp_path):
+    """quantize_dit: the DiT tree comes back with int8 kernels (+ conv
+    patch embed) and the pipeline still renders finite images — the
+    uniform 8-bit option added across the SD3/PixArt/Hunyuan loaders
+    (same _quantize_tree seam; reference quantizes FLUX this way via
+    quanto, flux/txt2img.py:125-135)."""
+    from cremage_tpu.pipelines.hunyuan import HunyuanPipeline
+    from cremage_tpu.pipelines.loader import load_hunyuan_bundle
+
+    paths, _, _ = write_components(tmp_path)
+    bundle = load_hunyuan_bundle(
+        paths["dit"], clip_ckpt=paths["clip"], clip_vocab=paths["vocab"],
+        mt5_ckpt=paths["mt5"], mt5_tokenize=fake_mt5_tokenize,
+        policy=F32, quantize_dit="int8", quantize_min_size=64,
+        **tiny_cfgs())
+    leaves = jax.tree.leaves(bundle.dit_params)
+    n_int8 = sum(1 for leaf in leaves if leaf.dtype == jnp.int8)
+    assert n_int8 > 0
+
+    pipe = HunyuanPipeline(bundle)
+    opts = GenerationOptions(prompt="a cat", negative_prompt="bad",
+                             H=32, W=32, sampling_steps=2, n_samples=1,
+                             seed=3, scale=4.0, sampler="Euler A",
+                             safety_check=False, watermark=False)
+    img, meta = pipe.generate(opts)[0]
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+
 def test_bert_branch_matches_transformers(tmp_path):
     """The BertModel tower loaded from an HF-layout file reproduces
     transformers' last_hidden_state on the same ids+mask."""
