@@ -97,6 +97,45 @@ def test_tp_non_divisible_falls_back():
     assert sh.spec in (P(), P(None, "model"))  # no crash; replicated ok
 
 
+def test_unet_tp_with_int8_weights(mesh_4x2):
+    """w8a8 UNet under tensor parallelism, convs included: conv kernels
+    are channel-sharded (HWIO out axis) and their per-output-channel
+    weight_scale rides along, while the per-image activation scale is a
+    global reduce GSPMD handles with collectives — TP output matches
+    the single-device int8 forward."""
+    from cremage_tpu.io.quantize import quantize_params_8bit
+
+    model, params, args = tiny_unet()
+    qparams, rep = quantize_params_8bit(params, dtype="int8",
+                                        min_size=256, include_convs=True)
+    n_conv8 = sum(1 for leaf in jax.tree.leaves(qparams)
+                  if getattr(leaf, "ndim", 0) == 4
+                  and leaf.dtype == jnp.int8)
+    assert n_conv8 > 0 and rep["tensors"] > n_conv8
+    fp = np.asarray(model.apply(params, *args), np.float32)
+    ref = np.asarray(model.apply(qparams, *args), np.float32)
+    with mesh_4x2:
+        p = shard_params_tp(mesh_4x2, qparams)
+        n_sharded, _ = count_sharded(p, mesh_4x2)
+        assert n_sharded > 10
+        out = jax.jit(model.apply)(p, *args)
+        out.block_until_ready()
+    out = np.asarray(out, np.float32)
+    # Exact TP parity is NOT expected for w8a8: GSPMD's different fp
+    # reduction order flips borderline round-to-nearest codes, and
+    # GroupNorm spreads each flip (measured: median TP-vs-single diff is
+    # ~1e-8 — the bulk bit-matches — but the flip tail reaches a few
+    # percent).  The correct invariants: a solid fraction of elements
+    # bit-match the single-device int8 forward, and the TP output sits
+    # in the SAME quantization envelope of the fp32 forward as the
+    # single-device int8 output (no TP-added systematic error).
+    assert (out == ref).mean() > 0.2
+    den = np.maximum(np.abs(fp), 1e-2)
+    med_tp = np.median(np.abs(out - fp) / den)
+    med_single = np.median(np.abs(ref - fp) / den)
+    assert med_tp < 0.12 and med_tp < 1.5 * max(med_single, 1e-3)
+
+
 def tiny_flux():
     from cremage_tpu.models.flux import (
         FluxConfig, FluxModel, make_position_ids,
