@@ -80,7 +80,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "component checkpoint paths of Kandinsky "
                         "(prior_ckpt=...), Stable Cascade "
                         "(stage_c_ckpt=...), Hunyuan (clip_ckpt=...), "
-                        "flux_quantize=none, or unet_quantize=int8")
+                        "flux_quantize=none, unet_quantize=int8, or "
+                        "dit_quantize=int8 (SD3/PixArt/Hunyuan)")
     # replay options from a past image's metadata (the UI's
     # "Use generation info" checkbox, generate_handler.py:274-279)
     p.add_argument("--use_generation_info", type=str, default="",
