@@ -214,7 +214,7 @@ def bench_sdxl(quant_dtype=None):
           batch * n_rounds / dt, "images/s", SDXL_NORTH_STAR)
 
 
-def bench_svd():
+def bench_svd(quant_dtype=None):
     """SVD img2vid: 14 frames at 576x1024 (the model's native video
     resolution), 25-step EulerEDM with the LinearPredictionGuider —
     reference tool defaults (`tools/video_generator.py`)."""
@@ -234,7 +234,10 @@ def bench_svd():
     t1 = jnp.zeros((frames,), jnp.float32)
     c1 = jnp.zeros((frames, 1, 1024), jnp.bfloat16)
     v1 = jnp.zeros((frames, 768), jnp.float32)
-    params = zeros_params(unet, x1, t1, c1, v1)
+    if quant_dtype == "int8":
+        params = quantized_unet_zeros(unet, x1, t1, c1, v1)
+    else:
+        params = zeros_params(unet, x1, t1, c1, v1)
     vae = AutoencoderKL(VAEConfig())
     vae_params = zeros_params(vae, jnp.zeros((1, 64, 64, 3), jnp.bfloat16))
 
@@ -289,7 +292,8 @@ def bench_svd():
         lambda i: generate(params, vae_params, ctx, vector, concat,
                            jax.random.key(i + 1)), n_rounds)
 
-    _emit("svd_img2vid_576x1024_14frame_25step_frames_per_sec_per_chip",
+    tag = "_int8" if quant_dtype == "int8" else ""
+    _emit(f"svd_img2vid_576x1024_14frame_25step{tag}_frames_per_sec_per_chip",
           frames * n_rounds / dt, "frames/s", FLUX_4090_ANCHOR)
 
 
@@ -480,7 +484,8 @@ LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
          # weight+activation 8-bit; select with e.g. BENCH_LANES=flux_int8)
          "flux_int8": lambda: bench_flux(quant_dtype="int8"),
          "sd15_int8": lambda: bench_sd15(quant_dtype="int8"),
-         "sdxl_int8": lambda: bench_sdxl(quant_dtype="int8")}
+         "sdxl_int8": lambda: bench_sdxl(quant_dtype="int8"),
+         "svd_int8": lambda: bench_svd(quant_dtype="int8")}
 
 
 def main() -> int:

@@ -373,10 +373,12 @@ def svd_factory(prefs: Preferences) -> Callable:
             cond_aug=float(params.get("cond_aug", 0.02)),
             seed=int(params.get("seed", -1)),
         )
+        quantize = params.get("unet_quantize") or None
         pipe = cached_instance(
-            ("svd", ckpt, opts.num_frames),
+            ("svd", ckpt, opts.num_frames, quantize),
             lambda: SVDPipeline(load_svd_bundle(
-                ckpt, num_frames=opts.num_frames)))
+                ckpt, num_frames=opts.num_frames,
+                quantize_unet=quantize)))
         frames = pipe.sample((init + 1) / 2, opts, status_cb=status_cb,
                              output_dir=params.get("outdir"))
         passes = int(params.get("interpolation_frames", 0))

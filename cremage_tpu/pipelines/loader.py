@@ -535,10 +535,16 @@ def load_svd_bundle(
     ckpt: str,
     num_frames: int = 14,
     policy: DTypePolicy = DEFAULT_POLICY,
+    quantize_unet: Optional[str] = None,
+    quantize_min_size: int = 65536,
 ):
     """SVD checkpoint -> SVDBundle (reference svd_video_generator
     load_video_model :338: sgm VideoUNet + open_clip_full image embedder
-    + KL VAE, all inside one safetensors)."""
+    + KL VAE, all inside one safetensors).
+
+    quantize_unet: opt-in 8-bit video-UNet weight storage, uniform with
+    the other families (int8 = w8a8 incl. convs — the video UNet is
+    conv-bound; float8_e4m3 = weight-only matmuls)."""
     from cremage_tpu.models.clip_vision import CLIPVisionModel, vit_h14_config
     from cremage_tpu.models.video_unet import VideoUNet, svd_unet_config
     from cremage_tpu.pipelines.svd import SVDBundle
@@ -556,6 +562,9 @@ def load_svd_bundle(
     params, _, _ = CK.build_flax_params(
         tmpl, sd, CK.PREFIX_UNET, dtype=policy.param_dtype, strict=False
     )
+    if quantize_unet and quantize_unet != "none":
+        params = _quantize_tree(params, quantize_unet, "SVD video UNet",
+                                min_size=quantize_min_size)
 
     vae = AutoencoderKL(VAEConfig(**dd))
     v_tmpl = _template(vae, jnp.zeros((1, 64, 64, 3), policy.compute_dtype))
