@@ -95,6 +95,8 @@ INDEX_HTML = """<!doctype html>
         <option value="image_to_image">img2img</option>
         <option value="inpainting">inpaint</option>
         <option value="spot_inpainting">spot inpaint</option>
+        <option value="face_fix">face fix (SD 1.5; init image)</option>
+        <option value="image_to_video">img2vid (pick the SVD model type; init image)</option>
       </select></div>
     <div><label>Strength</label>
       <input id="strength" type="number" value="0.75" step="0.05"></div>
