@@ -288,6 +288,37 @@ def test_int8_conv_matches_integer_oracle():
     assert np.median(rel) < 0.03
 
 
+def test_int8_contractions_survive_lowering():
+    """Regression guard for the w8a8 compute path: the lowered graph
+    must contain s8 x s8 -> s32 convolutions and dot_generals — a
+    silent upcast (e.g. an optimization 'simplifying' the int8 conv to
+    float) would keep outputs correct while destroying the 2x int8 MXU
+    rate the mode exists for."""
+    import re
+
+    from cremage_tpu.models.unet import UNetConfig, UNetModel
+
+    cfg = UNetConfig(in_channels=4, out_channels=4, model_channels=32,
+                     num_res_blocks=1, attention_resolutions=(1,),
+                     channel_mult=(1, 2), num_heads=2,
+                     transformer_depth=(1, 1), context_dim=32,
+                     dtype=jnp.float32)
+    model = UNetModel(cfg)
+    x = jnp.zeros((1, 8, 8, 4), jnp.float32)
+    t = jnp.zeros((1,), jnp.float32)
+    ctx = jnp.zeros((1, 7, 32), jnp.float32)
+    shapes = jax.eval_shape(model.init, jax.random.key(0), x, t, ctx)
+    params = quantized_zeros(shapes, dtype="int8", min_size=256,
+                             include_convs=True)
+    txt = jax.jit(model.apply).lower(params, x, t, ctx).as_text()
+    n_conv_i8 = len(re.findall(
+        r"stablehlo\.convolution.*tensor<[^>]*xi8>.*->.*xi32>", txt))
+    n_dot_i8 = len(re.findall(
+        r"stablehlo\.dot_general.*xi8>.*->.*xi32>", txt))
+    assert n_conv_i8 > 5, n_conv_i8
+    assert n_dot_i8 > 5, n_dot_i8
+
+
 def test_int8_unet_forward_close():
     """Full-UNet sanity for the conv+dense w8a8 path: a tiny SD-style
     UNet quantized end-to-end (convs included) stays within the few-
