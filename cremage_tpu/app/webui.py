@@ -98,7 +98,7 @@ INDEX_HTML = """<!doctype html>
         <option value="face_fix">face fix (SD 1.5; init image)</option>
         <option value="image_to_video">img2vid (pick the SVD model type; init image)</option>
       </select></div>
-    <div><label>Strength</label>
+    <div><label>Strength (img2img / face-fix repair)</label>
       <input id="strength" type="number" value="0.75" step="0.05"></div>
   </div>
   <label>Init image (img2img / inpaint)</label>
@@ -268,9 +268,20 @@ async function generate() {
       try { advanced = JSON.parse($('advanced').value); }
       catch (e) { throw new Error('advanced parameters are not valid JSON'); }
     }
+    const mode = $('mode').value;
+    // dispatch is by model type: img2vid needs the SVD backend
+    if (mode === 'image_to_video' && !/SVD|video/i.test($('model').value))
+      throw new Error('img2vid needs the SVD model type selected');
+    if (mode === 'image_to_video' && !init_img)
+      throw new Error('img2vid needs an init image');
+    // the face-fix job reads auto_face_fix_strength (the reference
+    // face fixer's denoising strength), not img2img strength
+    const modeExtra = mode === 'face_fix'
+      ? {auto_face_fix_strength: num('strength', 0.3, parseFloat)} : {};
     await api('/v1/generate', {
+      ...modeExtra,
       ...advanced,
-      mode: $('mode').value,
+      mode,
       init_img, mask_img,
       strength: num('strength', 0.75, parseFloat),
       generator_model_type: $('model').value,

@@ -50,7 +50,16 @@ QUANT_DTYPES = {
     "int8": (jnp.int8, 127.0),
 }
 
-DEFAULT_EXCLUDE = ("embed", "shared", "wte", "token_embedding")
+# Protects gather-source embedding TABLES (token/word/position lookup
+# matrices).  Deliberately specific: a bare "embed" token would also
+# match the DiT families' *_embedder projection layers (x_embedder_proj,
+# t_embedder_mlp, context_embedder, text_embedder_linear, ...), which
+# are real matmul/conv kernels that SHOULD quantize.  In practice every
+# in-repo table is already safe by leaf name (token_embedding, shared,
+# embeddings_word_embeddings_weight — none is a bare weight/kernel
+# leaf); the list is belt-and-braces for future converters.
+DEFAULT_EXCLUDE = ("token_embedding", "shared", "wte", "embed_tokens",
+                   "word_embeddings", "position_embedding", "pos_embed")
 
 
 def _is_mapping(x) -> bool:

@@ -138,7 +138,11 @@ def test_load_hunyuan_bundle_quantize_dit_int8(tmp_path):
         **tiny_cfgs())
     leaves = jax.tree.leaves(bundle.dit_params)
     n_int8 = sum(1 for leaf in leaves if leaf.dtype == jnp.int8)
-    assert n_int8 > 0
+    n_conv8 = sum(1 for leaf in leaves
+                  if leaf.dtype == jnp.int8 and leaf.ndim == 4)
+    # regression: a bare "embed" exclude token used to skip every
+    # *_embedder kernel including the x_embedder_proj patch-embed conv
+    assert n_int8 > 0 and n_conv8 > 0, (n_int8, n_conv8)
 
     pipe = HunyuanPipeline(bundle)
     opts = GenerationOptions(prompt="a cat", negative_prompt="bad",

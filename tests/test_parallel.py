@@ -99,10 +99,12 @@ def test_tp_non_divisible_falls_back():
 
 def test_unet_tp_with_int8_weights(mesh_4x2):
     """w8a8 UNet under tensor parallelism, convs included: conv kernels
-    are channel-sharded (HWIO out axis) and their per-output-channel
-    weight_scale rides along, while the per-image activation scale is a
-    global reduce GSPMD handles with collectives — TP output matches
-    the single-device int8 forward."""
+    are channel-sharded (HWIO out axis) while the (out,)-shaped
+    weight_scale stays REPLICATED (shard_params_tp rules anchor on
+    /weight$; GSPMD reshards the tiny scale around the sharded acc),
+    and the per-image activation scale is a global reduce GSPMD handles
+    with collectives — TP output matches the single-device int8
+    forward."""
     from cremage_tpu.io.quantize import quantize_params_8bit
 
     model, params, args = tiny_unet()

@@ -81,15 +81,29 @@ def main():
     family = sys.argv[1] if len(sys.argv) > 1 else "sd15"
     unet, shapes, args = build(family)
 
-    bf16 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    # fp32 storage is the bench lanes' default (measured equal to bf16
+    # storage on both UNet lanes, bench.py zeros_params); time BOTH so
+    # the int8 ratio is attributable — against a true bf16 baseline a
+    # weight-HBM-bound win would otherwise be overstated up to 2x
+    fp32 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    t_fp32, _ = timed(unet, fp32, args)
+    print(f"{family} unet eval fp32 store: {t_fp32 * 1e3:8.2f} ms",
+          flush=True)
+    del fp32
+    bf16 = jax.tree.map(
+        lambda s: jnp.zeros(
+            s.shape, jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype),
+        shapes)
     t_bf16, _ = timed(unet, bf16, args)
-    print(f"{family} unet eval bf16:      {t_bf16 * 1e3:8.2f} ms", flush=True)
+    print(f"{family} unet eval bf16 store: {t_bf16 * 1e3:8.2f} ms",
+          flush=True)
     del bf16
 
     qparams = quantized_zeros(shapes, dtype="int8", include_convs=True)
     t_int8, fn = timed(unet, qparams, args)
-    print(f"{family} unet eval int8 w8a8: {t_int8 * 1e3:8.2f} ms "
-          f"({t_bf16 / t_int8:.2f}x)", flush=True)
+    print(f"{family} unet eval int8 w8a8:  {t_int8 * 1e3:8.2f} ms "
+          f"({t_fp32 / t_int8:.2f}x vs fp32, {t_bf16 / t_int8:.2f}x vs "
+          f"bf16)", flush=True)
 
     trace_dir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/{family}_int8_trace"
     with jax.profiler.trace(trace_dir):
@@ -103,6 +117,10 @@ def main():
 
     files = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                              recursive=True))[-1:]
+    if not files:
+        raise SystemExit(f"no .xplane.pb trace files under {trace_dir} — "
+                         "the profiler wrote nothing (timings above are "
+                         "still valid)")
     data, _ = raw_to_tool_data.xspace_to_tool_data(files, "hlo_stats", {})
     tab = json.loads(data)
     cols = [c["id"] for c in tab["cols"]]
