@@ -50,35 +50,73 @@ QUANT_DTYPES = {
     "int8": (jnp.int8, 127.0),
 }
 
-# Protects gather-source embedding TABLES (token/word/position lookup
-# matrices).  Deliberately specific: a bare "embed" token would also
-# match the DiT families' *_embedder projection layers (x_embedder_proj,
-# t_embedder_mlp, context_embedder, text_embedder_linear, ...), which
-# are real matmul/conv kernels that SHOULD quantize.  In practice every
-# in-repo table is already safe by leaf name (token_embedding, shared,
+# Protects gather-source embedding TABLES (token/word lookup matrices).
+# Deliberately specific: a bare "embed" token would also match the DiT
+# families' *_embedder projection layers (x_embedder_proj,
+# t_embedder_mlp, context_embedder, text_embedder_linear, ...), and a
+# "pos_embed" token would match the SVD video UNet's time_pos_embed_*
+# Dense MLPs — real matmul/conv kernels that SHOULD quantize.  In
+# practice every in-repo table is already safe by leaf name
+# (token_embedding, shared, pos_embed, positional_embedding,
 # embeddings_word_embeddings_weight — none is a bare weight/kernel
 # leaf); the list is belt-and-braces for future converters.
 DEFAULT_EXCLUDE = ("token_embedding", "shared", "wte", "embed_tokens",
-                   "word_embeddings", "position_embedding", "pos_embed")
+                   "word_embeddings")
 
 
 def _is_mapping(x) -> bool:
     return hasattr(x, "items") and not hasattr(x, "shape")
 
 
+def _walk_kernels(tree, on_kernel, *, min_size, exclude, include_convs,
+                  on_other=lambda v: v):
+    """Shared traversal for the quantizers: rebuilds the tree, replacing
+    each quantizable kernel leaf with on_kernel(leaf) -> (stored, scale)
+    — the scale lands in a '<name>_scale' sibling — and every other
+    leaf with on_other(leaf)."""
+    def walk(node, path):
+        out = {}
+        for k, v in node.items():
+            key = str(k)
+            if _is_mapping(v):
+                out[k] = walk(v, path + "/" + key)
+            elif should_quantize(key, path + "/" + key, v,
+                                 min_size=min_size, exclude=exclude,
+                                 include_convs=include_convs):
+                q, s = on_kernel(v)
+                out[k] = q
+                out[key + "_scale"] = s
+            else:
+                out[k] = on_other(v)
+        return out
+
+    if hasattr(tree, "unfreeze"):            # FrozenDict
+        tree = tree.unfreeze()
+    return walk(tree, "")
+
+
 def should_quantize(name: str, path: str, leaf, *, min_size: int,
                     exclude: Iterable[str],
                     include_convs: bool = False) -> bool:
-    """Matmul kernels only: 2-D float 'weight'/'kernel' leaves of at
-    least min_size elements whose path hits no exclude substring.
+    """Matmul kernels only: 2-D float 'weight' leaves of at least
+    min_size elements whose path hits no exclude substring.
     include_convs additionally admits 4-D HWIO conv kernels (int8 w8a8
-    only — models/layers.py Conv has no float8 branch)."""
+    only — models/layers.py Conv has no float8 branch).
+
+    Only the 'weight' spelling is admitted: layers.py Dense/Conv read
+    the scale sibling as 'weight_scale' specifically, so quantizing a
+    flax-style 'kernel' leaf would store a scale nothing ever reads.
+    Leaves narrower than 2 bytes/elem (float8) are already quantized —
+    skipping them makes re-quantization a no-op instead of a silent
+    double-quantize with a stale scale."""
     ndims = (2, 4) if include_convs else (2,)
     if getattr(leaf, "ndim", 0) not in ndims or leaf.size < min_size:
         return False
-    if name not in ("weight", "kernel"):
+    if name != "weight":
         return False
     if not jnp.issubdtype(leaf.dtype, jnp.floating):
+        return False
+    if jnp.dtype(leaf.dtype).itemsize < 2:     # float8: already 8-bit
         return False
     return not any(tok in path.lower() for tok in exclude)
 
@@ -109,38 +147,28 @@ def quantize_params_8bit(
     report = {"tensors": 0, "bytes_before": 0, "bytes_after": 0,
               "dtype": dtype}
 
-    def walk(node, path):
-        out = {}
-        for k, v in node.items():
-            key = str(k)
-            if _is_mapping(v):
-                out[k] = walk(v, path + "/" + key)
-            elif should_quantize(key, path + "/" + key, v,
-                                 min_size=min_size, exclude=exclude,
-                                 include_convs=include_convs):
-                v = jnp.asarray(v)
-                # per-output-channel scale; kernels are stored with the
-                # output channel last ((in, out) matmul / HWIO conv)
-                red = tuple(range(v.ndim - 1))
-                s = jnp.max(jnp.abs(v).astype(jnp.float32), axis=red)
-                s = jnp.maximum(s / qmax, 1e-12)
-                q = v.astype(jnp.float32) / s
-                if jnp.issubdtype(qdt, jnp.integer):
-                    # astype truncates toward zero; integer codes need
-                    # round-to-nearest (and a clip against fp wobble)
-                    q = jnp.clip(jnp.round(q), -qmax, qmax)
-                out[k] = q.astype(qdt)
-                out[key + "_scale"] = s
-                report["tensors"] += 1
-                report["bytes_before"] += v.size * v.dtype.itemsize
-                report["bytes_after"] += v.size + s.size * 4
-            else:
-                out[k] = v
-        return out
+    def on_kernel(v):
+        v = jnp.asarray(v)
+        # per-output-channel scale; kernels are stored with the output
+        # channel last ((in, out) matmul / HWIO conv).  abs/max are
+        # exact in the source dtype — reduce there, cast only the tiny
+        # (features,) result (no fp32 copy of a multi-GB kernel).
+        red = tuple(range(v.ndim - 1))
+        s = jnp.max(jnp.abs(v), axis=red).astype(jnp.float32)
+        s = jnp.maximum(s / qmax, 1e-12)
+        q = v.astype(jnp.float32) / s
+        if jnp.issubdtype(qdt, jnp.integer):
+            # astype truncates toward zero; integer codes need
+            # round-to-nearest (and a clip against fp wobble)
+            q = jnp.clip(jnp.round(q), -qmax, qmax)
+        report["tensors"] += 1
+        report["bytes_before"] += v.size * v.dtype.itemsize
+        report["bytes_after"] += v.size + s.size * 4
+        return q.astype(qdt), s
 
-    if hasattr(params, "unfreeze"):          # FrozenDict
-        params = params.unfreeze()
-    return walk(params, ""), report
+    return _walk_kernels(params, on_kernel, min_size=min_size,
+                         exclude=exclude,
+                         include_convs=include_convs), report
 
 
 def quantized_zeros(shapes: Any, dtype: str = "float8_e4m3",
@@ -155,22 +183,9 @@ def quantized_zeros(shapes: Any, dtype: str = "float8_e4m3",
     `other_dtype` when given (e.g. bf16 for a bench) or keep their
     template dtype."""
     qdt, _ = QUANT_DTYPES[dtype]
-
-    def walk(node, path):
-        out = {}
-        for k, v in node.items():
-            key = str(k)
-            if _is_mapping(v):
-                out[k] = walk(v, path + "/" + key)
-            elif should_quantize(key, path + "/" + key, v,
-                                 min_size=min_size, exclude=exclude,
-                                 include_convs=include_convs):
-                out[k] = jnp.zeros(v.shape, qdt)
-                out[key + "_scale"] = jnp.ones((v.shape[-1],), jnp.float32)
-            else:
-                out[k] = jnp.zeros(v.shape, other_dtype or v.dtype)
-        return out
-
-    if hasattr(shapes, "unfreeze"):
-        shapes = shapes.unfreeze()
-    return walk(shapes, "")
+    return _walk_kernels(
+        shapes,
+        lambda v: (jnp.zeros(v.shape, qdt),
+                   jnp.ones((v.shape[-1],), jnp.float32)),
+        on_other=lambda v: jnp.zeros(v.shape, other_dtype or v.dtype),
+        min_size=min_size, exclude=exclude, include_convs=include_convs)

@@ -31,6 +31,34 @@ def _matmul_accum_dtype(compute_dtype):
     return jnp.float32
 
 
+def _dynamic_int8(x, axes):
+    """Dynamic symmetric int8 activation quantization for the w8a8
+    path: max-abs over `axes` (per token for matmuls, per image for
+    convs — the conv window spans neighbor pixels so one scale must
+    cover every contributing input).  The reduce runs on the INPUT
+    dtype (abs/max are exact in any float dtype — no fp32-materialized
+    copy of x); fp32 appears only inside the divide/round/cast chain,
+    which XLA fuses into one bf16-in/int8-out elementwise kernel.
+    Returns (int8 codes, fp32 scale)."""
+    a_scale = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=axes, keepdims=True).astype(jnp.float32)
+        / 127.0, 1e-12)
+    xq = jnp.round(x.astype(jnp.float32) / a_scale).astype(jnp.int8)
+    return xq, a_scale
+
+
+def _weight_scale(module):
+    """The per-output-channel dequantization scale an 8-bit kernel was
+    stored with (io/quantize.py). int8 kernels are unusable without it
+    — fail with the real cause instead of `y * None`."""
+    if not module.has_variable("params", "weight_scale"):
+        raise ValueError(
+            f"{module.name or type(module).__name__}: int8 kernel has "
+            "no weight_scale sibling — the tree was not produced by "
+            "io/quantize.py quantize_params_8bit/quantized_zeros")
+    return module.get_variable("params", "weight_scale")
+
+
 def timestep_embedding(
     t: jnp.ndarray, dim: int, max_period: float = 10000.0
 ) -> jnp.ndarray:
@@ -103,14 +131,7 @@ class Conv(nn.Module):
         )
         pad = [(self.padding, self.padding)] * 2
         if kernel.dtype == jnp.int8:
-            # abs/max are exact in any float dtype: reduce on the INPUT
-            # dtype (half the HBM read of an fp32-materialized copy) and
-            # cast only the tiny reduce result; the quantize chain below
-            # then fuses into one bf16-in/int8-out elementwise kernel
-            a_scale = jnp.maximum(
-                jnp.max(jnp.abs(x), axis=(1, 2, 3), keepdims=True)
-                .astype(jnp.float32) / 127.0, 1e-12)
-            xq = jnp.round(x.astype(jnp.float32) / a_scale).astype(jnp.int8)
+            xq, a_scale = _dynamic_int8(x, axes=(1, 2, 3))
             acc = lax.conv_general_dilated(
                 xq, kernel,
                 window_strides=(self.stride, self.stride),
@@ -118,8 +139,7 @@ class Conv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32) * a_scale
-            y = (y * self.get_variable("params", "weight_scale")
-                 ).astype(self.dtype)
+            y = (y * _weight_scale(self)).astype(self.dtype)
         else:
             y = lax.conv_general_dilated(
                 x.astype(self.dtype),
@@ -169,19 +189,13 @@ class Dense(nn.Module):
             self.param_dtype,
         )
         if kernel.dtype == jnp.int8:
-            # reduce on the input dtype (abs/max are exact; avoids an
-            # fp32-materialized copy of x), fp32 only in the fused
-            # quantize chain
-            a_scale = jnp.maximum(
-                jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-                .astype(jnp.float32) / 127.0, 1e-12)
-            xq = jnp.round(x.astype(jnp.float32) / a_scale).astype(jnp.int8)
+            xq, a_scale = _dynamic_int8(x, axes=-1)
             acc = lax.dot_general(
                 xq, kernel,
                 (((xq.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32)
             y = acc.astype(jnp.float32) * a_scale
-            y = y * self.get_variable("params", "weight_scale")
+            y = y * _weight_scale(self)
         else:
             y = jnp.dot(
                 x.astype(self.dtype),

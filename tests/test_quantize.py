@@ -8,7 +8,8 @@ import numpy as np
 import pytest
 
 from cremage_tpu.io.quantize import (
-    quantize_params_8bit, quantized_zeros,
+    DEFAULT_EXCLUDE, quantize_params_8bit, quantized_zeros,
+    should_quantize,
 )
 from cremage_tpu.models.flux import FluxConfig, FluxModel, make_position_ids
 
@@ -286,6 +287,53 @@ def test_int8_conv_matches_integer_oracle():
                               np.asarray(w, np.float64)[dy, dx])
     rel = np.abs(ref - full) / np.maximum(np.abs(full), 1e-2)
     assert np.median(rel) < 0.03
+
+
+def test_requantize_is_noop():
+    """Quantizing an already-quantized tree must not double-quantize:
+    float8 leaves are skipped (itemsize<2 guard), so the stale
+    weight_scale can never overwrite a fresh one."""
+    w = jax.random.normal(jax.random.key(0), (64, 32), jnp.float32)
+    q1, rep1 = quantize_params_8bit({"m": {"weight": w}}, min_size=1)
+    assert rep1["tensors"] == 1
+    q2, rep2 = quantize_params_8bit(q1, dtype="int8", min_size=1)
+    assert rep2["tensors"] == 0
+    assert q2["m"]["weight"].dtype == q1["m"]["weight"].dtype
+    np.testing.assert_array_equal(np.asarray(q2["m"]["weight_scale"]),
+                                  np.asarray(q1["m"]["weight_scale"]))
+
+
+def test_embedder_kernels_quantize_tables_do_not():
+    """The exclude list must not swallow projection kernels whose
+    module names merely contain embed-ish words (DiT *_embedder MLPs,
+    SVD time_pos_embed Dense) while still protecting gather tables."""
+    w = jnp.ones((64, 32), jnp.float32)
+    for path in ("/x_embedder_proj/weight", "/t_embedder_mlp_0/weight",
+                 "/time_pos_embed_0/weight", "/context_embedder/weight"):
+        assert should_quantize("weight", path, w, min_size=1,
+                               exclude=DEFAULT_EXCLUDE), path
+    for path in ("/token_embedding/weight", "/shared/weight",
+                 "/embed_tokens/weight"):
+        assert not should_quantize("weight", path, w, min_size=1,
+                                   exclude=DEFAULT_EXCLUDE), path
+    # flax-style 'kernel' leaves are rejected: layers.py reads the
+    # scale as 'weight_scale' only, so a 'kernel_scale' would be
+    # silently ignored at apply time
+    assert not should_quantize("kernel", "/dense/kernel", w, min_size=1,
+                               exclude=DEFAULT_EXCLUDE)
+
+
+def test_int8_kernel_without_scale_raises():
+    """An int8 kernel with no weight_scale sibling must fail with the
+    actual cause, not `y * None`."""
+    from cremage_tpu.models.layers import Dense
+
+    d = Dense(8, dtype=jnp.float32)
+    x = jnp.ones((2, 4), jnp.float32)
+    params = {"params": {"weight": jnp.ones((4, 8), jnp.int8),
+                         "bias": jnp.zeros((8,))}}
+    with pytest.raises(ValueError, match="weight_scale"):
+        d.apply(params, x)
 
 
 def test_int8_contractions_survive_lowering():
