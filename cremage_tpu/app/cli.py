@@ -148,6 +148,8 @@ def main(argv=None) -> int:
         sampler_s_tmax=args.sampler_s_tmax,
         sampler_s_noise=args.sampler_s_noise,
         sampler_eta=args.sampler_eta, sampler_order=args.sampler_order,
+        face_input_img=args.face_input_img, face_model=args.face_model,
+        face_strength=args.face_strength,
     )
 
     if args.use_generation_info:
@@ -164,16 +166,11 @@ def main(argv=None) -> int:
         opts = apply_prompt_expansions(opts, load_preferences(args.config_yaml))
 
     face_embedding = None
-    if args.face_input_img:
+    if args.face_input_img and args.face_input_img.endswith(".npy"):
+        # precomputed 512-d embedding fast path
         import numpy as np
 
-        if args.face_input_img.endswith(".npy"):
-            face_embedding = np.load(args.face_input_img)
-        else:
-            raise SystemExit(
-                "extracting a FaceID embedding from an image needs "
-                "InsightFace (unavailable here); pass a precomputed 512-d "
-                "embedding as .npy via --face_input_img")
+        face_embedding = np.load(args.face_input_img)
 
     if args.generator_model_type != "SD 1.5":
         # every other family routes through the worker backend registry
@@ -241,6 +238,16 @@ def main(argv=None) -> int:
         quantize_unet=extra.get("unet_quantize") or None,
     )
     pipe = SD15Pipeline(bundle)
+
+    if face_embedding is None and args.face_input_img:
+        # FaceID from a photo: the same ArcFace (+CLIP-vision for Plus)
+        # path the worker backend uses (reference
+        # ip_adapter_faceid.py:680-745)
+        from cremage_tpu.app.backends import _face_embedding_for
+
+        face_embedding = _face_embedding_for(
+            extra, opts, lambda m: print(m, file=sys.stderr),
+            plus=(getattr(bundle, "faceid_kind", None) == "plus"))
 
     os.makedirs(args.outdir, exist_ok=True)
     t0 = time.perf_counter()

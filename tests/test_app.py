@@ -122,3 +122,53 @@ def test_cli_parser_matches_reference_flags():
     ])
     assert args.prompt == "cat" and args.sampler == "Euler A"
     assert args.lora_models == "a,b" and args.seed == 5
+
+
+def test_cli_faceid_from_photo_uses_arcface_path(tmp_path, monkeypatch):
+    """--face_input_img with an image file must route through the
+    in-repo ArcFace helper (app/backends._face_embedding_for), not
+    raise (the round-2 CLI stub demanded a precomputed .npy)."""
+    from PIL import Image
+
+    import cremage_tpu.app.backends as backends
+    import cremage_tpu.pipelines.loader as loader_mod
+    import cremage_tpu.pipelines.sd15 as sd15_mod
+
+    face = tmp_path / "face.png"
+    Image.new("RGB", (32, 32), (128, 90, 70)).save(face)
+
+    seen = {}
+
+    class _Bundle:
+        faceid_kind = "plus"
+
+    class _Pipe:
+        def __init__(self, bundle):
+            pass
+
+        def generate(self, opts, status_cb=None, init_image=None,
+                     mask_image=None, face_embedding=None):
+            seen["face_embedding"] = face_embedding
+            return []
+
+    sentinel = {"id": np.zeros(512, np.float32)}
+    monkeypatch.setattr(loader_mod, "load_sd15_bundle",
+                        lambda *a, **k: _Bundle())
+    monkeypatch.setattr(sd15_mod, "SD15Pipeline", _Pipe)
+
+    def fake_embed(params, opts, status_cb, plus=False):
+        seen["plus"] = plus
+        assert opts.face_input_img == str(face)
+        return sentinel
+
+    monkeypatch.setattr(backends, "_face_embedding_for", fake_embed)
+
+    from cremage_tpu.app.cli import main
+
+    rc = main(["--ckpt", "m.safetensors", "--prompt", "cat",
+               "--face_input_img", str(face),
+               "--face_model", "faceid.bin", "--skip_save",
+               "--outdir", str(tmp_path / "out")])
+    assert rc == 0
+    assert seen["face_embedding"] is sentinel
+    assert seen["plus"] is True
