@@ -83,8 +83,15 @@ def quantized_unet_zeros(model, *example_args):
     """All-zeros UNet params at int8 w8a8 storage (convs included) —
     the opt-in sd15_int8/sdxl_int8 lanes.  The UNet families are
     conv-bound (NOTES_r3 profiles: convs 54-64% of lane time), and the
-    v5e MXU runs s8 x s8 -> s32 at 2x the bf16 peak, so this is the one
-    lever that can move those lanes past their measured bf16 floors."""
+    v5e MXU runs s8 x s8 -> s32 at 2x the bf16 peak.
+
+    MEASURED on v5e (round 3): the hypothesis did NOT pay for the UNet
+    families — sd15_int8 2.969 vs 2.99 bf16 img/s (wash; lane is
+    attention/VPU-bound), sdxl_int8 0.180 vs 0.286 (the dynamic
+    activation-quantize chain at 1024^2 extents swamps the conv win),
+    svd_int8 0.513 vs 0.538 f/s.  int8 w8a8 only wins the
+    matmul-bound DiT lanes (flux_int8 0.496 vs 0.396 fp8 = +25%);
+    these UNet lanes stay opt-in for the memory savings only."""
     from cremage_tpu.io.quantize import quantized_zeros
 
     shapes = jax.eval_shape(model.init, jax.random.key(0), *example_args)
@@ -305,9 +312,14 @@ def bench_flux(quant_dtype="float8_e4m3"):
     12B transformer is stored float8_e4m3 + per-channel scales
     (io/quantize.py), which is also what fits it into 16 GB HBM.
 
-    quant_dtype="int8" selects the opt-in w8a8 path instead (dynamic
+    quant_dtype="int8" selects the w8a8 path instead (dynamic
     per-token activation quantization + s8 x s8 -> s32 MXU dots,
-    models/layers.py Dense) — the 'flux_int8' lane."""
+    models/layers.py Dense) — the 'flux_int8' lane.  MEASURED (v5e,
+    round 3): 0.4959 img/s vs 0.3956 fp8 (+25%; the lane is
+    matmul-bound and the big FLUX shapes hit ~200 TOP/s int8 vs
+    ~130 TF/s bf16, tools/bench_int8.py), so flux_int8 is in the
+    default lane set; fp8 weight-only stays the parity-grade product
+    default (it is the reference's exact quanto-qfloat8 recipe)."""
     from cremage_tpu.io.quantize import quantized_zeros
     from cremage_tpu.models.flux import (
         FluxModel, flux_schnell_config, make_position_ids, pack_latents,
@@ -480,8 +492,10 @@ def bench_sd15_e2e():
 
 LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
          "flux": bench_flux, "sd15_e2e": bench_sd15_e2e,
-         # opt-in w8a8 lanes (not in the default set: quality grade is
-         # weight+activation 8-bit; select with e.g. BENCH_LANES=flux_int8)
+         # w8a8 lanes (quality grade is weight+activation 8-bit).
+         # flux_int8 is in the default set (+25% measured, see
+         # bench_flux); the UNet-family int8 lanes measured at-or-below
+         # their bf16 floors (see quantized_unet_zeros) and stay opt-in.
          "flux_int8": lambda: bench_flux(quant_dtype="int8"),
          "sd15_int8": lambda: bench_sd15(quant_dtype="int8"),
          "sdxl_int8": lambda: bench_sdxl(quant_dtype="int8"),
@@ -490,8 +504,9 @@ LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
 
 def main() -> int:
     lanes = os.environ.get("BENCH_LANES",
-                           os.environ.get("BENCH_MODEL",
-                                          "sd15,sdxl,svd,flux,sd15_e2e"))
+                           os.environ.get(
+                               "BENCH_MODEL",
+                               "sd15,sdxl,svd,flux,flux_int8,sd15_e2e"))
     names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
     if len(names) == 1:
         from cremage_tpu.core.cache import enable_compilation_cache
