@@ -51,7 +51,8 @@ def main():
         lambda rng: model.init(rng, x[:, :16], txt[:, :8], jnp.zeros((1,)),
                                vec, img_ids[:16], txt_ids[:8], None),
         jax.random.key(0))
-    params = quantized_zeros(shapes)
+    qd = os.environ.get("PROF_QUANT", "float8_e4m3")
+    params = quantized_zeros(shapes, dtype=qd)
 
     def run(params, x):
         def body(i, xx):
