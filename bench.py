@@ -6,6 +6,10 @@ Lanes (BASELINE.json driver metric):
   svd      SVD 14-frame 576x1024 25-step img2vid    frames/s/chip
   flux     FLUX.1-schnell 1024^2 4-step, fp8 12B    images/s/chip
   sd15_e2e /v1/generate product path               images/s
+  *_dc     DeepCache interval-2 variants (approximate quality grade:
+           full UNet every 2nd step — samplers/deepcache.py; measured
+           v5e: sd15 3.48 vs 2.99, sdxl 0.456 vs 0.286, svd 0.644 vs
+           0.538)
 
 Each line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -98,9 +102,10 @@ def quantized_unet_zeros(model, *example_args):
     return quantized_zeros(shapes, dtype="int8", include_convs=True)
 
 
-def bench_sd15(quant_dtype=None):
+def bench_sd15(quant_dtype=None, deep_cache=0):
     from cremage_tpu.models.unet import UNetModel, sd15_unet_config
     from cremage_tpu.models.vae import AutoencoderKL, VAEConfig, decode_from_latent
+    from cremage_tpu.samplers import deepcache as DCmod
     from cremage_tpu.samplers import kdiffusion as K
     from cremage_tpu.samplers import schedules as S
     from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
@@ -132,15 +137,28 @@ def bench_sd15(quant_dtype=None):
 
     # params are jit ARGUMENTS — closing over them would embed ~3.6GB of
     # HLO constants and stall compilation through the device tunnel
+    dc_branch = int(os.environ.get("BENCH_DC_BRANCH", "1"))
+
     @jax.jit
     def generate(params, vae_params, c, uc, key):
-        def eps_model(xx, tt, cc):
-            return unet.apply(params, xx, tt, cc)
+        def eps_model(xx, tt, cc, **uk):
+            return unet.apply(params, xx, tt, cc, **uk)
 
         denoise = EpsDenoiser(eps_model, sched)
         cfg_fn = cfg_denoiser(denoise, c, uc, scale=7.5)
         x0 = jax.random.normal(key, (batch, h, w, 4), jnp.float32) * float(sigmas[0])
-        lat = K.sample_euler_ancestral(cfg_fn, x0, sigmas, key=key)
+        if deep_cache >= 2:
+            den_cap = lambda xx, ss: cfg_fn(
+                xx, ss, mode="capture", cache_levels=dc_branch)
+            den_sh = lambda xx, ss, deep: cfg_fn(
+                xx, ss, mode="shallow", cache_levels=dc_branch, deep=deep)
+            _, dsd = jax.eval_shape(den_cap, x0,
+                                    jnp.asarray(1.0, jnp.float32))
+            carry = DCmod.make_dc_denoise(den_cap, den_sh, deep_cache)
+            lat = DCmod.sample_euler_ancestral_dc(
+                carry, jnp.zeros(dsd.shape, dsd.dtype), x0, sigmas, key=key)
+        else:
+            lat = K.sample_euler_ancestral(cfg_fn, x0, sigmas, key=key)
         img = decode_from_latent(vae, vae_params, lat.astype(jnp.bfloat16))
         # quantize to uint8 ON DEVICE: the serving path ships 8-bit
         # images, and the measured device->host link moves ~23 MB/s, so
@@ -157,17 +175,22 @@ def bench_sd15(quant_dtype=None):
         n_rounds)
 
     tag = "_int8" if quant_dtype == "int8" else ""
+    if deep_cache >= 2:
+        tag += f"_deepcache{deep_cache}"
     _emit(f"sd15_txt2img_512_20step_euler_a{tag}_images_per_sec_per_chip",
           batch * n_rounds / dt, "images/s", FLUX_4090_ANCHOR)
 
 
-def bench_sdxl(quant_dtype=None):
+def bench_sdxl(quant_dtype=None, deep_cache=0):
     """SDXL 1024^2 30-step EulerEDM with CFG + VAE decode — the
-    BASELINE.json north-star configuration."""
+    BASELINE.json north-star configuration.  deep_cache >= 2 adds the
+    DeepCache lane (full UNet every N-th step, shallow in between —
+    samplers/deepcache.py; quality grade approximate)."""
     from cremage_tpu.models.unet import UNetModel, sdxl_base_unet_config
     from cremage_tpu.models.vae import (
         AutoencoderKL, decode_from_latent, sdxl_vae_config,
     )
+    from cremage_tpu.samplers import deepcache as DCmod
     from cremage_tpu.samplers import edm as EDM
 
     # batch sweep (v5e, round 3): batch 2 = 0.2668 img/s vs batch 1 =
@@ -194,18 +217,33 @@ def bench_sdxl(quant_dtype=None):
                                      jnp.bfloat16)}
     uc = jax.tree.map(jnp.zeros_like, c)
 
+    dc_branch = int(os.environ.get("BENCH_DC_BRANCH", "1"))
+
     @jax.jit
     def generate(params, vae_params, c, uc, key):
-        def network(xx, tt, cond):
+        def network(xx, tt, cond, **uk):
             return unet.apply(params, xx, tt, cond["crossattn"],
-                              cond["vector"])
+                              cond["vector"], **uk)
 
         denoiser = EDM.DiscreteDenoiserSGM(
             network, EDM.LegacyDDPMDiscretization()(1000, do_append_zero=False))
         denoise = EDM.vanilla_cfg(denoiser, c, uc, scale=7.0)
         x = jax.random.normal(key, (batch, h, w, 4), jnp.float32)
-        lat = EDM.run_sgm_sampler("EulerEDMSampler", denoise, x, sigmas,
-                                  key=key)
+        if deep_cache >= 2:
+            sig = np.asarray(sigmas, np.float64)
+            x0 = x.astype(jnp.float32) * float(np.sqrt(1.0 + sig[0] ** 2))
+            den_cap = lambda xx, ss: denoise(
+                xx, ss, mode="capture", cache_levels=dc_branch)
+            den_sh = lambda xx, ss, deep: denoise(
+                xx, ss, mode="shallow", cache_levels=dc_branch, deep=deep)
+            _, dsd = jax.eval_shape(den_cap, x0,
+                                    jnp.asarray(1.0, jnp.float32))
+            carry = DCmod.make_dc_denoise(den_cap, den_sh, deep_cache)
+            lat = DCmod.sample_euler_dc(
+                carry, jnp.zeros(dsd.shape, dsd.dtype), x0, sig, key=key)
+        else:
+            lat = EDM.run_sgm_sampler("EulerEDMSampler", denoise, x, sigmas,
+                                      key=key)
         img = decode_from_latent(vae, vae_params, lat.astype(jnp.bfloat16))
         return jnp.clip((img.astype(jnp.float32) + 1.0) * 127.5 + 0.5,
                         0, 255).astype(jnp.uint8)
@@ -217,11 +255,13 @@ def bench_sdxl(quant_dtype=None):
         n_rounds)
 
     tag = "_int8" if quant_dtype == "int8" else ""
+    if deep_cache >= 2:
+        tag += f"_deepcache{deep_cache}"
     _emit(f"sdxl_txt2img_1024_30step_euler_edm{tag}_images_per_sec_per_chip",
           batch * n_rounds / dt, "images/s", SDXL_NORTH_STAR)
 
 
-def bench_svd(quant_dtype=None):
+def bench_svd(quant_dtype=None, deep_cache=0):
     """SVD img2vid: 14 frames at 576x1024 (the model's native video
     resolution), 25-step EulerEDM with the LinearPredictionGuider —
     reference tool defaults (`tools/video_generator.py`)."""
@@ -229,6 +269,7 @@ def bench_svd(quant_dtype=None):
     from cremage_tpu.models.vae import (
         AutoencoderKL, VAEConfig, decode_from_latent,
     )
+    from cremage_tpu.samplers import deepcache as DCmod
     from cremage_tpu.samplers import edm as EDM
 
     frames = int(os.environ.get("BENCH_FRAMES", "14"))
@@ -254,23 +295,29 @@ def bench_svd(quant_dtype=None):
     concat = jax.random.normal(jax.random.key(3), (frames, h, w, 4),
                                jnp.float32)
 
+    dc_branch = int(os.environ.get("BENCH_DC_BRANCH", "1"))
+
     @jax.jit
     def generate(params, vae_params, ctx, vector, concat, key):
-        def network(xx, c_noise, cond):
+        def network(xx, c_noise, cond, **uk):
             xin = jnp.concatenate([xx, cond["concat"].astype(xx.dtype)],
                                   axis=-1)
             return unet.apply(params, xin, c_noise, cond["crossattn"],
-                              cond["vector"])
+                              cond["vector"], **uk)
 
-        def denoiser(xx, sigma, cond):
+        def denoiser(xx, sigma, cond, **uk):
             sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32),
                                      (xx.shape[0],))
             s = sigma.reshape(-1, 1, 1, 1)
             c_skip = 1.0 / (s**2 + 1.0)
             c_out = -s / jnp.sqrt(s**2 + 1.0)
             c_in = 1.0 / jnp.sqrt(s**2 + 1.0)
-            v = network(xx * c_in, 0.25 * jnp.log(sigma), cond)
-            return v.astype(jnp.float32) * c_out + xx * c_skip
+            v = network(xx * c_in, 0.25 * jnp.log(sigma), cond, **uk)
+            aux = None
+            if isinstance(v, tuple):  # deep-cache capture aux
+                v, aux = v
+            den = v.astype(jnp.float32) * c_out + xx * c_skip
+            return den if aux is None else (den, aux)
 
         c = {"crossattn": ctx, "vector": vector, "concat": concat}
         uc = {"crossattn": jnp.zeros_like(ctx), "vector": vector,
@@ -279,8 +326,21 @@ def bench_svd(quant_dtype=None):
             denoiser, c, uc, scale=2.5, num_frames=frames,
             min_scale=1.0, max_scale=2.5)
         x = jax.random.normal(key, (frames, h, w, 4), jnp.float32)
-        lat = EDM.run_sgm_sampler("EulerEDMSampler", denoise,
-                                  x * float(sigmas[0]), sigmas, key=key)
+        if deep_cache >= 2:
+            sig = np.asarray(sigmas, np.float64)
+            x0 = x.astype(jnp.float32) * float(np.sqrt(1.0 + sig[0] ** 2))
+            den_cap = lambda xx, ss: denoise(
+                xx, ss, mode="capture", cache_levels=dc_branch)
+            den_sh = lambda xx, ss, deep: denoise(
+                xx, ss, mode="shallow", cache_levels=dc_branch, deep=deep)
+            _, dsd = jax.eval_shape(den_cap, x0,
+                                    jnp.asarray(1.0, jnp.float32))
+            carry = DCmod.make_dc_denoise(den_cap, den_sh, deep_cache)
+            lat = DCmod.sample_euler_dc(
+                carry, jnp.zeros(dsd.shape, dsd.dtype), x0, sig, key=key)
+        else:
+            lat = EDM.run_sgm_sampler("EulerEDMSampler", denoise,
+                                      x * float(sigmas[0]), sigmas, key=key)
 
         # decode one frame per step (lax.map) — batch-14 1024x576 decode
         # would hold multi-GB activations
@@ -300,6 +360,8 @@ def bench_svd(quant_dtype=None):
                            jax.random.key(i + 1)), n_rounds)
 
     tag = "_int8" if quant_dtype == "int8" else ""
+    if deep_cache >= 2:
+        tag += f"_deepcache{deep_cache}"
     _emit(f"svd_img2vid_576x1024_14frame_25step{tag}_frames_per_sec_per_chip",
           frames * n_rounds / dt, "frames/s", FLUX_4090_ANCHOR)
 
@@ -499,14 +561,24 @@ LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
          "flux_int8": lambda: bench_flux(quant_dtype="int8"),
          "sd15_int8": lambda: bench_sd15(quant_dtype="int8"),
          "sdxl_int8": lambda: bench_sdxl(quant_dtype="int8"),
-         "svd_int8": lambda: bench_svd(quant_dtype="int8")}
+         "svd_int8": lambda: bench_svd(quant_dtype="int8"),
+         # DeepCache lanes (quality grade: approximate — full UNet every
+         # 2nd step, shallow levels recomputed in between; interval=1 is
+         # bit-exact and is what the plain lanes measure).
+         "sd15_dc": lambda: bench_sd15(deep_cache=int(
+             os.environ.get("BENCH_DC_INTERVAL", "2"))),
+         "sdxl_dc": lambda: bench_sdxl(deep_cache=int(
+             os.environ.get("BENCH_DC_INTERVAL", "2"))),
+         "svd_dc": lambda: bench_svd(deep_cache=int(
+             os.environ.get("BENCH_DC_INTERVAL", "2")))}
 
 
 def main() -> int:
     lanes = os.environ.get("BENCH_LANES",
                            os.environ.get(
                                "BENCH_MODEL",
-                               "sd15,sdxl,svd,flux,flux_int8,sd15_e2e"))
+                               "sd15,sdxl,svd,flux,flux_int8,sd15_e2e,"
+                               "sd15_dc,sdxl_dc,svd_dc"))
     names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
     if len(names) == 1:
         from cremage_tpu.core.cache import enable_compilation_cache

@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler_s_noise", type=float, default=1.0)
     p.add_argument("--sampler_eta", type=float, default=1.0)
     p.add_argument("--sampler_order", type=int, default=4)
+    p.add_argument("--deep_cache", type=int, default=1,
+                   help="DeepCache interval: run the full UNet every Nth "
+                        "step, recompute only shallow levels in between "
+                        "(~1.5-2x faster, approximate). 1 = off (exact). "
+                        "Euler/Euler A family samplers only.")
+    p.add_argument("--deep_cache_branch", type=int, default=1,
+                   help="UNet levels recomputed on DeepCache steps")
     p.add_argument("--discretization", type=str,
                    default="LegacyDDPMDiscretization")
     p.add_argument("--guider", type=str, default="VanillaCFG")
@@ -150,6 +157,7 @@ def main(argv=None) -> int:
         sampler_eta=args.sampler_eta, sampler_order=args.sampler_order,
         face_input_img=args.face_input_img, face_model=args.face_model,
         face_strength=args.face_strength,
+        deep_cache=args.deep_cache, deep_cache_branch=args.deep_cache_branch,
     )
 
     if args.use_generation_info:

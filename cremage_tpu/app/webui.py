@@ -107,7 +107,9 @@ INDEX_HTML = """<!doctype html>
   <input id="mask_file" type="file" accept="image/*">
   <label>Advanced parameters (JSON, merged into the job — e.g.
     Kandinsky/Cascade/Hunyuan component checkpoint paths,
-    flux_quantize, unet_quantize, dit_quantize, control_net)</label>
+    flux_quantize, unet_quantize, dit_quantize, control_net,
+    deep_cache — e.g. {"deep_cache": 2} for ~1.5-2x faster
+    Euler sampling)</label>
   <textarea id="advanced" rows="2" placeholder='{"prior_ckpt": "..."}'></textarea>
   <button class="small" id="paint_btn" onclick="paintOpen()">Paint mask on init image</button>
   <div id="paintbox" style="display:none">

@@ -265,6 +265,11 @@ class GenerationOptions:
     sampler_s_noise: float = 1.0
     sampler_eta: float = 1.0
     sampler_order: int = 4
+    # Speed features beyond reference parity (cremage has no equivalent)
+    deep_cache: int = 1          # DeepCache interval: full UNet every
+    #   N-th step, shallow-only in between (samplers/deepcache.py).
+    #   1 = off (bit-exact default). Euler/Euler A family samplers only.
+    deep_cache_branch: int = 1   # UNet levels recomputed on cached steps
     # Output
     outdir: str = "outputs"
     generator_model_type: str = GMT_SD_1_5

@@ -296,16 +296,43 @@ def _heads_for(ch: int, cfg: UNetConfig) -> Tuple[int, int]:
 
 
 class UNetModel(nn.Module):
-    """The denoising UNet. forward(x NHWC, t (B,), context (B,L,D), y, control)."""
+    """The denoising UNet. forward(x NHWC, t (B,), context (B,L,D), y, control).
+
+    Deep-feature caching (DeepCache, Ma et al. 2023 — an opt-in speed
+    feature beyond reference parity; the reference has no equivalent):
+    - mode="full" (default): the normal forward; returns the output.
+    - mode="capture": same compute as "full" but returns
+      (out, deep) where `deep` is the hidden state entering the first
+      output block of level cache_levels-1 (i.e. the result of all
+      levels >= cache_levels plus the middle block, after the final
+      deep upsample).
+    - mode="shallow": takes that `deep` tensor from a previous step and
+      recomputes ONLY levels < cache_levels (input conv, shallow input
+      blocks, shallow output blocks) — the deep 80-90% of the graph is
+      skipped. Unused deep params in the passed pytree are ignored by
+      Flax, so the same param tree serves both modes.
+    """
 
     cfg: UNetConfig
 
     @nn.compact
-    def __call__(self, x, timesteps, context, y=None, control=None):
+    def __call__(self, x, timesteps, context, y=None, control=None, *,
+                 mode: str = "full", deep=None, cache_levels: int = 1):
         cfg = self.cfg
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         mc = cfg.model_channels
         time_embed_dim = mc * 4
+
+        assert mode in ("full", "capture", "shallow"), mode
+        n_levels = len(cfg.channel_mult)
+        if mode != "full":
+            assert 1 <= cache_levels < n_levels, (
+                f"cache_levels must be in [1, {n_levels - 1}]")
+        if mode == "shallow":
+            assert deep is not None, "shallow mode needs the cached deep tensor"
+            assert control is None, (
+                "deep-cache shallow steps do not support ControlNet "
+                "(control residuals target the cached deep blocks)")
 
         t_emb = timestep_embedding(timesteps, mc).astype(cfg.dtype)
         emb = Dense(time_embed_dim, name="time_embed_0", **dd)(t_emb)
@@ -330,14 +357,21 @@ class UNetModel(nn.Module):
             depths = (depths,) * len(cfg.channel_mult)
 
         # ---- input blocks ----
+        # In shallow mode only levels < cache_levels are built; the
+        # Downsample ending level cache_levels-1 feeds the (cached) deep
+        # path and its skip is consumed by a deep output block, so it is
+        # skipped too.  Earlier downsamples' skips ARE consumed by
+        # shallow output blocks and are built.
+        in_levels = (range(cache_levels) if mode == "shallow"
+                     else range(n_levels))
         hs = []
         h = Conv(mc, name="input_blocks_0_0", **dd)(x)
         hs.append(h)
         block_idx = 1
         ds = 1
         ch = mc
-        for level, mult in enumerate(cfg.channel_mult):
-            out_ch = mc * mult
+        for level in in_levels:
+            out_ch = mc * cfg.channel_mult[level]
             for _ in range(cfg.num_res_blocks):
                 h = ResBlock(out_ch, name=f"input_blocks_{block_idx}_0", **dd)(h, emb)
                 ch = out_ch
@@ -352,21 +386,24 @@ class UNetModel(nn.Module):
                     )(h, context)
                 hs.append(h)
                 block_idx += 1
-            if level != len(cfg.channel_mult) - 1:
-                h = Downsample(ch, name=f"input_blocks_{block_idx}_0", **dd)(h)
-                hs.append(h)
+            if level != n_levels - 1:
+                needed = mode != "shallow" or level < cache_levels - 1
+                if needed:
+                    h = Downsample(ch, name=f"input_blocks_{block_idx}_0", **dd)(h)
+                    hs.append(h)
                 block_idx += 1
                 ds *= 2
 
-        # ---- middle ----
-        heads, dim_head = _heads_for(ch, cfg)
-        h = ResBlock(ch, name="middle_block_0", **dd)(h, emb)
-        h = SpatialTransformer(
-            heads, dim_head, depth=cfg.transformer_depth_middle,
-            use_linear=cfg.use_linear_in_transformer, name="middle_block_1",
-            ipa_num_tokens=cfg.ipa_num_tokens, ipa_scale=cfg.ipa_scale, **dd,
-        )(h, context)
-        h = ResBlock(ch, name="middle_block_2", **dd)(h, emb)
+        # ---- middle (deep; skipped in shallow mode) ----
+        if mode != "shallow":
+            heads, dim_head = _heads_for(ch, cfg)
+            h = ResBlock(ch, name="middle_block_0", **dd)(h, emb)
+            h = SpatialTransformer(
+                heads, dim_head, depth=cfg.transformer_depth_middle,
+                use_linear=cfg.use_linear_in_transformer, name="middle_block_1",
+                ipa_num_tokens=cfg.ipa_num_tokens, ipa_scale=cfg.ipa_scale, **dd,
+            )(h, context)
+            h = ResBlock(ch, name="middle_block_2", **dd)(h, emb)
 
         if control is not None:
             input_res, middle_res = control
@@ -376,9 +413,20 @@ class UNetModel(nn.Module):
             ]
 
         # ---- output blocks ----
-        block_idx = 0
-        for level, mult in reversed(list(enumerate(cfg.channel_mult))):
-            out_ch = mc * mult
+        # Level l's output blocks run at ds = 2**l and occupy block
+        # indices (n_levels-1-l)*(num_res_blocks+1) ...; computing both
+        # explicitly lets shallow mode name its (last) blocks correctly.
+        out_levels = (range(cache_levels - 1, -1, -1) if mode == "shallow"
+                      else range(n_levels - 1, -1, -1))
+        deep_out = None
+        if mode == "shallow":
+            h = deep.astype(cfg.dtype)
+        for level in out_levels:
+            if mode == "capture" and level == cache_levels - 1:
+                deep_out = h
+            out_ch = mc * cfg.channel_mult[level]
+            ds = 2 ** level
+            block_idx = (n_levels - 1 - level) * (cfg.num_res_blocks + 1)
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
                 h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
@@ -397,9 +445,10 @@ class UNetModel(nn.Module):
                     sub = 2
                 if level > 0 and i == cfg.num_res_blocks:
                     h = Upsample(ch, name=f"output_blocks_{block_idx}_{sub}", **dd)(h)
-                    ds //= 2
                 block_idx += 1
 
         h = GroupNorm(num_groups=32, fuse_silu=True, name="out_0")(h)
         h = Conv(cfg.out_channels, name="out_2", **dd)(h)
+        if mode == "capture":
+            return h, deep_out
         return h

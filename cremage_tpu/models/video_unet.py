@@ -290,12 +290,24 @@ class VideoUNet(nn.Module):
     num_frames: int = 14
 
     @nn.compact
-    def __call__(self, x, timesteps, context, y=None, image_only=None):
+    def __call__(self, x, timesteps, context, y=None, image_only=None, *,
+                 mode: str = "full", deep=None, cache_levels: int = 1):
+        # mode/deep/cache_levels: DeepCache capture/shallow split — same
+        # contract as models/unet.py UNetModel (see its docstring and
+        # samplers/deepcache.py).
         cfg = self.cfg
         t_frames = self.num_frames
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         mc = cfg.model_channels
         time_embed_dim = mc * 4
+
+        assert mode in ("full", "capture", "shallow"), mode
+        n_levels = len(cfg.channel_mult)
+        if mode != "full":
+            assert 1 <= cache_levels < n_levels, (
+                f"cache_levels must be in [1, {n_levels - 1}]")
+        if mode == "shallow":
+            assert deep is not None, "shallow mode needs the cached deep tensor"
 
         t_emb = timestep_embedding(timesteps, mc).astype(cfg.dtype)
         emb = Dense(time_embed_dim, name="time_embed_0", **dd)(t_emb)
@@ -314,14 +326,16 @@ class VideoUNet(nn.Module):
         if isinstance(depths, int):
             depths = (depths,) * len(cfg.channel_mult)
 
+        in_levels = (range(cache_levels) if mode == "shallow"
+                     else range(n_levels))
         hs = []
         h = Conv(mc, name="input_blocks_0_0", **dd)(x)
         hs.append(h)
         block_idx = 1
         ds = 1
         ch = mc
-        for level, mult in enumerate(cfg.channel_mult):
-            out_ch = mc * mult
+        for level in in_levels:
+            out_ch = mc * cfg.channel_mult[level]
             for _ in range(cfg.num_res_blocks):
                 h = VideoResBlock(out_ch, t_frames,
                                   name=f"input_blocks_{block_idx}_0", **dd)(
@@ -335,24 +349,36 @@ class VideoUNet(nn.Module):
                     )(h, context, time_context, image_only)
                 hs.append(h)
                 block_idx += 1
-            if level != len(cfg.channel_mult) - 1:
-                h = Downsample(ch, name=f"input_blocks_{block_idx}_0", **dd)(h)
-                hs.append(h)
+            if level != n_levels - 1:
+                if mode != "shallow" or level < cache_levels - 1:
+                    h = Downsample(ch, name=f"input_blocks_{block_idx}_0",
+                                   **dd)(h)
+                    hs.append(h)
                 block_idx += 1
                 ds *= 2
 
-        heads, dim_head = _heads_for(ch, cfg)
-        h = VideoResBlock(ch, t_frames, name="middle_block_0", **dd)(
-            h, emb, image_only)
-        h = SpatialVideoTransformer(
-            heads, dim_head, t_frames, depth=cfg.transformer_depth_middle,
-            name="middle_block_1", **dd)(h, context, time_context, image_only)
-        h = VideoResBlock(ch, t_frames, name="middle_block_2", **dd)(
-            h, emb, image_only)
+        if mode != "shallow":
+            heads, dim_head = _heads_for(ch, cfg)
+            h = VideoResBlock(ch, t_frames, name="middle_block_0", **dd)(
+                h, emb, image_only)
+            h = SpatialVideoTransformer(
+                heads, dim_head, t_frames, depth=cfg.transformer_depth_middle,
+                name="middle_block_1", **dd)(h, context, time_context,
+                                             image_only)
+            h = VideoResBlock(ch, t_frames, name="middle_block_2", **dd)(
+                h, emb, image_only)
 
-        block_idx = 0
-        for level, mult in reversed(list(enumerate(cfg.channel_mult))):
-            out_ch = mc * mult
+        out_levels = (range(cache_levels - 1, -1, -1) if mode == "shallow"
+                      else range(n_levels - 1, -1, -1))
+        deep_out = None
+        if mode == "shallow":
+            h = deep.astype(cfg.dtype)
+        for level in out_levels:
+            if mode == "capture" and level == cache_levels - 1:
+                deep_out = h
+            out_ch = mc * cfg.channel_mult[level]
+            ds = 2 ** level
+            block_idx = (n_levels - 1 - level) * (cfg.num_res_blocks + 1)
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
                 h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
@@ -371,8 +397,10 @@ class VideoUNet(nn.Module):
                 if level > 0 and i == cfg.num_res_blocks:
                     h = Upsample(ch, name=f"output_blocks_{block_idx}_{sub}",
                                  **dd)(h)
-                    ds //= 2
                 block_idx += 1
 
         h = GroupNorm(num_groups=32, fuse_silu=True, name="out_0")(h)
-        return Conv(cfg.out_channels, name="out_2", **dd)(h)
+        h = Conv(cfg.out_channels, name="out_2", **dd)(h)
+        if mode == "capture":
+            return h, deep_out
+        return h

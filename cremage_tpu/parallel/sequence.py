@@ -1,0 +1,128 @@
+"""Sequence-parallel self-attention over a device mesh.
+
+The reference has no distributed code at all (SURVEY.md §2.2); this is
+the TPU-native "long context" axis called out in SURVEY §5: at hires
+scales (2048² image → 65k latent tokens) a single image cannot use the
+batch (data) axis, tensor parallelism caps at the head count, but the
+*token* axis of self-attention splits cleanly over the ICI mesh — each
+chip keeps a token slice of q and the O(N²) logits work and O(N)
+activation memory divide by the mesh size.
+
+Two schedules, both full (non-causal) attention as diffusion UNet/DiT
+self-attention requires:
+
+- `all_gather_kv`: k/v are all-gathered once, q stays local.  One
+  collective; peak memory O(N) for k/v but logits stay blocked at
+  O(N·N/p).  Right for moderate N.
+- `ring`: k/v chunks circulate around the ring via `ppermute` while a
+  streaming online-softmax accumulator (running max m, normalizer l,
+  weighted sum acc) folds each chunk in — the Ring Attention schedule
+  (Liu et al. 2023, public pattern re-derived here for NHWC latent
+  tokens).  Peak memory O(N/p) per device and the k/v transfer
+  overlaps the block compute on the ICI torus.
+
+Inputs follow ops/attention.py convention: (B, N, H, D) with the token
+axis sharded over the chosen mesh axis.  Math in fp32 (same contract as
+the Pallas flash kernel: fp32 softmax statistics).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _reference_attention(q, k, v):
+    """Plain fp32-softmax attention, (B,N,H,D) layout — the oracle."""
+    scale = 1.0 / jnp.sqrt(jnp.float32(q.shape[-1]))
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def _all_gather_kv_shard(q, k, v, axis_name: str):
+    """Per-shard body: local q slice against the full (gathered) k/v."""
+    k_full = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)
+    v_full = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
+    return _reference_attention(q, k_full, v_full)
+
+
+def _ring_shard(q, k, v, axis_name: str):
+    """Per-shard body: streaming online-softmax over ring-passed k/v.
+
+    Accumulators: m (B,H,Nq) running max, l (B,H,Nq) running softmax
+    normalizer, acc (B,Nq,H,D) running weighted value sum — the flash-
+    attention recurrence, with the 'blocks' being other devices' k/v
+    slices arriving over ICI.
+    """
+    n_dev = jax.lax.psum(1, axis_name)
+    axis_index = jax.lax.axis_index(axis_name)
+    del axis_index  # ring is rotation-invariant for full attention
+    b, nq, h, d = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    qf = q.astype(jnp.float32)
+
+    def block(carry, _):
+        m, l, acc, k_c, v_c = carry
+        logits = jnp.einsum("bnhd,bmhd->bhnm", qf,
+                            k_c.astype(jnp.float32)) * scale
+        m_blk = logits.max(axis=-1)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(logits - m_new[..., None])
+        corr = jnp.exp(m - m_new)                       # (B,H,Nq)
+        l = l * corr + p.sum(axis=-1)
+        acc = (acc * jnp.moveaxis(corr, 1, 2)[..., None]
+               + jnp.einsum("bhnm,bmhd->bnhd", p, v_c.astype(jnp.float32)))
+        perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        k_c = jax.lax.ppermute(k_c, axis_name, perm)
+        v_c = jax.lax.ppermute(v_c, axis_name, perm)
+        return (m_new, l, acc, k_c, v_c), None
+
+    m0 = jnp.full((b, h, nq), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, nq), jnp.float32)
+    acc0 = jnp.zeros((b, nq, h, d), jnp.float32)
+    (m, l, acc, _, _), _ = jax.lax.scan(
+        block, (m0, l0, acc0, k, v), None, length=n_dev)
+    out = acc / jnp.moveaxis(l, 1, 2)[..., None]
+    return out.astype(q.dtype)
+
+
+def sp_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "data",
+    schedule: str = "ring",
+) -> jnp.ndarray:
+    """Full self-attention with the token axis sharded over mesh[axis].
+
+    q/k/v: (B, N, H, D); N must divide by the mesh axis size.  Returns
+    (B, N, H, D) with the same token sharding as the inputs.  Use under
+    `jax.jit` inside a `with mesh:` scope (or pass pre-sharded arrays).
+    """
+    if schedule not in ("ring", "all_gather_kv"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    n_shards = mesh.shape[axis]
+    if q.shape[1] % n_shards:
+        raise ValueError(
+            f"token count {q.shape[1]} must divide over {n_shards} "
+            f"devices on mesh axis {axis!r}")
+    body = _ring_shard if schedule == "ring" else _all_gather_kv_shard
+    spec = P(None, axis, None, None)
+    fn = jax.shard_map(
+        functools.partial(body, axis_name=axis),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    return fn(q, k, v)
+
+
+def token_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """NamedSharding placing the token axis of (B,N,H,D) on mesh[axis]."""
+    return NamedSharding(mesh, P(None, axis, None, None))

@@ -34,6 +34,7 @@ from cremage_tpu.models.unet import UNetModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_latent
 from cremage_tpu.pipelines.conditioning import TextEncoder, tile_batch
 from cremage_tpu.samplers import ddim as DDIM
+from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import ldm_extra as LDMX
 from cremage_tpu.samplers import schedules as S
@@ -207,7 +208,9 @@ class SD15Pipeline:
                 arr = jnp.concatenate([arr] * reps, axis=0)
             return arr
 
-        def eps(x, t, cond):
+        def eps(x, t, cond, **unet_kwargs):
+            # unet_kwargs: deep-cache mode/deep/cache_levels ride through
+            # the denoiser/CFG wrappers (samplers/deepcache.py)
             control = None
             if cn_model is not None and hint is not None:
                 h = _tile(hint, x.shape[0])
@@ -217,7 +220,7 @@ class SD15Pipeline:
             if extra_channels is not None:
                 ec = _tile(extra_channels, x.shape[0])
                 x = jnp.concatenate([x, ec.astype(x.dtype)], axis=-1)
-            return unet.apply(params, x, t, cond, None, control)
+            return unet.apply(params, x, t, cond, None, control, **unet_kwargs)
 
         return eps
 
@@ -271,7 +274,20 @@ class SD15Pipeline:
                  opts.sampler_s_tmax, opts.sampler_s_noise)
         bucket = (name, steps, t_enc, tuple(shape), tuple(c.shape), scale,
                   has_extra, float(opts.ddim_eta), churn,
-                  hint is not None, float(control_weight))
+                  hint is not None, float(control_weight),
+                  int(opts.deep_cache), int(opts.deep_cache_branch))
+
+        dc = int(opts.deep_cache)
+        dcb = int(opts.deep_cache_branch)
+        use_dc = dc >= 2
+        if use_dc and name not in DC.DC_SAMPLERS:
+            raise ValueError(
+                "deep_cache requires a supported sampler "
+                f"({', '.join(sorted(set(DC.DC_SAMPLERS) & set(SAMPLERS.names())))}), "
+                f"got {name!r}")
+        if use_dc and hint is not None:
+            raise ValueError("deep_cache cannot be combined with ControlNet "
+                             "(control residuals target the cached deep blocks)")
 
         if name in T_DRIVEN_SAMPLERS:
             # recover the model's alphas_cumprod from its sigma table
@@ -366,6 +382,18 @@ class SD15Pipeline:
                     ) * float(sigmas[0])
                 else:
                     x0 = x
+                if use_dc:
+                    den_cap = lambda xx, ss: den_cfg(
+                        xx, ss, mode="capture", cache_levels=dcb)
+                    den_sh = lambda xx, ss, deep: den_cfg(
+                        xx, ss, mode="shallow", cache_levels=dcb, deep=deep)
+                    _, deep_sd = jax.eval_shape(
+                        den_cap, x0, jnp.asarray(1.0, jnp.float32))
+                    cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+                    carry_den = DC.make_dc_denoise(den_cap, den_sh, dc)
+                    return DC.DC_SAMPLERS[name](
+                        carry_den, cache0, x0, sigmas, key=key,
+                        progress_cb=progress, **kwargs)
                 return sampler_fn(den_cfg, x0, sigmas, key=key,
                                   progress_cb=progress, **kwargs)
             return run

@@ -42,6 +42,7 @@ from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_
 from cremage_tpu.prompt.chunking import generate_weighted_chunks, make_ti_fetch
 from cremage_tpu.prompt.parser import compute_prompt_score
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
+from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import edm as EDM
 from cremage_tpu.samplers import schedules as S
 from cremage_tpu.core.registry import GUIDERS
@@ -254,12 +255,24 @@ class SDXLPipeline:
         guider = GUIDERS.get(opts.guider)
         sampler_name = opts.sampler
 
+        dc = int(opts.deep_cache)
+        dcb = int(opts.deep_cache_branch)
+        use_dc = dc >= 2
+        if use_dc and sampler_name not in DC.DC_SAMPLERS:
+            raise ValueError(
+                "deep_cache requires EulerEDMSampler or "
+                f"EulerAncestralSampler, got {sampler_name!r}")
+        if use_dc and opts.guider != "VanillaCFG":
+            raise ValueError(
+                "deep_cache supports the VanillaCFG guider only, got "
+                f"{opts.guider!r}")
+
         def progress(i):
             total = len(sigmas) - 1
             self._current_status(f"Sampling {int(i) + 1} / {total}")
 
         def run(params, x, c, uc, key, extra=None):
-            def network(xx, tt, cond):
+            def network(xx, tt, cond, **unet_kwargs):
                 if extra is not None:
                     ee = extra
                     if ee.shape[0] != xx.shape[0]:   # CFG-doubled batch
@@ -267,13 +280,38 @@ class SDXLPipeline:
                             [ee] * (xx.shape[0] // ee.shape[0]))
                     xx = jnp.concatenate([xx, ee.astype(xx.dtype)], axis=-1)
                 return unet.apply(params, xx, tt,
-                                  cond["crossattn"], cond["vector"])
+                                  cond["crossattn"], cond["vector"],
+                                  **unet_kwargs)
 
             denoiser = EDM.DiscreteDenoiserSGM(
                 network,
                 EDM.LegacyDDPMDiscretization()(1000, do_append_zero=False),
             )
             denoise = guider(denoiser, c, uc, **guider_kwargs)
+            if use_dc:
+                # mirror run_sgm_sampler's prepare_sampling_loop scaling
+                sig = np.asarray(sigmas, np.float64)
+                x0 = x.astype(jnp.float32)
+                if t_enc is None:
+                    x0 = x0 * float(np.sqrt(1.0 + sig[0] ** 2))
+                den_cap = lambda xx, ss: denoise(
+                    xx, ss, mode="capture", cache_levels=dcb)
+                den_sh = lambda xx, ss, deep: denoise(
+                    xx, ss, mode="shallow", cache_levels=dcb, deep=deep)
+                _, deep_sd = jax.eval_shape(
+                    den_cap, x0, jnp.asarray(1.0, jnp.float32))
+                cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+                carry_den = DC.make_dc_denoise(den_cap, den_sh, dc)
+                kw = (dict(s_churn=opts.sampler_s_churn,
+                           s_tmin=opts.sampler_s_tmin,
+                           s_tmax=opts.sampler_s_tmax,
+                           s_noise=opts.sampler_s_noise)
+                      if sampler_name == "EulerEDMSampler"
+                      else dict(eta=opts.sampler_eta,
+                                s_noise=opts.sampler_s_noise))
+                return DC.DC_SAMPLERS[sampler_name](
+                    carry_den, cache0, x0, sig, key=key,
+                    progress_cb=progress, **kw)
             return EDM.run_sgm_sampler(
                 sampler_name, denoise, x, sigmas, key=key,
                 s_churn=opts.sampler_s_churn, s_tmin=opts.sampler_s_tmin,
@@ -286,7 +324,7 @@ class SDXLPipeline:
                   tuple(cond_shape), float(opts.scale), opts.guider,
                   opts.discretization, float(opts.sampler_eta),
                   float(opts.sampler_s_churn), num_frames,
-                  self.bundle.inpaint)
+                  self.bundle.inpaint, dc, dcb)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -33,6 +33,7 @@ from cremage_tpu.models.clip_vision import CLIPVisionModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
 from cremage_tpu.models.video_unet import VideoUNet
 from cremage_tpu.pipelines.sdxl import fourier_vector_embedding
+from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import edm as EDM
 
 logger = logging.getLogger(__name__)
@@ -54,6 +55,9 @@ class SVDOptions:
     rho: float = 7.0
     seed: int = -1
     decoding_t: int = 1   # frames decoded per VAE call
+    deep_cache: int = 1   # DeepCache interval (samplers/deepcache.py);
+    #   1 = off (exact). Full video-UNet every Nth step, shallow between.
+    deep_cache_branch: int = 1
 
 
 @dataclasses.dataclass
@@ -100,14 +104,17 @@ class SVDPipeline:
         def progress(i):
             self._current_status(f"Sampling {int(i) + 1} / {opts.num_steps}")
 
+        dc = int(opts.deep_cache)
+        dcb = int(opts.deep_cache_branch)
+
         def run(params, x, ctx, vector, concat, key):
-            def network(xx, c_noise, cond):
+            def network(xx, c_noise, cond, **uk):
                 xin = jnp.concatenate(
                     [xx, cond["concat"].astype(xx.dtype)], axis=-1)
                 return unet.apply(params, xin, c_noise, cond["crossattn"],
-                                  cond["vector"])
+                                  cond["vector"], **uk)
 
-            def denoiser(xx, sigma, cond):
+            def denoiser(xx, sigma, cond, **uk):
                 sigma = jnp.broadcast_to(
                     jnp.asarray(sigma, jnp.float32), (xx.shape[0],))
                 s = sigma.reshape(-1, 1, 1, 1)
@@ -115,8 +122,12 @@ class SVDPipeline:
                 c_out = -s / jnp.sqrt(s**2 + 1.0)
                 c_in = 1.0 / jnp.sqrt(s**2 + 1.0)
                 c_noise = 0.25 * jnp.log(sigma)
-                v = network(xx * c_in, c_noise, cond).astype(jnp.float32)
-                return v * c_out + xx * c_skip
+                v = network(xx * c_in, c_noise, cond, **uk)
+                aux = None
+                if isinstance(v, tuple):  # deep-cache capture aux
+                    v, aux = v
+                den = v.astype(jnp.float32) * c_out + xx * c_skip
+                return den if aux is None else (den, aux)
 
             c = {"crossattn": ctx, "vector": vector, "concat": concat}
             uc = {"crossattn": jnp.zeros_like(ctx), "vector": vector,
@@ -126,12 +137,27 @@ class SVDPipeline:
                 num_frames=t_frames, min_scale=opts.min_guidance_scale,
                 max_scale=opts.max_guidance_scale,
             )
+            if dc >= 2:
+                sig = np.asarray(sigmas, np.float64)
+                x0 = x.astype(jnp.float32) * float(
+                    np.sqrt(1.0 + sig[0] ** 2))
+                den_cap = lambda xx, ss: denoise(
+                    xx, ss, mode="capture", cache_levels=dcb)
+                den_sh = lambda xx, ss, deep: denoise(
+                    xx, ss, mode="shallow", cache_levels=dcb, deep=deep)
+                _, dsd = jax.eval_shape(
+                    den_cap, x0, jnp.asarray(1.0, jnp.float32))
+                carry_den = DC.make_dc_denoise(den_cap, den_sh, dc)
+                return DC.sample_euler_dc(
+                    carry_den, jnp.zeros(dsd.shape, dsd.dtype), x0, sig,
+                    key=key, progress_cb=progress)
             return EDM.run_sgm_sampler(
                 "EulerEDMSampler", denoise, x, sigmas, key=key,
                 progress_cb=progress,
             )
 
-        bucket = ("svd", opts.num_steps, t_frames, tuple(shape), ctx_dim)
+        bucket = ("svd", opts.num_steps, t_frames, tuple(shape), ctx_dim,
+                  dc, dcb)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

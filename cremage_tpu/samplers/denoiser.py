@@ -82,8 +82,14 @@ class EpsDenoiser:
         c_in = 1.0 / jnp.sqrt(sigma**2 + self.sigma_data**2)
         t = self._t(sigma)
         eps = self.eps_model(x * _append_dims(c_in, x.ndim), t, cond, **model_kwargs)
+        # A model may return (eps, aux) — e.g. the UNet's deep-cache
+        # "capture" mode (samplers/deepcache.py); aux rides along.
+        aux = None
+        if isinstance(eps, tuple):
+            eps, aux = eps
         eps = eps.astype(jnp.float32)
-        return x - eps * _append_dims(sigma, x.ndim)
+        den = x - eps * _append_dims(sigma, x.ndim)
+        return den if aux is None else (den, aux)
 
 
 class VDenoiser:
@@ -123,8 +129,8 @@ def cfg_denoiser(
     model call (uncond first — reference ordering, ldm_wrapper:72-99).
     """
     if uncond is None or scale == 1.0:
-        def fn_nocfg(x, sigma):
-            return denoise(x, sigma, cond)
+        def fn_nocfg(x, sigma, **kw):
+            return denoise(x, sigma, cond, **kw)
         return fn_nocfg
 
     def _cat(u, c):
@@ -138,14 +144,20 @@ def cfg_denoiser(
 
     cond_in = _cat(uncond, cond)
 
-    def fn(x, sigma):
+    def fn(x, sigma, **kw):
         b = x.shape[0]
         sigma = _bcast_sigma(sigma, b)
         x_in = jnp.concatenate([x, x], axis=0)
         sigma_in = jnp.concatenate([sigma, sigma], axis=0)
-        d = denoise(x_in, sigma_in, cond_in)
+        d = denoise(x_in, sigma_in, cond_in, **kw)
+        # aux (e.g. a deep-cache capture tensor) stays at the doubled
+        # [uncond; cond] batch — it is fed back to the model unsplit.
+        aux = None
+        if isinstance(d, tuple):
+            d, aux = d
         d_u, d_c = d[:b], d[b:]
-        return d_u + scale * (d_c - d_u)
+        out = d_u + scale * (d_c - d_u)
+        return out if aux is None else (out, aux)
 
     return fn
 

@@ -159,8 +159,13 @@ class DiscreteDenoiserSGM:
             # EpsScaling c_noise == sigma_q so this is just idx
             c_noise = self.sigma_to_idx(c_noise).astype(jnp.float32)
         out = self.network(x * _append_dims(c_in, x.ndim), c_noise, cond, **kw)
+        # network may return (out, aux) — deep-cache capture mode
+        aux = None
+        if isinstance(out, tuple):
+            out, aux = out
         out = out.astype(jnp.float32)
-        return out * _append_dims(c_out, x.ndim) + x * _append_dims(c_skip, x.ndim)
+        den = out * _append_dims(c_out, x.ndim) + x * _append_dims(c_skip, x.ndim)
+        return den if aux is None else (den, aux)
 
 
 # ---------------------------------------------------------------------------
@@ -182,13 +187,17 @@ def vanilla_cfg(denoiser: Callable, c: Dict, uc: Dict, scale: float,
                 **_ignored) -> Callable:
     cond_in = _cat_conds(uc, c)
 
-    def denoise(x, sigma):
+    def denoise(x, sigma, **kw):
         b = x.shape[0]
         sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
         d = denoiser(jnp.concatenate([x, x], axis=0),
-                     jnp.concatenate([sigma, sigma], axis=0), cond_in)
+                     jnp.concatenate([sigma, sigma], axis=0), cond_in, **kw)
+        aux = None
+        if isinstance(d, tuple):  # deep-cache capture aux rides along
+            d, aux = d
         d_u, d_c = d[:b], d[b:]
-        return d_u + scale * (d_c - d_u)
+        out = d_u + scale * (d_c - d_u)
+        return out if aux is None else (out, aux)
 
     return denoise
 
@@ -209,18 +218,22 @@ def _frame_scaled_cfg(denoiser, c, uc, scales_per_frame: np.ndarray,
     cond_in = _cat_conds(uc, c)
     sc = jnp.asarray(scales_per_frame, jnp.float32)
 
-    def denoise(x, sigma):
+    def denoise(x, sigma, **kw):
         b = x.shape[0]
         sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
         d = denoiser(jnp.concatenate([x, x], axis=0),
-                     jnp.concatenate([sigma, sigma], axis=0), cond_in)
+                     jnp.concatenate([sigma, sigma], axis=0), cond_in, **kw)
+        aux = None
+        if isinstance(d, tuple):  # deep-cache capture aux rides along
+            d, aux = d
         d_u, d_c = d[:b], d[b:]
         nb = b // num_frames
         shp = (nb, num_frames) + d_u.shape[1:]
         du = d_u.reshape(shp)
         dc = d_c.reshape(shp)
         scale = sc.reshape((1, num_frames) + (1,) * (len(shp) - 2))
-        return (du + scale * (dc - du)).reshape(d_u.shape)
+        out = (du + scale * (dc - du)).reshape(d_u.shape)
+        return out if aux is None else (out, aux)
 
     return denoise
 
