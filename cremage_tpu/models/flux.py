@@ -44,6 +44,12 @@ class FluxConfig:
     guidance_embed: bool = False     # schnell: False, dev: True
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    # Set (to a mesh axis name) ONLY when the forward runs inside a
+    # shard_map body with the token axis sharded over that axis: every
+    # per-token op (Dense/LN/modulation) then works on the local token
+    # slice and attention runs the ring schedule over the axis
+    # (parallel/sequence.py flux_sp_apply is the entry point).
+    sp_axis: Optional[str] = None
 
 
 def flux_schnell_config(**kw) -> FluxConfig:
@@ -123,11 +129,18 @@ class MLPEmbedder(nn.Module):
         return Dense(self.hidden, name="out_layer", **dd)(silu(x))
 
 
-def _attention_with_rope(q, k, v, freqs):
-    from cremage_tpu.ops.attention import attention
-
+def _attention_with_rope(q, k, v, freqs, sp_axis=None):
     q = apply_rope(q, freqs)
     k = apply_rope(k, freqs)
+    if sp_axis is not None:
+        # token axis sharded over `sp_axis` (inside shard_map): ring
+        # attention — k/v chunks circulate via ppermute while an
+        # online-softmax accumulator folds them in.
+        from cremage_tpu.parallel.sequence import ring_attention_body
+
+        return ring_attention_body(q, k, v, axis_name=sp_axis)
+    from cremage_tpu.ops.attention import attention
+
     return attention(q, k, v)
 
 
@@ -160,7 +173,7 @@ class DoubleBlock(nn.Module):
         q = jnp.concatenate([tq, iq], axis=1)
         k = jnp.concatenate([tk, ik], axis=1)
         v = jnp.concatenate([tv, iv], axis=1)
-        att = _attention_with_rope(q, k, v, freqs)
+        att = _attention_with_rope(q, k, v, freqs, sp_axis=cfg.sp_axis)
         att = att.reshape(att.shape[0], att.shape[1], cfg.hidden_size)
         t_att, i_att = att[:, :nt], att[:, nt:]
 
@@ -201,7 +214,8 @@ class SingleBlock(nn.Module):
         qkv = qkv.reshape(b, n, 3, h, d)
         q = _RMSScale(name="norm_query_norm")(qkv[:, :, 0])
         k = _RMSScale(name="norm_key_norm")(qkv[:, :, 1])
-        att = _attention_with_rope(q, k, qkv[:, :, 2], freqs)
+        att = _attention_with_rope(q, k, qkv[:, :, 2], freqs,
+                                   sp_axis=cfg.sp_axis)
         att = att.reshape(b, n, cfg.hidden_size)
         out = Dense(cfg.hidden_size, name="linear2", **dd)(
             jnp.concatenate([att, nn.gelu(mlp, approximate=True)], axis=-1)
@@ -221,9 +235,17 @@ class FluxModel(nn.Module):
 
     @nn.compact
     def __call__(self, img_tokens, txt_tokens, t, y_vec, img_ids, txt_ids,
-                 guidance: Optional[jnp.ndarray] = None):
+                 guidance: Optional[jnp.ndarray] = None,
+                 freqs: Optional[jnp.ndarray] = None):
         """img_tokens: (B, Ni, 64) packed latents; txt_tokens: (B, Nt, 4096);
-        t: (B,) in [0,1]; y_vec: (B, 768) CLIP pooled; ids: host numpy."""
+        t: (B,) in [0,1]; y_vec: (B, 768) CLIP pooled; ids: host numpy.
+
+        `freqs` (Nt+Ni, head_dim/2, 2) overrides the ids-derived RoPE
+        table — the sequence-parallel path passes each shard its local
+        slice as a traced operand (ids stay None).  Full attention is
+        permutation-invariant in the kv set, so per-shard
+        [txt_loc; img_loc] ordering is exact as long as q/k/v/freqs
+        share it (they do: all derive from the same local tokens)."""
         cfg = self.cfg
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
 
@@ -243,8 +265,10 @@ class FluxModel(nn.Module):
         vec = vec + MLPEmbedder(cfg.hidden_size, cfg.dtype, cfg.param_dtype,
                                 name="vector_in")(y_vec.astype(cfg.dtype))
 
-        ids = np.concatenate([np.asarray(txt_ids), np.asarray(img_ids)], axis=0)
-        freqs = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
+        if freqs is None:
+            ids = np.concatenate([np.asarray(txt_ids), np.asarray(img_ids)],
+                                 axis=0)
+            freqs = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
 
         for i in range(cfg.depth_double):
             img, txt = DoubleBlock(cfg, name=f"double_blocks_{i}")(

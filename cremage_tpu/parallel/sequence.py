@@ -32,6 +32,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -126,3 +127,83 @@ def sp_attention(
 def token_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """NamedSharding placing the token axis of (B,N,H,D) on mesh[axis]."""
     return NamedSharding(mesh, P(None, axis, None, None))
+
+
+# public name for the per-shard ring body: models call it directly when
+# their forward already runs inside a shard_map with the token axis
+# sharded (e.g. models/flux.py _attention_with_rope under cfg.sp_axis).
+ring_attention_body = _ring_shard
+
+
+def flux_sp_apply(
+    model,
+    params,
+    mesh: Mesh,
+    img_tokens: jnp.ndarray,
+    txt_tokens: jnp.ndarray,
+    t: jnp.ndarray,
+    y_vec: jnp.ndarray,
+    img_ids,
+    txt_ids,
+    guidance: Optional[jnp.ndarray] = None,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """FLUX forward with the token axis sharded over `mesh[axis]`.
+
+    The batch=1 latency axis for the 12B DiT: every per-token op
+    (Dense with replicated weights, LayerNorm, modulation) runs on each
+    device's token slice with zero collectives; only attention
+    communicates — the ring schedule (`_ring_shard`) circulates k/v
+    slices over ICI.  txt and img tokens shard independently (both
+    counts must divide the axis size); per-shard local order is
+    [txt_loc; img_loc], exact because full attention is permutation-
+    invariant in the kv set and q rows keep their own RoPE freqs (see
+    FluxModel.__call__ docstring).
+
+    img_tokens: (B, Ni, 64); txt_tokens: (B, Nt, ctx_dim); returns
+    (B, Ni, 64) velocity, token-sharded like the input.
+    """
+    import dataclasses as _dc
+
+    from cremage_tpu.models.flux import rope_freqs
+
+    n_shards = mesh.shape[axis]
+    nt, ni = txt_tokens.shape[1], img_tokens.shape[1]
+    for name, n in (("txt", nt), ("img", ni)):
+        if n % n_shards:
+            raise ValueError(
+                f"{name} token count {n} must divide over {n_shards} "
+                f"devices on mesh axis {axis!r}")
+
+    cfg = model.cfg
+    sp_model = type(model)(_dc.replace(cfg, sp_axis=axis))
+    freqs_txt = jnp.asarray(rope_freqs(np.asarray(txt_ids), cfg.axes_dim,
+                                       cfg.theta))
+    freqs_img = jnp.asarray(rope_freqs(np.asarray(img_ids), cfg.axes_dim,
+                                       cfg.theta))
+
+    tok = P(None, axis, None)
+    frq = P(axis, None, None)
+    rep_params = jax.tree.map(lambda _: P(), params)
+
+    if guidance is None:
+        def body(p, it, tt, ft, fi, t_, y_):
+            return sp_model.apply(p, it, tt, t_, y_, None, None,
+                                  freqs=jnp.concatenate([ft, fi], axis=0))
+
+        in_specs = (rep_params, tok, tok, frq, frq, P(None), P(None, None))
+        args = (params, img_tokens, txt_tokens, freqs_txt, freqs_img, t,
+                y_vec)
+    else:
+        def body(p, it, tt, ft, fi, t_, y_, g_):
+            return sp_model.apply(p, it, tt, t_, y_, None, None, guidance=g_,
+                                  freqs=jnp.concatenate([ft, fi], axis=0))
+
+        in_specs = (rep_params, tok, tok, frq, frq, P(None), P(None, None),
+                    P(None))
+        args = (params, img_tokens, txt_tokens, freqs_txt, freqs_img, t,
+                y_vec, guidance)
+
+    fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=tok,
+                       check_vma=False)
+    return fn(*args)

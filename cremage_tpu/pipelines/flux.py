@@ -86,6 +86,22 @@ class FluxPipeline:
         self.safety = safety or default_image_safety()
         self._cache: Dict[Tuple, Callable] = {}
         self._current_status: Callable = _noop
+        self.sp_mesh = None
+        self.sp_axis = "data"
+
+    def use_mesh_sp(self, mesh, axis: str = "data"):
+        """Sequence-parallel deployment: params replicated over `mesh`,
+        the latent-token axis of every transformer forward sharded over
+        `mesh[axis]` with ring attention (parallel/sequence.py).  The
+        batch=1 latency axis — with one image in flight the data axis is
+        idle and TP caps at the head count, but the 4096 tokens of a
+        1024² image split over every chip."""
+        from cremage_tpu.core.mesh import replicate_params
+
+        self.bundle.params = replicate_params(mesh, self.bundle.params)
+        self.sp_mesh = mesh
+        self.sp_axis = axis
+        self._cache.clear()
 
     def _program(self, opts, hp, wp, txt_len, b):
         model = self.bundle.model
@@ -102,6 +118,8 @@ class FluxPipeline:
         def progress(i):
             self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
 
+        sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
+
         def run(params, x_tokens, txt, vec, key):
             def v_fn(xx, sigma):
                 bsz = xx.shape[0]
@@ -110,13 +128,20 @@ class FluxPipeline:
                     jnp.full((bsz,), guidance_scale, jnp.float32)
                     if model.cfg.guidance_embed else None
                 )
+                if sp_mesh is not None:
+                    from cremage_tpu.parallel.sequence import flux_sp_apply
+
+                    return flux_sp_apply(model, params, sp_mesh, xx, txt, t,
+                                         vec, img_ids, txt_ids,
+                                         guidance=guidance, axis=sp_axis)
                 return model.apply(params, xx, txt, t, vec, img_ids, txt_ids,
                                    guidance)
 
             return F.sample_flow_euler(v_fn, x_tokens, sigmas, key=key,
                                        progress_cb=progress)
 
-        bucket = ("flux", steps, hp, wp, txt_len, b, guidance_scale)
+        bucket = ("flux", steps, hp, wp, txt_len, b, guidance_scale,
+                  sp_mesh is not None)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

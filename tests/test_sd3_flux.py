@@ -213,7 +213,9 @@ def test_flux_model_forward():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_flux_pipeline_end_to_end():
+def make_flux_pipeline():
+    """Tiny FluxPipeline on synthetic weights (8 txt + 16 img tokens —
+    both divisible by 8, so the SP tests can reuse it)."""
     cfg = tiny_flux_cfg()
     m = FX.FluxModel(cfg)
     txt_ids, img_ids = FX.make_position_ids(4, 4, 8)
@@ -242,7 +244,11 @@ def test_flux_pipeline_end_to_end():
     vp = vae.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))
     bundle = FluxBundle(model=m, params=params, conditioner=cond,
                         vae=vae, vae_params=vp)
-    pipe = FluxPipeline(bundle)
+    return FluxPipeline(bundle)
+
+
+def test_flux_pipeline_end_to_end():
+    pipe = make_flux_pipeline()
     opts = GenerationOptions(prompt="a fox", H=64, W=64, sampling_steps=2,
                              seed=3, safety_check=False)
     results = pipe.generate(opts)

@@ -71,3 +71,98 @@ def test_sp_validates(mesh8):
     q, k, v = _qkv(n=16)
     with pytest.raises(ValueError, match="schedule"):
         sp_attention(q, k, v, mesh8, schedule="nope")
+
+
+# ---------------- FLUX under sequence parallelism --------------------------
+
+
+def _tiny_flux(guidance_embed=False, txt_n=8, hw=4):
+    from cremage_tpu.models.flux import (
+        FluxConfig, FluxModel, make_position_ids,
+    )
+
+    cfg = FluxConfig(
+        hidden_size=64, num_heads=2, head_dim=32, depth_double=2,
+        depth_single=2, context_dim=32, vec_dim=32, axes_dim=(8, 12, 12),
+        in_channels=16, dtype=jnp.float32, guidance_embed=guidance_embed,
+    )
+    model = FluxModel(cfg)
+    txt_ids, img_ids = make_position_ids(hw, hw, txt_n)
+    ks = jax.random.split(jax.random.key(3), 3)
+    guidance = jnp.asarray([3.5]) if guidance_embed else None
+    args = (
+        jax.random.normal(ks[0], (1, hw * hw, 16)),
+        jax.random.normal(ks[1], (1, txt_n, 32)),
+        jnp.asarray([0.4]),
+        jax.random.normal(ks[2], (1, 32)),
+        img_ids, txt_ids, guidance,
+    )
+    params = model.init(jax.random.key(0), *args)
+    return model, params, args
+
+
+@pytest.mark.parametrize("guidance_embed", [False, True])
+def test_flux_sp_matches_single_device(mesh8, guidance_embed):
+    """flux_sp_apply (token axis over 8 shards, ring attention) must
+    match the plain single-device forward: per-token ops see only a
+    local slice and attention streams kv around the ring, so agreement
+    checks the whole decomposition (RoPE slab slicing, txt/img local
+    ordering, online-softmax accumulation)."""
+    from cremage_tpu.parallel.sequence import flux_sp_apply
+
+    model, params, args = _tiny_flux(guidance_embed=guidance_embed)
+    img_t, txt_t, t, vec, img_ids, txt_ids, guidance = args
+    want = np.asarray(model.apply(params, *args), np.float32)
+
+    with mesh8:
+        got = flux_sp_apply(model, params, mesh8, img_t, txt_t, t, vec,
+                            img_ids, txt_ids, guidance=guidance)
+    assert "data" in str(got.sharding.spec)  # output stays token-sharded
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_flux_sp_under_jit(mesh8):
+    from cremage_tpu.parallel.sequence import flux_sp_apply, token_sharding
+
+    model, params, args = _tiny_flux()
+    img_t, txt_t, t, vec, img_ids, txt_ids, _ = args
+    want = np.asarray(model.apply(params, *args), np.float32)
+    tok3 = jax.NamedSharding(mesh8, jax.sharding.PartitionSpec(
+        None, "data", None))
+    img_s = jax.device_put(img_t, tok3)
+    txt_s = jax.device_put(txt_t, tok3)
+    with mesh8:
+        fn = jax.jit(lambda p, a, b, c, d: flux_sp_apply(
+            model, p, mesh8, a, b, c, d, img_ids, txt_ids))
+        got = fn(params, img_s, txt_s, t, vec)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_flux_sp_validates_divisibility(mesh8):
+    from cremage_tpu.parallel.sequence import flux_sp_apply
+
+    model, params, args = _tiny_flux(txt_n=9)  # 9 % 8 != 0
+    img_t, txt_t, t, vec, img_ids, txt_ids, _ = args
+    with pytest.raises(ValueError, match="divide"):
+        flux_sp_apply(model, params, mesh8, img_t, txt_t, t, vec,
+                      img_ids, txt_ids)
+
+
+def test_flux_pipeline_sp_matches_plain(mesh8):
+    """FluxPipeline.use_mesh_sp: the whole product path (pipeline scan
+    program + VAE decode) under token sharding must match the plain
+    single-device generation."""
+    from tests.test_sd3_flux import make_flux_pipeline
+    from cremage_tpu.core.config import GenerationOptions
+
+    opts = GenerationOptions(prompt="a fox", H=64, W=64, sampling_steps=2,
+                             seed=3, safety_check=False, watermark=False)
+    plain = make_flux_pipeline().generate(opts)[0][0]
+
+    pipe = make_flux_pipeline()
+    pipe.use_mesh_sp(mesh8)
+    with mesh8:
+        sp = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
