@@ -20,6 +20,7 @@ downloads, so the checkpoint maps mechanically
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -47,6 +48,12 @@ class HunyuanConfig:
     text_len_t5: int = 256           # mT5 token count (for padding param)
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    # Set (to a mesh axis name) ONLY inside a shard_map body with the
+    # latent patch-row axis sharded over that axis: self-attention runs
+    # the ring schedule; cross-attention stays local (its kv is the
+    # replicated joint text stream).  parallel/sequence.py
+    # hunyuan_sp_apply is the entry point.
+    sp_axis: Optional[str] = None
 
 
 def _silu_fp32(x, dtype):
@@ -80,7 +87,13 @@ class HunyuanBlock(nn.Module):
         k = LayerNorm(name="attn1_k_norm")(qkv[:, :, 1])
         q = apply_rope(q.astype(cfg.dtype), freqs)
         k = apply_rope(k.astype(cfg.dtype), freqs)
-        a = attention(q, k, qkv[:, :, 2]).reshape(b, n, c)
+        if cfg.sp_axis is not None:
+            from cremage_tpu.parallel.sequence import ring_attention_body
+
+            a = ring_attention_body(q, k, qkv[:, :, 2],
+                                    axis_name=cfg.sp_axis).reshape(b, n, c)
+        else:
+            a = attention(q, k, qkv[:, :, 2]).reshape(b, n, c)
         x = x + Dense(c, name="attn1_proj", **dd)(a)
 
         y = LayerNorm(name="norm2")(x)
@@ -104,9 +117,15 @@ class HunyuanDiT(nn.Module):
     cfg: HunyuanConfig
 
     @nn.compact
-    def __call__(self, x, t, clip_text, mt5_text):
+    def __call__(self, x, t, clip_text, mt5_text,
+                 freqs: Optional[jnp.ndarray] = None):
         """x: (B,H,W,4); t: (B,); clip_text: (B,77,clip_dim);
-        mt5_text: (B,L,mt5_dim)."""
+        mt5_text: (B,L,mt5_dim).
+
+        `freqs` ((N, d_head/2, 2) traced) overrides the host-computed
+        2D RoPE table — the sequence-parallel path passes each shard
+        its band of the GLOBAL grid (the host computation inside a
+        shard_map body would see only the local hp)."""
         cfg = self.cfg
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         p = cfg.patch_size
@@ -120,11 +139,12 @@ class HunyuanDiT(nn.Module):
 
         # 2D RoPE: head dim split into (y, x) halves (diffusers
         # get_2d_rotary_pos_embed semantics, flux rotation convention)
-        ys, xs = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
-        ids = np.stack([ys, xs], -1).reshape(-1, 2)
         d_head = c // cfg.num_heads
-        freqs = jnp.asarray(rope_freqs(
-            ids, (d_head - d_head // 2, d_head // 2), 10000.0))
+        if freqs is None:
+            ys, xs = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
+            ids = np.stack([ys, xs], -1).reshape(-1, 2)
+            freqs = jnp.asarray(rope_freqs(
+                ids, (d_head - d_head // 2, d_head // 2), 10000.0))
 
         t_emb = timestep_embedding(t, 256).astype(cfg.dtype)
         t_vec = Dense(c, name="t_embedder_mlp_0", **dd)(t_emb)

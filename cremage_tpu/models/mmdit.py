@@ -20,8 +20,10 @@ block (ops/attention dispatch -> Pallas flash at big latents).
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from cremage_tpu.models.layers import Conv, Dense, silu, timestep_embedding
@@ -42,6 +44,12 @@ class MMDiTConfig:
     qk_norm: bool = False            # SD3.5 uses RMS qk-norm
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    # Set (to a mesh axis name) ONLY inside a shard_map body with the
+    # latent patch-row axis sharded over that axis: x is the local band,
+    # context/pooled are replicated, and joint attention runs the ring
+    # schedule with the context kv folded as a replicated prefix
+    # (parallel/sequence.py mmdit_sp_apply is the entry point).
+    sp_axis: Optional[str] = None
 
 
 def sd3_medium_config(**kw) -> MMDiTConfig:
@@ -105,9 +113,20 @@ class JointBlock(nn.Module):
 
         nc = ctx.shape[1]
         q = jnp.concatenate([cqkv[:, :, 0], xqkv[:, :, 0]], axis=1)
-        k = jnp.concatenate([cqkv[:, :, 1], xqkv[:, :, 1]], axis=1)
-        v = jnp.concatenate([cqkv[:, :, 2], xqkv[:, :, 2]], axis=1)
-        att = attention(q, k, v)
+        if cfg.sp_axis is not None:
+            # latent tokens sharded over sp_axis (inside shard_map):
+            # ctx q rows are replicated and ride the same ring — every
+            # shard folds the full (replicated) context kv once as a
+            # prefix, then streams the other shards' latent kv chunks.
+            from cremage_tpu.parallel.sequence import ring_attention_body
+
+            att = ring_attention_body(
+                q, xqkv[:, :, 1], xqkv[:, :, 2], axis_name=cfg.sp_axis,
+                k_prefix=cqkv[:, :, 1], v_prefix=cqkv[:, :, 2])
+        else:
+            k = jnp.concatenate([cqkv[:, :, 1], xqkv[:, :, 1]], axis=1)
+            v = jnp.concatenate([cqkv[:, :, 2], xqkv[:, :, 2]], axis=1)
+            att = attention(q, k, v)
         b = att.shape[0]
         att = att.reshape(b, att.shape[1], cfg.hidden_size)
         catt, xatt = att[:, :nc], att[:, nc:]
@@ -155,11 +174,19 @@ class MMDiT(nn.Module):
         )
         grid = pos.reshape(cfg.pos_embed_max_size, cfg.pos_embed_max_size,
                            cfg.hidden_size)
-        top = (cfg.pos_embed_max_size - hp) // 2
         left = (cfg.pos_embed_max_size - wp) // 2
-        cropped = grid[top:top + hp, left:left + wp].reshape(
-            1, hp * wp, cfg.hidden_size
-        )
+        if cfg.sp_axis is not None:
+            # x is this shard's row band: hp is LOCAL; the crop offset
+            # is the global centering plus this shard's band position.
+            n_sh = jax.lax.psum(1, cfg.sp_axis)
+            top = ((cfg.pos_embed_max_size - hp * n_sh) // 2
+                   + jax.lax.axis_index(cfg.sp_axis) * hp)
+            cropped = jax.lax.dynamic_slice(
+                grid, (top, left, 0), (hp, wp, cfg.hidden_size))
+        else:
+            top = (cfg.pos_embed_max_size - hp) // 2
+            cropped = grid[top:top + hp, left:left + wp]
+        cropped = cropped.reshape(1, hp * wp, cfg.hidden_size)
         tokens = tokens + cropped.astype(cfg.dtype)
 
         t_emb = timestep_embedding(t, 256).astype(cfg.dtype)

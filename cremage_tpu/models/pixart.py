@@ -17,6 +17,7 @@ runtime (not a parameter).
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -38,6 +39,12 @@ class PixArtConfig:
     mlp_ratio: int = 4
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    # Set (to a mesh axis name) ONLY inside a shard_map body with the
+    # latent patch-row axis sharded over that axis: x is the local
+    # band, y (text) is replicated — self-attention runs the ring
+    # schedule; cross-attention stays local (its kv is the replicated
+    # text).  parallel/sequence.py pixart_sp_apply is the entry point.
+    sp_axis: Optional[str] = None
 
 
 def pixart_sigma_xl_config(**kw) -> PixArtConfig:
@@ -87,7 +94,13 @@ class PixArtBlock(nn.Module):
         xm = _ln(x) * (1 + scale_msa) + shift_msa
         qkv = Dense(3 * cfg.hidden_size, name="attn_qkv", **dd)(xm)
         qkv = qkv.reshape(b, n, 3, h, d)
-        att = attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
+        if cfg.sp_axis is not None:
+            from cremage_tpu.parallel.sequence import ring_attention_body
+
+            att = ring_attention_body(qkv[:, :, 0], qkv[:, :, 1],
+                                      qkv[:, :, 2], axis_name=cfg.sp_axis)
+        else:
+            att = attention(qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2])
         att = att.reshape(b, n, cfg.hidden_size)
         x = x + gate_msa * Dense(cfg.hidden_size, name="attn_proj", **dd)(att)
 
@@ -111,8 +124,13 @@ class PixArt(nn.Module):
     cfg: PixArtConfig
 
     @nn.compact
-    def __call__(self, x, t, y):
-        """x: (B,H,W,4) latents; t: (B,) DDPM timesteps; y: (B, L, 4096)."""
+    def __call__(self, x, t, y, pos: Optional[jnp.ndarray] = None):
+        """x: (B,H,W,4) latents; t: (B,) DDPM timesteps; y: (B, L, 4096).
+
+        `pos` ((N, hidden) traced) overrides the host-computed sincos
+        table — the sequence-parallel path passes each shard its band
+        of the GLOBAL grid (the host computation inside a shard_map
+        body would see only the local hp and produce wrong rows)."""
         cfg = self.cfg
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         p = cfg.patch_size
@@ -122,8 +140,9 @@ class PixArt(nn.Module):
         tokens = Conv(cfg.hidden_size, kernel_size=p, stride=p, padding=0,
                       name="x_embedder_proj", **dd)(x.astype(cfg.dtype))
         tokens = tokens.reshape(b, hp * wp, cfg.hidden_size)
-        pos = jnp.asarray(sincos_2d(cfg.hidden_size, hp, wp))[None]
-        tokens = tokens + pos.astype(cfg.dtype)
+        if pos is None:
+            pos = jnp.asarray(sincos_2d(cfg.hidden_size, hp, wp))
+        tokens = tokens + pos[None].astype(cfg.dtype)
 
         t_emb = timestep_embedding(t, 256).astype(cfg.dtype)
         t_vec = Dense(cfg.hidden_size, name="t_embedder_mlp_0", **dd)(t_emb)

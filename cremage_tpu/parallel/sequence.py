@@ -53,13 +53,19 @@ def _all_gather_kv_shard(q, k, v, axis_name: str):
     return _reference_attention(q, k_full, v_full)
 
 
-def _ring_shard(q, k, v, axis_name: str):
+def _ring_shard(q, k, v, axis_name: str, k_prefix=None, v_prefix=None):
     """Per-shard body: streaming online-softmax over ring-passed k/v.
 
     Accumulators: m (B,H,Nq) running max, l (B,H,Nq) running softmax
     normalizer, acc (B,Nq,H,D) running weighted value sum — the flash-
     attention recurrence, with the 'blocks' being other devices' k/v
     slices arriving over ICI.
+
+    `k_prefix`/`v_prefix` (optional, REPLICATED across the axis) are
+    folded in once before the ring — the joint-attention case where a
+    short context stream (not divisible by the mesh, and cheap to
+    replicate) attends together with the sharded latent tokens
+    (models/mmdit.py under cfg.sp_axis).
     """
     n_dev = jax.lax.psum(1, axis_name)
     axis_index = jax.lax.axis_index(axis_name)
@@ -68,8 +74,7 @@ def _ring_shard(q, k, v, axis_name: str):
     scale = 1.0 / jnp.sqrt(jnp.float32(d))
     qf = q.astype(jnp.float32)
 
-    def block(carry, _):
-        m, l, acc, k_c, v_c = carry
+    def fold(m, l, acc, k_c, v_c):
         logits = jnp.einsum("bnhd,bmhd->bhnm", qf,
                             k_c.astype(jnp.float32)) * scale
         m_blk = logits.max(axis=-1)
@@ -79,14 +84,21 @@ def _ring_shard(q, k, v, axis_name: str):
         l = l * corr + p.sum(axis=-1)
         acc = (acc * jnp.moveaxis(corr, 1, 2)[..., None]
                + jnp.einsum("bhnm,bmhd->bnhd", p, v_c.astype(jnp.float32)))
+        return m_new, l, acc
+
+    def block(carry, _):
+        m, l, acc, k_c, v_c = carry
+        m, l, acc = fold(m, l, acc, k_c, v_c)
         perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
         k_c = jax.lax.ppermute(k_c, axis_name, perm)
         v_c = jax.lax.ppermute(v_c, axis_name, perm)
-        return (m_new, l, acc, k_c, v_c), None
+        return (m, l, acc, k_c, v_c), None
 
     m0 = jnp.full((b, h, nq), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((b, h, nq), jnp.float32)
     acc0 = jnp.zeros((b, nq, h, d), jnp.float32)
+    if k_prefix is not None:
+        m0, l0, acc0 = fold(m0, l0, acc0, k_prefix, v_prefix)
     (m, l, acc, _, _), _ = jax.lax.scan(
         block, (m0, l0, acc0, k, v), None, length=n_dev)
     out = acc / jnp.moveaxis(l, 1, 2)[..., None]
@@ -207,3 +219,151 @@ def flux_sp_apply(
     fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=tok,
                        check_vma=False)
     return fn(*args)
+
+
+def mmdit_sp_apply(
+    model,
+    params,
+    mesh: Mesh,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    context: jnp.ndarray,
+    pooled: jnp.ndarray,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """MMDiT (SD3) forward with latent patch rows sharded over
+    `mesh[axis]`.
+
+    Each shard patchifies its own row band (the stride-p patch conv is
+    band-local when the band height divides by the patch size), adds
+    its slice of the centered pos-embed crop, and runs every per-token
+    op locally; joint attention rings the latent kv while the short
+    context stream — not generally divisible by the mesh, and cheap —
+    stays replicated and is folded as a prefix block (context q rows
+    ride the ring identically on every shard, so the context stream's
+    residual state stays replicated across blocks).
+
+    x: (B, H, W, C) latents NHWC; returns (B, H, W, C) velocity with
+    the H axis sharded like the input.
+    """
+    import dataclasses as _dc
+
+    cfg = model.cfg
+    n_shards = mesh.shape[axis]
+    _validate_bands(x.shape[1], cfg.patch_size, n_shards)
+
+    sp_model = type(model)(_dc.replace(cfg, sp_axis=axis))
+    row = P(None, axis, None, None)
+    rep_params = jax.tree.map(lambda _: P(), params)
+
+    def body(p, x_, t_, c_, y_):
+        return sp_model.apply(p, x_, t_, c_, y_)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rep_params, row, P(None), P(None, None, None),
+                  P(None, None)),
+        out_specs=row, check_vma=False)
+    return fn(params, x, t, context, pooled)
+
+
+def _validate_bands(hh: int, patch: int, n_shards: int):
+    band = hh // n_shards
+    if hh % n_shards or band % patch:
+        raise ValueError(
+            f"latent height {hh} must divide over {n_shards} devices "
+            f"into patch-aligned bands (patch_size {patch})")
+
+
+def pixart_sp_apply(
+    model,
+    params,
+    mesh: Mesh,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    y: jnp.ndarray,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """PixArt-Σ forward with latent patch rows sharded over `mesh[axis]`.
+
+    Self-attention rings the latent kv; cross-attention is local (its
+    kv is the replicated text stream y) — zero collectives outside the
+    self-attention ring.  The GLOBAL sincos position table is computed
+    on the host and handed to each shard as a token-sharded operand
+    (row-major token order makes a row band a contiguous token slice).
+    """
+    import dataclasses as _dc
+
+    from cremage_tpu.models.pixart import sincos_2d
+
+    cfg = model.cfg
+    n_shards = mesh.shape[axis]
+    hh, ww = x.shape[1], x.shape[2]
+    _validate_bands(hh, cfg.patch_size, n_shards)
+    hp, wp = hh // cfg.patch_size, ww // cfg.patch_size
+
+    sp_model = type(model)(_dc.replace(cfg, sp_axis=axis))
+    pos = jnp.asarray(sincos_2d(cfg.hidden_size, hp, wp))   # (N, hidden)
+
+    row = P(None, axis, None, None)
+    rep_params = jax.tree.map(lambda _: P(), params)
+
+    def body(p, x_, t_, y_, pos_):
+        return sp_model.apply(p, x_, t_, y_, pos=pos_)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rep_params, row, P(None), P(None, None, None),
+                  P(axis, None)),
+        out_specs=row, check_vma=False)
+    return fn(params, x, t, y, pos)
+
+
+def hunyuan_sp_apply(
+    model,
+    params,
+    mesh: Mesh,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    clip_text: jnp.ndarray,
+    mt5_text: jnp.ndarray,
+    axis: str = "data",
+) -> jnp.ndarray:
+    """Hunyuan-DiT forward with latent patch rows sharded over
+    `mesh[axis]`.
+
+    Self-attention rings the latent kv (RoPE tables ride in as a
+    token-sharded operand built from the GLOBAL grid); cross-attention
+    is local over the replicated joint [CLIP; mT5] text stream; the
+    U-ViT long skips concatenate per-token residuals, so they stay
+    band-local.
+    """
+    import dataclasses as _dc
+
+    from cremage_tpu.models.flux import rope_freqs
+
+    cfg = model.cfg
+    n_shards = mesh.shape[axis]
+    hh, ww = x.shape[1], x.shape[2]
+    _validate_bands(hh, cfg.patch_size, n_shards)
+    hp, wp = hh // cfg.patch_size, ww // cfg.patch_size
+
+    sp_model = type(model)(_dc.replace(cfg, sp_axis=axis))
+    ys, xs = np.meshgrid(np.arange(hp), np.arange(wp), indexing="ij")
+    ids = np.stack([ys, xs], -1).reshape(-1, 2)
+    d_head = cfg.hidden_size // cfg.num_heads
+    freqs = jnp.asarray(rope_freqs(
+        ids, (d_head - d_head // 2, d_head // 2), 10000.0))
+
+    row = P(None, axis, None, None)
+    txt = P(None, None, None)
+    rep_params = jax.tree.map(lambda _: P(), params)
+
+    def body(p, x_, t_, ct_, mt_, fr_):
+        return sp_model.apply(p, x_, t_, ct_, mt_, freqs=fr_)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(rep_params, row, P(None), txt, txt, P(axis, None, None)),
+        out_specs=row, check_vma=False)
+    return fn(params, x, t, clip_text, mt5_text, freqs)

@@ -88,6 +88,21 @@ class HunyuanPipeline:
         self.safety = safety or default_image_safety()
         self._cache: Dict[Tuple, Callable] = {}
         self._current_status: Callable = _noop
+        self.sp_mesh = None
+        self.sp_axis = "data"
+
+    def use_mesh_sp(self, mesh, axis: str = "data"):
+        """Sequence-parallel deployment: params replicated over `mesh`,
+        latent patch rows of every DiT forward sharded over `mesh[axis]`
+        (parallel/sequence.py hunyuan_sp_apply) — the batch=1 latency
+        axis."""
+        from cremage_tpu.core.mesh import replicate_params
+
+        self.bundle.dit_params = replicate_params(mesh,
+                                                  self.bundle.dit_params)
+        self.sp_mesh = mesh
+        self.sp_axis = axis
+        self._cache.clear()
 
     def _program(self, opts, shape, dims):
         b = self.bundle
@@ -104,17 +119,26 @@ class HunyuanPipeline:
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
 
+        sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
+
         def run(params, x, c_clip, uc_clip, c_t5, uc_t5, key):
             def v_model(xx, tt, cond):
                 clip_t, mt5_t = cond
-                out = b.dit.apply(params, xx, tt, clip_t, mt5_t)
+                if sp_mesh is not None:
+                    from cremage_tpu.parallel.sequence import hunyuan_sp_apply
+
+                    out = hunyuan_sp_apply(b.dit, params, sp_mesh, xx, tt,
+                                           clip_t, mt5_t, axis=sp_axis)
+                else:
+                    out = b.dit.apply(params, xx, tt, clip_t, mt5_t)
                 return out[..., : xx.shape[-1]]
 
             denoise = VDenoiser(v_model, sched)
             den = cfg_denoiser(denoise, (c_clip, c_t5), (uc_clip, uc_t5), scale)
             return sampler_fn(den, x, sigmas, key=key, progress_cb=progress)
 
-        bucket = ("hunyuan", name, steps, tuple(shape), dims, scale)
+        bucket = ("hunyuan", name, steps, tuple(shape), dims, scale,
+                  sp_mesh is not None)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

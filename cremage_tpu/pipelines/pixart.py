@@ -64,6 +64,21 @@ class PixArtPipeline:
         self.safety = safety or default_image_safety()
         self._cache: Dict[Tuple, Callable] = {}
         self._current_status: Callable = _noop
+        self.sp_mesh = None
+        self.sp_axis = "data"
+
+    def use_mesh_sp(self, mesh, axis: str = "data"):
+        """Sequence-parallel deployment: params replicated over `mesh`,
+        latent patch rows of every DiT forward sharded over `mesh[axis]`
+        (parallel/sequence.py pixart_sp_apply) — the batch=1 latency
+        axis."""
+        from cremage_tpu.core.mesh import replicate_params
+
+        self.bundle.dit_params = replicate_params(mesh,
+                                                  self.bundle.dit_params)
+        self.sp_mesh = mesh
+        self.sp_axis = axis
+        self._cache.clear()
 
     def _encode_text(self, prompt: str) -> np.ndarray:
         b = self.bundle
@@ -89,9 +104,17 @@ class PixArtPipeline:
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
 
+        sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
+
         def run(params, x, c, uc, key):
             def eps_model(xx, tt, cond):
-                out = dit.apply(params, xx, tt, cond)
+                if sp_mesh is not None:
+                    from cremage_tpu.parallel.sequence import pixart_sp_apply
+
+                    out = pixart_sp_apply(dit, params, sp_mesh, xx, tt, cond,
+                                          axis=sp_axis)
+                else:
+                    out = dit.apply(params, xx, tt, cond)
                 return out[..., : xx.shape[-1]]  # learned-sigma half dropped
 
             denoise = EpsDenoiser(eps_model, sched)
@@ -99,7 +122,8 @@ class PixArtPipeline:
             return sampler_fn(den_cfg, x, sigmas, key=key,
                               progress_cb=progress)
 
-        bucket = ("pixart", name, steps, tuple(shape), tuple(cond_shape), scale)
+        bucket = ("pixart", name, steps, tuple(shape), tuple(cond_shape),
+                  scale, sp_mesh is not None)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

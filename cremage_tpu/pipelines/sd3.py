@@ -148,17 +148,40 @@ class SD3Pipeline:
         self.safety = safety or default_image_safety()
         self._cache: Dict[Tuple, Callable] = {}
         self._current_status: Callable = _noop
+        self.sp_mesh = None
+        self.sp_axis = "data"
+
+    def use_mesh_sp(self, mesh, axis: str = "data"):
+        """Sequence-parallel deployment: params replicated over `mesh`,
+        latent patch rows of every MMDiT forward sharded over
+        `mesh[axis]` with ring attention and the context stream folded
+        as a replicated prefix (parallel/sequence.py mmdit_sp_apply) —
+        the batch=1 latency axis."""
+        from cremage_tpu.core.mesh import replicate_params
+
+        self.bundle.mmdit_params = replicate_params(
+            mesh, self.bundle.mmdit_params)
+        self.sp_mesh = mesh
+        self.sp_axis = axis
+        self._cache.clear()
 
     def _program(self, opts: GenerationOptions, shape, cond_shapes):
         sigmas = F.sd3_sigmas(opts.sampling_steps, self.bundle.shift)
         scale = float(opts.scale)
         mmdit = self.bundle.mmdit
+        sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
 
         def run(params, x, c, uc, key):
             def v_model(xx, tt, cond):
+                if sp_mesh is not None:
+                    from cremage_tpu.parallel.sequence import mmdit_sp_apply
+
+                    return mmdit_sp_apply(mmdit, params, sp_mesh, xx,
+                                          tt * 1000.0, cond["crossattn"],
+                                          cond["pooled"], axis=sp_axis)
                 return mmdit.apply(params, xx, tt * 1000.0,
                                    cond["crossattn"], cond["pooled"])
 
@@ -166,7 +189,8 @@ class SD3Pipeline:
             return F.sample_flow_euler(v, x, sigmas, key=key,
                                        progress_cb=progress)
 
-        bucket = ("sd3", opts.sampling_steps, tuple(shape), cond_shapes, scale)
+        bucket = ("sd3", opts.sampling_steps, tuple(shape), cond_shapes,
+                  scale, sp_mesh is not None)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

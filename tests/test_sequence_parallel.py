@@ -166,3 +166,202 @@ def test_flux_pipeline_sp_matches_plain(mesh8):
     with mesh8:
         sp = pipe.generate(opts)[0][0]
     np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+
+
+# ---------------- MMDiT (SD3) under sequence parallelism -------------------
+
+
+def _tiny_mmdit(h=32, w=8):
+    from cremage_tpu.models.mmdit import MMDiT, MMDiTConfig
+
+    cfg = MMDiTConfig(depth=2, hidden_size=64, num_heads=4,
+                      context_dim=96, pooled_dim=80,
+                      pos_embed_max_size=16, dtype=jnp.float32)
+    m = MMDiT(cfg)
+    ks = jax.random.split(jax.random.key(7), 4)
+    args = (
+        jax.random.normal(ks[0], (1, h, w, 16)),
+        jnp.full((1,), 500.0),
+        jax.random.normal(ks[1], (1, 154, 96)),  # 154 % 8 != 0: prefix case
+        jax.random.normal(ks[2], (1, 80)),
+    )
+    params = m.init(jax.random.key(0), *args)
+    return m, params, args
+
+
+def test_mmdit_sp_matches_single_device(mesh8):
+    """mmdit_sp_apply (patch rows over 8 shards; 154 context tokens
+    replicated and folded as a ring prefix) must match the plain
+    forward — checks band patchify, per-shard pos-embed slice, the
+    prefix fold, and the replicated context residual stream."""
+    from cremage_tpu.parallel.sequence import mmdit_sp_apply
+
+    model, params, args = _tiny_mmdit()
+    want = np.asarray(model.apply(params, *args), np.float32)
+    with mesh8:
+        got = mmdit_sp_apply(model, params, mesh8, *args)
+    assert "data" in str(got.sharding.spec)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_mmdit_sp_under_jit(mesh8):
+    from cremage_tpu.parallel.sequence import mmdit_sp_apply
+
+    model, params, args = _tiny_mmdit()
+    want = np.asarray(model.apply(params, *args), np.float32)
+    with mesh8:
+        fn = jax.jit(lambda p, *a: mmdit_sp_apply(model, p, mesh8, *a))
+        got = fn(params, *args)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_mmdit_sp_validates_bands(mesh8):
+    from cremage_tpu.parallel.sequence import mmdit_sp_apply
+
+    model, params, args = _tiny_mmdit(h=8)   # 8 rows / 8 shards = 1, not
+    with pytest.raises(ValueError, match="patch-aligned"):  # patch-aligned
+        mmdit_sp_apply(model, params, mesh8, *args)
+
+
+def test_sd3_pipeline_sp_matches_plain(mesh8):
+    """SD3Pipeline.use_mesh_sp: full product path (CFG sampler + VAE
+    decode) with MMDiT patch rows sharded over 8 devices must match
+    plain single-device generation.  H=256 -> 32 latent rows -> 4-row
+    patch-aligned bands per shard."""
+    from tests.test_sd3_flux import make_sd3_bundle
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.pipelines.sd3 import SD3Pipeline
+
+    opts = GenerationOptions(prompt="a cat", negative_prompt="bad",
+                             H=256, W=64, sampling_steps=2, seed=5,
+                             scale=4.0, safety_check=False, watermark=False)
+    plain = SD3Pipeline(make_sd3_bundle()).generate(opts)[0][0]
+
+    pipe = SD3Pipeline(make_sd3_bundle())
+    pipe.use_mesh_sp(mesh8)
+    with mesh8:
+        sp = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+
+
+# ---------------- PixArt-Σ / Hunyuan-DiT under sequence parallelism --------
+
+
+def test_pixart_sp_matches_single_device(mesh8):
+    """pixart_sp_apply: ring self-attention + local cross-attention
+    over replicated text; the global sincos table rides in as a
+    token-sharded operand."""
+    from cremage_tpu.models.pixart import PixArt, PixArtConfig
+    from cremage_tpu.parallel.sequence import pixart_sp_apply
+
+    cfg = PixArtConfig(hidden_size=64, depth=2, num_heads=4,
+                       context_dim=32, dtype=jnp.float32)
+    m = PixArt(cfg)
+    ks = jax.random.split(jax.random.key(11), 3)
+    args = (jax.random.normal(ks[0], (1, 32, 8, 4)),
+            jnp.full((1,), 500.0),
+            jax.random.normal(ks[1], (1, 20, 32)))
+    params = m.init(jax.random.key(0), *args)
+    want = np.asarray(m.apply(params, *args), np.float32)
+    with mesh8:
+        got = pixart_sp_apply(m, params, mesh8, *args)
+    assert "data" in str(got.sharding.spec)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_hunyuan_sp_matches_single_device(mesh8):
+    """hunyuan_sp_apply: ring self-attention with sharded global RoPE
+    bands, local cross-attention over the replicated joint text stream,
+    band-local U-ViT skips."""
+    from cremage_tpu.models.hunyuan import HunyuanConfig, HunyuanDiT
+    from cremage_tpu.parallel.sequence import hunyuan_sp_apply
+
+    cfg = HunyuanConfig(hidden_size=64, depth=4, num_heads=4,
+                        clip_dim=32, mt5_dim=64, pooled_dim=32,
+                        pooler_heads=4, text_len=7, text_len_t5=12,
+                        dtype=jnp.float32)
+    m = HunyuanDiT(cfg)
+    ks = jax.random.split(jax.random.key(13), 4)
+    args = (jax.random.normal(ks[0], (1, 32, 8, 4)),
+            jnp.full((1,), 500.0),
+            jax.random.normal(ks[1], (1, 7, 32)),
+            jax.random.normal(ks[2], (1, 12, 64)))
+    params = m.init(jax.random.key(0), *args)
+    want = np.asarray(m.apply(params, *args), np.float32)
+    with mesh8:
+        got = hunyuan_sp_apply(m, params, mesh8, *args)
+    assert "data" in str(got.sharding.spec)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_pixart_pipeline_sp_matches_plain(mesh8):
+    """PixArtPipeline.use_mesh_sp: full product path parity vs single
+    device (H=256 -> 32 latent rows -> patch-aligned 4-row bands)."""
+    from tests.test_pixart import T5D, tiny_pixart
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+    from cremage_tpu.pipelines.pixart import PixArtBundle, PixArtPipeline
+
+    def build():
+        m, params = tiny_pixart()
+        vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 1, 1, 1),
+                                      num_res_blocks=1, dtype=jnp.float32))
+        vp = vae.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))
+        bundle = PixArtBundle(dit=m, dit_params=params, t5=None,
+                              t5_tokenize=None, t5_len=10, vae=vae,
+                              vae_params=vp, t5_dim=T5D)
+        return PixArtPipeline(bundle)
+
+    opts = GenerationOptions(prompt="a bird", H=256, W=64, sampling_steps=2,
+                             seed=2, sampler="DPM++ 2M", scale=4.5,
+                             safety_check=False, watermark=False)
+    plain = build().generate(opts)[0][0]
+    pipe = build()
+    pipe.use_mesh_sp(mesh8)
+    with mesh8:
+        sp = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+
+
+def test_hunyuan_pipeline_sp_matches_plain(mesh8):
+    """HunyuanPipeline.use_mesh_sp: full product path parity vs single
+    device (v-prediction CFG sampler + U-ViT skips under SP)."""
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.models.hunyuan import HunyuanConfig, HunyuanDiT
+    from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+    from cremage_tpu.pipelines.hunyuan import HunyuanBundle, HunyuanPipeline
+
+    cfg = HunyuanConfig(hidden_size=64, depth=2, num_heads=4, clip_dim=32,
+                        mt5_dim=64, pooled_dim=32, pooler_heads=4,
+                        text_len=7, text_len_t5=12, dtype=jnp.float32)
+    m = HunyuanDiT(cfg)
+    params = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+                    jnp.zeros((1,)), jnp.zeros((1, 7, 32)),
+                    jnp.zeros((1, 12, 64)))
+    rng = np.random.default_rng(5)
+    clip_t = rng.normal(size=(7, 32)).astype(np.float32)
+    mt5_t = rng.normal(size=(12, 64)).astype(np.float32)
+
+    def build():
+        vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 1, 1, 1),
+                                      num_res_blocks=1, dtype=jnp.float32))
+        vp = vae.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))
+        bundle = HunyuanBundle(dit=m, dit_params=params, vae=vae,
+                               vae_params=vp,
+                               text_encode=lambda p: (clip_t, mt5_t))
+        return HunyuanPipeline(bundle)
+
+    opts = GenerationOptions(prompt="a bird", negative_prompt="bad",
+                             H=256, W=64, sampling_steps=2, seed=2,
+                             sampler="DPM++ 2M", scale=4.5,
+                             safety_check=False, watermark=False)
+    plain = build().generate(opts)[0][0]
+    pipe = build()
+    pipe.use_mesh_sp(mesh8)
+    with mesh8:
+        sp = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
