@@ -260,8 +260,9 @@ class SDXLPipeline:
         use_dc = dc >= 2
         if use_dc and sampler_name not in DC.DC_SAMPLERS:
             raise ValueError(
-                "deep_cache requires EulerEDMSampler or "
-                f"EulerAncestralSampler, got {sampler_name!r}")
+                "deep_cache requires EulerEDMSampler, "
+                "EulerAncestralSampler or DPMPP2MSampler, got "
+                f"{sampler_name!r}")
         if use_dc and opts.guider != "VanillaCFG":
             raise ValueError(
                 "deep_cache supports the VanillaCFG guider only, got "
@@ -302,13 +303,16 @@ class SDXLPipeline:
                     den_cap, x0, jnp.asarray(1.0, jnp.float32))
                 cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
                 carry_den = DC.make_dc_denoise(den_cap, den_sh, dc)
-                kw = (dict(s_churn=opts.sampler_s_churn,
-                           s_tmin=opts.sampler_s_tmin,
-                           s_tmax=opts.sampler_s_tmax,
-                           s_noise=opts.sampler_s_noise)
-                      if sampler_name == "EulerEDMSampler"
-                      else dict(eta=opts.sampler_eta,
-                                s_noise=opts.sampler_s_noise))
+                if sampler_name == "EulerEDMSampler":
+                    kw = dict(s_churn=opts.sampler_s_churn,
+                              s_tmin=opts.sampler_s_tmin,
+                              s_tmax=opts.sampler_s_tmax,
+                              s_noise=opts.sampler_s_noise)
+                elif sampler_name == "DPMPP2MSampler":
+                    kw = {}           # deterministic multistep: no churn/eta
+                else:
+                    kw = dict(eta=opts.sampler_eta,
+                              s_noise=opts.sampler_s_noise)
                 return DC.DC_SAMPLERS[sampler_name](
                     carry_den, cache0, x0, sig, key=key,
                     progress_cb=progress, **kw)

@@ -148,12 +148,77 @@ def sample_euler_ancestral_dc(
     return x
 
 
+def sample_dpmpp_2m_dc(
+    carry_denoise: Callable,
+    cache0: Array,
+    x: Array,
+    sigmas,
+    *,
+    key: Optional[jax.Array] = None,
+    progress_cb=None,
+) -> Array:
+    """DPM++ 2M multistep with a deep-feature cache in the scan carry.
+
+    Same host-precomputed coefficients and three-phase structure as
+    kdiffusion.sample_dpmpp_2m (first step and last step outside the
+    scan); the cache threads through all three phases, so step 0 is
+    always a full (capture) step and the final step follows the
+    interval like any other.  interval=1 is bit-identical to the plain
+    sampler (differential-tested)."""
+    del key  # deterministic sampler; kept for the uniform signature
+    sig = _check_sigmas(sigmas)
+    n = len(sig) - 1
+    x = x.astype(jnp.float32)
+
+    with np.errstate(divide="ignore"):
+        t = -np.log(sig)
+    h = t[1:] - t[:-1]
+    a = sig[1:] / sig[:-1]
+    e = np.expm1(-h)
+    with np.errstate(invalid="ignore"):
+        r = np.concatenate([[np.nan], h[:-1] / h[1:]])
+
+    den, cache = carry_denoise(x, jnp.float32(sig[0]), cache0,
+                               jnp.asarray(0))
+    x = float(a[0]) * x - float(e[0]) * den
+    _report(progress_cb, 0)
+    old_den = den
+
+    if n > 2:
+        coef = 1.0 / (2.0 * r[1:-1])
+
+        def body(carry, per):
+            xi, od, cc = carry
+            s_i, ai, ei, ci, i = per
+            den, cc = carry_denoise(xi, s_i, cc, i)
+            den_d = (1 + ci) * den - ci * od
+            xi = ai * xi - ei * den_d
+            _report(progress_cb, i)
+            return (xi, den, cc), None
+
+        xs = (
+            _f32(sig[1:-2]), _f32(a[1:-1]), _f32(e[1:-1]), _f32(coef),
+            jnp.arange(1, n - 1),
+        )
+        (x, old_den, cache), _ = jax.lax.scan(body, (x, old_den, cache), xs)
+
+    if n > 1:
+        # final step: sigma_next == 0 -> no correction, x = denoised
+        den, cache = carry_denoise(x, jnp.float32(sig[-2]), cache,
+                                   jnp.asarray(n - 1))
+        x = float(a[-1]) * x - float(e[-1]) * den
+        _report(progress_cb, n - 1)
+    return x
+
+
 DC_SAMPLERS = {
     "Euler": sample_euler_dc,
     "Euler A": sample_euler_ancestral_dc,
+    "DPM++ 2M": sample_dpmpp_2m_dc,
     # sgm names (SDXL menu) map onto the same scans
     "EulerEDMSampler": sample_euler_dc,
     "EulerAncestralSampler": sample_euler_ancestral_dc,
+    "DPMPP2MSampler": sample_dpmpp_2m_dc,
 }
 
 

@@ -93,18 +93,38 @@ def toy_denoisers():
     return denoise, denoise_capture, denoise_shallow
 
 
-@pytest.mark.parametrize("name", ["Euler", "Euler A"])
+@pytest.mark.parametrize("name", ["Euler", "Euler A", "DPM++ 2M"])
 def test_dc_interval_one_bitexact(name):
     denoise, cap, sh = toy_denoisers()
     sigmas = np.array([10.0, 5.0, 2.0, 1.0, 0.0])
     x = jax.random.normal(jax.random.key(3), (2, 8, 8, 4)) * 10.0
     key = jax.random.key(9)
-    plain_fn = {"Euler": K.sample_euler, "Euler A": K.sample_euler_ancestral}
+    plain_fn = {"Euler": K.sample_euler, "Euler A": K.sample_euler_ancestral,
+                "DPM++ 2M": K.sample_dpmpp_2m}
     plain = plain_fn[name](denoise, x, sigmas, key=key)
     carry = DC.make_dc_denoise(cap, sh, interval=1)
     cache0 = jnp.zeros((1,), jnp.float32)
     dc = DC.DC_SAMPLERS[name](carry, cache0, x, sigmas, key=key)
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(dc))
+
+
+def test_dc_dpmpp_2m_interval_two_runs_shallow_branch():
+    """interval=2 on the multistep sampler: step 0 (outside the scan)
+    captures, odd steps take the biased shallow branch — the trajectory
+    must move and stay finite (cache threads across all three phases)."""
+    denoise, cap, _ = toy_denoisers()
+
+    def shallow_biased(x, sigma, deep):
+        return denoise(x, sigma) + 1.0
+
+    sigmas = np.array([10.0, 6.0, 3.0, 1.5, 0.7, 0.0])
+    x = jax.random.normal(jax.random.key(3), (1, 4, 4, 4)) * 10.0
+    base = K.sample_dpmpp_2m(denoise, x, sigmas)
+    carry = DC.make_dc_denoise(cap, shallow_biased, interval=2)
+    out = DC.sample_dpmpp_2m_dc(carry, jnp.zeros((1,), jnp.float32), x,
+                                sigmas)
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-3
 
 
 def test_dc_interval_two_runs_shallow_branch():
@@ -211,6 +231,35 @@ def test_sdxl_deep_cache_rejects_unsupported():
 
     pipe = SDXLPipeline(make_sdxl_bundle())
     with pytest.raises(ValueError, match="deep_cache requires"):
-        pipe.generate(xl_opts(sampler="DPMPP2MSampler", deep_cache=2))
+        pipe.generate(xl_opts(sampler="HeunEDMSampler", deep_cache=2))
     with pytest.raises(ValueError, match="VanillaCFG"):
         pipe.generate(xl_opts(guider="IdentityGuider", deep_cache=2))
+
+
+def test_sd15_pipeline_deep_cache_dpmpp2m():
+    """DeepCache through the product path on the multistep sampler."""
+    from tests.test_pipeline_sd15 import base_opts, make_bundle
+    from cremage_tpu.pipelines.sd15 import SD15Pipeline
+
+    pipe = SD15Pipeline(make_bundle())
+    plain = pipe.generate(base_opts(sampler="DPM++ 2M",
+                                    sampling_steps=4))[0][0]
+    dc = pipe.generate(base_opts(sampler="DPM++ 2M", sampling_steps=4,
+                                 deep_cache=2))[0][0]
+    assert np.isfinite(dc).all()
+    assert dc.shape == plain.shape
+    assert np.abs(dc - plain).max() > 0
+
+
+def test_sdxl_pipeline_deep_cache_dpmpp2m():
+    from tests.test_edm_sdxl import make_sdxl_bundle, xl_opts
+    from cremage_tpu.pipelines.sdxl import SDXLPipeline
+
+    pipe = SDXLPipeline(make_sdxl_bundle())
+    plain = pipe.generate(xl_opts(sampler="DPMPP2MSampler",
+                                  sampling_steps=4))[0][0]
+    dc = pipe.generate(xl_opts(sampler="DPMPP2MSampler", sampling_steps=4,
+                               deep_cache=2))[0][0]
+    assert np.isfinite(dc).all()
+    assert dc.shape == plain.shape
+    assert np.abs(dc - plain).max() > 0
