@@ -69,12 +69,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sampler_eta", type=float, default=1.0)
     p.add_argument("--sampler_order", type=int, default=4)
     p.add_argument("--deep_cache", type=int, default=1,
-                   help="DeepCache interval: run the full UNet every Nth "
-                        "step, recompute only shallow levels in between "
+                   help="DeepCache interval: run the full model every Nth "
+                        "step, recompute only the shallow part in between "
                         "(~1.5-2x faster, approximate). 1 = off (exact). "
-                        "Euler/Euler A family samplers only.")
+                        "UNet families: Euler/Euler A/DPM++ 2M samplers; "
+                        "DiT families: flow-Euler or any DC k-diffusion "
+                        "name.")
     p.add_argument("--deep_cache_branch", type=int, default=1,
-                   help="UNet levels recomputed on DeepCache steps")
+                   help="shallow compute on DeepCache steps: UNet levels "
+                        "or DiT front blocks recomputed")
     p.add_argument("--discretization", type=str,
                    default="LegacyDDPMDiscretization")
     p.add_argument("--guider", type=str, default="VanillaCFG")

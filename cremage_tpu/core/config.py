@@ -266,10 +266,14 @@ class GenerationOptions:
     sampler_eta: float = 1.0
     sampler_order: int = 4
     # Speed features beyond reference parity (cremage has no equivalent)
-    deep_cache: int = 1          # DeepCache interval: full UNet every
+    deep_cache: int = 1          # DeepCache interval: full model every
     #   N-th step, shallow-only in between (samplers/deepcache.py).
-    #   1 = off (bit-exact default). Euler/Euler A family samplers only.
-    deep_cache_branch: int = 1   # UNet levels recomputed on cached steps
+    #   1 = off (bit-exact default). UNet families (SD1.5/SDXL/SVD):
+    #   Euler / Euler A / DPM++ 2M samplers; DiT families
+    #   (SD3/FLUX/PixArt/Hunyuan): flow-Euler or any DC k-diffusion name.
+    deep_cache_branch: int = 1   # shallow compute on cached steps: UNet
+    #   resolution levels recomputed, or DiT front transformer blocks
+    #   recomputed (the back blocks' residual delta is the cache)
     # Output
     outdir: str = "outputs"
     generator_model_type: str = GMT_SD_1_5

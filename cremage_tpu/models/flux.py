@@ -236,7 +236,8 @@ class FluxModel(nn.Module):
     @nn.compact
     def __call__(self, img_tokens, txt_tokens, t, y_vec, img_ids, txt_ids,
                  guidance: Optional[jnp.ndarray] = None,
-                 freqs: Optional[jnp.ndarray] = None):
+                 freqs: Optional[jnp.ndarray] = None,
+                 mode: str = "full", deep=None, cache_depth: int = 1):
         """img_tokens: (B, Ni, 64) packed latents; txt_tokens: (B, Nt, 4096);
         t: (B,) in [0,1]; y_vec: (B, 768) CLIP pooled; ids: host numpy.
 
@@ -245,8 +246,23 @@ class FluxModel(nn.Module):
         slice as a traced operand (ids stay None).  Full attention is
         permutation-invariant in the kv set, so per-shard
         [txt_loc; img_loc] ordering is exact as long as q/k/v/freqs
-        share it (they do: all derive from the same local tokens)."""
+        share it (they do: all derive from the same local tokens).
+
+        Deep-cache modes (samplers/deepcache.py, Δ-cache over the back
+        blocks — see models/mmdit.py for the full contract): the
+        boundary sits inside the double blocks (1 <= cache_depth <=
+        depth_double); "capture" returns (out, delta) with delta (fp32)
+        = the residual the remaining double blocks plus ALL single
+        blocks added to the img stream; "shallow" runs only the front
+        `cache_depth` double blocks and splices the cached delta back
+        in before the final layer."""
         cfg = self.cfg
+        assert mode in ("full", "capture", "shallow"), mode
+        if mode != "full":
+            assert 1 <= cache_depth <= cfg.depth_double, (
+                f"cache_depth must be in [1, {cfg.depth_double}]")
+        if mode == "shallow":
+            assert deep is not None, "shallow mode needs the cached delta"
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
 
         img = Dense(cfg.hidden_size, name="img_in", **dd)(
@@ -270,20 +286,30 @@ class FluxModel(nn.Module):
                                  axis=0)
             freqs = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
 
-        for i in range(cfg.depth_double):
+        n_double = cache_depth if mode == "shallow" else cfg.depth_double
+        front = None
+        for i in range(n_double):
             img, txt = DoubleBlock(cfg, name=f"double_blocks_{i}")(
                 img, txt, vec, freqs)
+            if mode == "capture" and i == cache_depth - 1:
+                front = img
 
-        x = jnp.concatenate([txt, img], axis=1)
-        for i in range(cfg.depth_single):
-            x = SingleBlock(cfg, name=f"single_blocks_{i}")(x, vec, freqs)
-        img = x[:, txt.shape[1]:]
+        if mode == "shallow":
+            img = (img.astype(jnp.float32) + deep).astype(cfg.dtype)
+        else:
+            x = jnp.concatenate([txt, img], axis=1)
+            for i in range(cfg.depth_single):
+                x = SingleBlock(cfg, name=f"single_blocks_{i}")(x, vec, freqs)
+            img = x[:, txt.shape[1]:]
+        delta = (img.astype(jnp.float32) - front.astype(jnp.float32)
+                 if mode == "capture" else None)
 
         sh_sc = Dense(2 * cfg.hidden_size, name="final_layer_adaLN_modulation_1",
                       **dd)(silu(vec))
         sh, sc = jnp.split(sh_sc, 2, -1)
         out = _no_affine_ln(img) * (1 + sc[:, None]) + sh[:, None]
-        return Dense(cfg.in_channels, name="final_layer_linear", **dd)(out)
+        out = Dense(cfg.in_channels, name="final_layer_linear", **dd)(out)
+        return (out, delta) if mode == "capture" else out
 
 
 def pack_latents(lat: jnp.ndarray) -> jnp.ndarray:

@@ -118,15 +118,31 @@ class HunyuanDiT(nn.Module):
 
     @nn.compact
     def __call__(self, x, t, clip_text, mt5_text,
-                 freqs: Optional[jnp.ndarray] = None):
+                 freqs: Optional[jnp.ndarray] = None,
+                 mode: str = "full", deep=None, cache_depth: int = 1):
         """x: (B,H,W,4); t: (B,); clip_text: (B,77,clip_dim);
         mt5_text: (B,L,mt5_dim).
 
         `freqs` ((N, d_head/2, 2) traced) overrides the host-computed
         2D RoPE table — the sequence-parallel path passes each shard
         its band of the GLOBAL grid (the host computation inside a
-        shard_map body would see only the local hp)."""
+        shard_map body would see only the local hp).
+
+        Deep-cache modes (samplers/deepcache.py, Δ-cache over the back
+        blocks — see models/mmdit.py for the full contract): "capture"
+        returns (out, delta) with delta = tokens_final - tokens_after_
+        front (fp32); "shallow" runs only the front `cache_depth`
+        blocks and splices the cached delta back in.  cache_depth must
+        stay within the encoder half (the U-ViT long skips from the
+        front blocks are consumed only by the cached back half, so a
+        shallow prefix never needs them)."""
         cfg = self.cfg
+        assert mode in ("full", "capture", "shallow"), mode
+        if mode != "full":
+            assert 1 <= cache_depth <= cfg.depth // 2, (
+                f"cache_depth must be in [1, {cfg.depth // 2}]")
+        if mode == "shallow":
+            assert deep is not None, "shallow mode needs the cached delta"
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         p = cfg.patch_size
         b, hh, ww, _ = x.shape
@@ -196,7 +212,9 @@ class HunyuanDiT(nn.Module):
 
         skips = []
         half = cfg.depth // 2
-        for i in range(cfg.depth):
+        n_blocks = cache_depth if mode == "shallow" else cfg.depth
+        front = None
+        for i in range(n_blocks):
             if i < half:
                 tokens = HunyuanBlock(cfg, name=f"blocks_{i}")(
                     tokens, text, t_vec, freqs)
@@ -204,6 +222,12 @@ class HunyuanDiT(nn.Module):
             else:
                 tokens = HunyuanBlock(cfg, skip=True, name=f"blocks_{i}")(
                     tokens, text, t_vec, freqs, skips.pop())
+            if mode == "capture" and i == cache_depth - 1:
+                front = tokens
+        if mode == "shallow":
+            tokens = (tokens.astype(jnp.float32) + deep).astype(cfg.dtype)
+        delta = (tokens.astype(jnp.float32) - front.astype(jnp.float32)
+                 if mode == "capture" else None)
 
         # final AdaLayerNormContinuous: affine-free LN, scale/shift from
         # t_vec (diffusers norm_out.linear; chunk order [scale, shift])
@@ -217,4 +241,4 @@ class HunyuanDiT(nn.Module):
         out = Dense(p * p * cfg.out_channels, name="final_linear", **dd)(out)
         out = out.reshape(b, hp, wp, p, p, cfg.out_channels)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cfg.out_channels)
-        return out
+        return (out, delta) if mode == "capture" else out

@@ -153,10 +153,30 @@ class MMDiT(nn.Module):
     cfg: MMDiTConfig
 
     @nn.compact
-    def __call__(self, x, t, context, pooled):
+    def __call__(self, x, t, context, pooled, mode: str = "full",
+                 deep=None, cache_depth: int = 1):
         """x: (B, H, W, C) latents NHWC; t: (B,) timestep in [0,1000];
-        context: (B, L, context_dim); pooled: (B, pooled_dim)."""
+        context: (B, L, context_dim); pooled: (B, pooled_dim).
+
+        Deep-cache modes (samplers/deepcache.py; the DiT analog of the
+        UNet's capture/shallow split — "Δ-cache" over the back blocks):
+        - mode="full" (default): the normal forward.
+        - mode="capture": same compute as "full" but returns
+          (out, delta) where `delta` (fp32) is the residual the back
+          blocks (cache_depth..depth-1) added to the latent token
+          stream: tokens_final - tokens_after_front.
+        - mode="shallow": recomputes only the embedders and the front
+          `cache_depth` joint blocks, then splices the cached delta
+          back in (tokens = tokens_front + deep) and runs the final
+          layer.  Unused deep params in the passed pytree are ignored
+          by Flax, so one param tree serves all modes."""
         cfg = self.cfg
+        assert mode in ("full", "capture", "shallow"), mode
+        if mode != "full":
+            assert 1 <= cache_depth < cfg.depth, (
+                f"cache_depth must be in [1, {cfg.depth - 1}]")
+        if mode == "shallow":
+            assert deep is not None, "shallow mode needs the cached delta"
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         p = cfg.patch_size
         b, hh, ww, _ = x.shape
@@ -200,10 +220,18 @@ class MMDiT(nn.Module):
         ctx = Dense(cfg.hidden_size, name="context_embedder", **dd)(
             context.astype(cfg.dtype))
 
-        for i in range(cfg.depth):
+        n_blocks = cache_depth if mode == "shallow" else cfg.depth
+        front = None
+        for i in range(n_blocks):
             ctx, tokens = JointBlock(
                 cfg, final=(i == cfg.depth - 1), name=f"joint_blocks_{i}"
             )(ctx, tokens, vec)
+            if mode == "capture" and i == cache_depth - 1:
+                front = tokens
+        if mode == "shallow":
+            tokens = (tokens.astype(jnp.float32) + deep).astype(cfg.dtype)
+        delta = (tokens.astype(jnp.float32) - front.astype(jnp.float32)
+                 if mode == "capture" else None)
 
         shift, scale = jnp.split(
             Dense(2 * cfg.hidden_size, name="final_layer_adaLN_modulation_1",
@@ -212,4 +240,4 @@ class MMDiT(nn.Module):
         out = Dense(p * p * cfg.in_channels, name="final_layer_linear", **dd)(out)
         out = out.reshape(b, hp, wp, p, p, cfg.in_channels)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cfg.in_channels)
-        return out
+        return (out, delta) if mode == "capture" else out

@@ -124,14 +124,27 @@ class PixArt(nn.Module):
     cfg: PixArtConfig
 
     @nn.compact
-    def __call__(self, x, t, y, pos: Optional[jnp.ndarray] = None):
+    def __call__(self, x, t, y, pos: Optional[jnp.ndarray] = None,
+                 mode: str = "full", deep=None, cache_depth: int = 1):
         """x: (B,H,W,4) latents; t: (B,) DDPM timesteps; y: (B, L, 4096).
 
         `pos` ((N, hidden) traced) overrides the host-computed sincos
         table — the sequence-parallel path passes each shard its band
         of the GLOBAL grid (the host computation inside a shard_map
-        body would see only the local hp and produce wrong rows)."""
+        body would see only the local hp and produce wrong rows).
+
+        Deep-cache modes (samplers/deepcache.py, Δ-cache over the back
+        blocks — see models/mmdit.py for the full contract): "capture"
+        returns (out, delta) with delta = tokens_final - tokens_after_
+        front (fp32); "shallow" runs only the front `cache_depth`
+        blocks and splices the cached delta back in."""
         cfg = self.cfg
+        assert mode in ("full", "capture", "shallow"), mode
+        if mode != "full":
+            assert 1 <= cache_depth < cfg.depth, (
+                f"cache_depth must be in [1, {cfg.depth - 1}]")
+        if mode == "shallow":
+            assert deep is not None, "shallow mode needs the cached delta"
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         p = cfg.patch_size
         b, hh, ww, _ = x.shape
@@ -155,8 +168,16 @@ class PixArt(nn.Module):
         y = nn.gelu(y, approximate=True)
         y = Dense(cfg.hidden_size, name="y_embedder_y_proj_fc2", **dd)(y)
 
-        for i in range(cfg.depth):
+        n_blocks = cache_depth if mode == "shallow" else cfg.depth
+        front = None
+        for i in range(n_blocks):
             tokens = PixArtBlock(cfg, name=f"blocks_{i}")(tokens, y, t6)
+            if mode == "capture" and i == cache_depth - 1:
+                front = tokens
+        if mode == "shallow":
+            tokens = (tokens.astype(jnp.float32) + deep).astype(cfg.dtype)
+        delta = (tokens.astype(jnp.float32) - front.astype(jnp.float32)
+                 if mode == "capture" else None)
 
         table = self.param("final_layer_scale_shift_table",
                            nn.initializers.normal(0.02),
@@ -169,4 +190,4 @@ class PixArt(nn.Module):
         out = Dense(p * p * cfg.out_channels, name="final_layer_linear", **dd)(out)
         out = out.reshape(b, hp, wp, p, p, cfg.out_channels)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cfg.out_channels)
-        return out
+        return (out, delta) if mode == "capture" else out

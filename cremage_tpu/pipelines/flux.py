@@ -26,6 +26,7 @@ from cremage_tpu.models.t5 import T5Encoder
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
 from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
+from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import flow as F
 from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
@@ -114,14 +115,22 @@ class FluxPipeline:
             sigmas = F.flow_sigmas(steps)
         txt_ids, img_ids = make_position_ids(hp, wp, txt_len)
         guidance_scale = float(opts.scale)
+        dc = int(opts.deep_cache)
+        dcb = int(opts.deep_cache_branch)
+        use_dc = dc >= 2
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
 
         sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
+        if use_dc and sp_mesh is not None:
+            raise ValueError(
+                "deep_cache is not combinable with use_mesh_sp "
+                "(the sequence-parallel forward has no capture/shallow "
+                "modes)")
 
         def run(params, x_tokens, txt, vec, key):
-            def v_fn(xx, sigma):
+            def v_fn(xx, sigma, **mk):
                 bsz = xx.shape[0]
                 t = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (bsz,))
                 guidance = (
@@ -135,13 +144,25 @@ class FluxPipeline:
                                          vec, img_ids, txt_ids,
                                          guidance=guidance, axis=sp_axis)
                 return model.apply(params, xx, txt, t, vec, img_ids, txt_ids,
-                                   guidance)
+                                   guidance, **mk)
 
+            if use_dc:
+                v_cap = lambda xx, ss: v_fn(xx, ss, mode="capture",
+                                            cache_depth=dcb)
+                v_sh = lambda xx, ss, deep: v_fn(xx, ss, mode="shallow",
+                                                 cache_depth=dcb, deep=deep)
+                _, deep_sd = jax.eval_shape(
+                    v_cap, x_tokens, jnp.asarray(1.0, jnp.float32))
+                cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+                carry = DC.make_dc_denoise(v_cap, v_sh, dc)
+                return DC.sample_flow_euler_dc(
+                    carry, cache0, x_tokens, sigmas, key=key,
+                    progress_cb=progress)
             return F.sample_flow_euler(v_fn, x_tokens, sigmas, key=key,
                                        progress_cb=progress)
 
         bucket = ("flux", steps, hp, wp, txt_len, b, guidance_scale,
-                  sp_mesh is not None)
+                  sp_mesh is not None, dc if use_dc else 0, dcb)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -17,6 +17,7 @@ from cremage_tpu.core.config import GenerationOptions
 from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.hunyuan import HunyuanDiT
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
 from cremage_tpu.samplers.denoiser import VDenoiser, cfg_denoiser
@@ -115,14 +116,26 @@ class HunyuanPipeline:
                                            sched.sigma_max))
         scale = float(opts.scale)
         sampler_fn = SAMPLERS.get(name)
+        dc = int(opts.deep_cache)
+        dcb = int(opts.deep_cache_branch)
+        use_dc = dc >= 2
+        if use_dc and name not in DC.DC_SAMPLERS:
+            raise ValueError(
+                "deep_cache requires a supported sampler "
+                f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
+                f"got {name!r}")
+        sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
+        if use_dc and sp_mesh is not None:
+            raise ValueError(
+                "deep_cache is not combinable with use_mesh_sp "
+                "(the sequence-parallel forward has no capture/shallow "
+                "modes)")
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
 
-        sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
-
         def run(params, x, c_clip, uc_clip, c_t5, uc_t5, key):
-            def v_model(xx, tt, cond):
+            def v_model(xx, tt, cond, **mk):
                 clip_t, mt5_t = cond
                 if sp_mesh is not None:
                     from cremage_tpu.parallel.sequence import hunyuan_sp_apply
@@ -130,15 +143,30 @@ class HunyuanPipeline:
                     out = hunyuan_sp_apply(b.dit, params, sp_mesh, xx, tt,
                                            clip_t, mt5_t, axis=sp_axis)
                 else:
-                    out = b.dit.apply(params, xx, tt, clip_t, mt5_t)
-                return out[..., : xx.shape[-1]]
+                    out = b.dit.apply(params, xx, tt, clip_t, mt5_t, **mk)
+                aux = None
+                if isinstance(out, tuple):
+                    out, aux = out
+                out = out[..., : xx.shape[-1]]
+                return out if aux is None else (out, aux)
 
             denoise = VDenoiser(v_model, sched)
             den = cfg_denoiser(denoise, (c_clip, c_t5), (uc_clip, uc_t5), scale)
+            if use_dc:
+                den_cap = lambda xx, ss: den(xx, ss, mode="capture",
+                                             cache_depth=dcb)
+                den_sh = lambda xx, ss, deep: den(
+                    xx, ss, mode="shallow", cache_depth=dcb, deep=deep)
+                _, deep_sd = jax.eval_shape(
+                    den_cap, x, jnp.asarray(1.0, jnp.float32))
+                cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+                carry = DC.make_dc_denoise(den_cap, den_sh, dc)
+                return DC.DC_SAMPLERS[name](carry, cache0, x, sigmas,
+                                            key=key, progress_cb=progress)
             return sampler_fn(den, x, sigmas, key=key, progress_cb=progress)
 
         bucket = ("hunyuan", name, steps, tuple(shape), dims, scale,
-                  sp_mesh is not None)
+                  sp_mesh is not None, dc if use_dc else 0, dcb)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -20,6 +20,7 @@ from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.pixart import PixArt
 from cremage_tpu.models.t5 import T5Encoder
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
 from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
@@ -100,30 +101,57 @@ class PixArtPipeline:
         scale = float(opts.scale)
         dit = self.bundle.dit
         sampler_fn = SAMPLERS.get(name)
+        dc = int(opts.deep_cache)
+        dcb = int(opts.deep_cache_branch)
+        use_dc = dc >= 2
+        if use_dc and name not in DC.DC_SAMPLERS:
+            raise ValueError(
+                "deep_cache requires a supported sampler "
+                f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
+                f"got {name!r}")
+        sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
+        if use_dc and sp_mesh is not None:
+            raise ValueError(
+                "deep_cache is not combinable with use_mesh_sp "
+                "(the sequence-parallel forward has no capture/shallow "
+                "modes)")
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
 
-        sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
-
         def run(params, x, c, uc, key):
-            def eps_model(xx, tt, cond):
+            def eps_model(xx, tt, cond, **mk):
                 if sp_mesh is not None:
                     from cremage_tpu.parallel.sequence import pixart_sp_apply
 
                     out = pixart_sp_apply(dit, params, sp_mesh, xx, tt, cond,
                                           axis=sp_axis)
                 else:
-                    out = dit.apply(params, xx, tt, cond)
-                return out[..., : xx.shape[-1]]  # learned-sigma half dropped
+                    out = dit.apply(params, xx, tt, cond, **mk)
+                aux = None
+                if isinstance(out, tuple):
+                    out, aux = out
+                out = out[..., : xx.shape[-1]]  # learned-sigma half dropped
+                return out if aux is None else (out, aux)
 
             denoise = EpsDenoiser(eps_model, sched)
             den_cfg = cfg_denoiser(denoise, c, uc, scale)
+            if use_dc:
+                den_cap = lambda xx, ss: den_cfg(xx, ss, mode="capture",
+                                                 cache_depth=dcb)
+                den_sh = lambda xx, ss, deep: den_cfg(
+                    xx, ss, mode="shallow", cache_depth=dcb, deep=deep)
+                _, deep_sd = jax.eval_shape(
+                    den_cap, x, jnp.asarray(1.0, jnp.float32))
+                cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+                carry = DC.make_dc_denoise(den_cap, den_sh, dc)
+                return DC.DC_SAMPLERS[name](carry, cache0, x, sigmas,
+                                            key=key, progress_cb=progress)
             return sampler_fn(den_cfg, x, sigmas, key=key,
                               progress_cb=progress)
 
         bucket = ("pixart", name, steps, tuple(shape), tuple(cond_shape),
-                  scale, sp_mesh is not None)
+                  scale, sp_mesh is not None, dc if use_dc else 0, dcb)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -33,6 +33,7 @@ from cremage_tpu.prompt.chunking import generate_weighted_chunks, make_ti_fetch
 from cremage_tpu.prompt.parser import compute_prompt_score
 from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
+from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import flow as F
 from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
@@ -170,12 +171,20 @@ class SD3Pipeline:
         scale = float(opts.scale)
         mmdit = self.bundle.mmdit
         sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
+        dc = int(opts.deep_cache)
+        dcb = int(opts.deep_cache_branch)
+        use_dc = dc >= 2
+        if use_dc and sp_mesh is not None:
+            raise ValueError(
+                "deep_cache is not combinable with use_mesh_sp "
+                "(the sequence-parallel forward has no capture/shallow "
+                "modes)")
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
 
         def run(params, x, c, uc, key):
-            def v_model(xx, tt, cond):
+            def v_model(xx, tt, cond, **mk):
                 if sp_mesh is not None:
                     from cremage_tpu.parallel.sequence import mmdit_sp_apply
 
@@ -183,14 +192,25 @@ class SD3Pipeline:
                                           tt * 1000.0, cond["crossattn"],
                                           cond["pooled"], axis=sp_axis)
                 return mmdit.apply(params, xx, tt * 1000.0,
-                                   cond["crossattn"], cond["pooled"])
+                                   cond["crossattn"], cond["pooled"], **mk)
 
             v = F.cfg_velocity(v_model, c, uc, scale)
+            if use_dc:
+                v_cap = lambda xx, ss: v(xx, ss, mode="capture",
+                                         cache_depth=dcb)
+                v_sh = lambda xx, ss, deep: v(xx, ss, mode="shallow",
+                                              cache_depth=dcb, deep=deep)
+                _, deep_sd = jax.eval_shape(
+                    v_cap, x, jnp.asarray(1.0, jnp.float32))
+                cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+                carry = DC.make_dc_denoise(v_cap, v_sh, dc)
+                return DC.sample_flow_euler_dc(
+                    carry, cache0, x, sigmas, key=key, progress_cb=progress)
             return F.sample_flow_euler(v, x, sigmas, key=key,
                                        progress_cb=progress)
 
         bucket = ("sd3", opts.sampling_steps, tuple(shape), cond_shapes,
-                  scale, sp_mesh is not None)
+                  scale, sp_mesh is not None, dc if use_dc else 0, dcb)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -211,6 +211,41 @@ def sample_dpmpp_2m_dc(
     return x
 
 
+def sample_flow_euler_dc(
+    carry_v: Callable,        # (x, sigma, cache, i) -> (velocity_f32, cache)
+    cache0: Array,
+    x: Array,
+    sigmas,
+    *,
+    key: Optional[jax.Array] = None,
+    progress_cb=None,
+) -> Array:
+    """Rectified-flow Euler with a deep-feature cache in the scan carry.
+
+    Same host-precomputed (sigma, dt) arrays as flow.sample_flow_euler;
+    interval=1 is bit-identical to the plain sampler (differential-
+    tested).  Drives the DiT families' Δ-cache (SD3 / FLUX)."""
+    del key  # deterministic; kept for the uniform DC sampler signature
+    sig = np.asarray(sigmas, np.float64)
+    n = len(sig) - 1
+    x = x.astype(jnp.float32)
+
+    def body(carry, per):
+        xi, cache = carry
+        s_i, dt, i = per
+        v, cache = carry_v(xi, s_i, cache, i)
+        _report(progress_cb, i)
+        return (xi + dt * v, cache), None
+
+    xs = (
+        jnp.asarray(sig[:-1], jnp.float32),
+        jnp.asarray(np.diff(sig), jnp.float32),
+        jnp.arange(n),
+    )
+    (x, _), _ = jax.lax.scan(body, (x, cache0), xs)
+    return x
+
+
 DC_SAMPLERS = {
     "Euler": sample_euler_dc,
     "Euler A": sample_euler_ancestral_dc,

@@ -113,8 +113,13 @@ class VDenoiser:
         c_in = 1.0 / jnp.sqrt(sigma**2 + sd2)
         t = sigma_to_t_jax(self.schedule, sigma)
         v = self.v_model(x * _append_dims(c_in, x.ndim), t, cond, **model_kwargs)
+        # (v, aux) return — deep-cache capture mode; aux rides along.
+        aux = None
+        if isinstance(v, tuple):
+            v, aux = v
         v = v.astype(jnp.float32)
-        return _append_dims(c_skip, x.ndim) * x + _append_dims(c_out, x.ndim) * v
+        den = _append_dims(c_skip, x.ndim) * x + _append_dims(c_out, x.ndim) * v
+        return den if aux is None else (den, aux)
 
 
 def cfg_denoiser(

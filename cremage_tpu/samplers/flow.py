@@ -88,10 +88,15 @@ def sample_flow_euler(
 
 
 def cfg_velocity(v_fn: Callable, c, uc, scale: float) -> Callable:
-    """CFG for velocity models: batched [uc, c] like the eps samplers."""
+    """CFG for velocity models: batched [uc, c] like the eps samplers.
+
+    Extra keyword args pass through to the model; a (v, aux) tuple
+    return (e.g. the DiT deep-cache "capture" mode,
+    samplers/deepcache.py) keeps aux at the doubled batch — it is fed
+    back to the model unsplit."""
     if uc is None or scale == 1.0:
-        def fn_nocfg(x, sigma):
-            return v_fn(x, sigma, c)
+        def fn_nocfg(x, sigma, **kw):
+            return v_fn(x, sigma, c, **kw)
         return fn_nocfg
 
     def _cat(u, cc):
@@ -101,11 +106,15 @@ def cfg_velocity(v_fn: Callable, c, uc, scale: float) -> Callable:
 
     cond = _cat(uc, c)
 
-    def fn(x, sigma):
+    def fn(x, sigma, **kw):
         b = x.shape[0]
         sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (2 * b,))
-        v = v_fn(jnp.concatenate([x, x], axis=0), sigma_b, cond)
+        v = v_fn(jnp.concatenate([x, x], axis=0), sigma_b, cond, **kw)
+        aux = None
+        if isinstance(v, tuple):
+            v, aux = v
         vu, vc = v[:b], v[b:]
-        return vu + scale * (vc - vu)
+        out = vu + scale * (vc - vu)
+        return out if aux is None else (out, aux)
 
     return fn

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Measure the DiT Δ-cache split on the real chip: full vs shallow eval
+time at PRODUCTION config for SD3 / PixArt-Σ / Hunyuan-DiT, and the
+implied DeepCache interval-2 per-step cost.
+
+Same harness as tools/tpu_family_sweep.py (zeros bf16 params, chained
+fori loop against the ~30 ms tunnel dispatch cost).  The shallow eval
+runs the embedders + `cache_depth` front blocks + final layer and adds
+the cached fp32 delta; interval-2 per-step cost = (full + shallow) / 2.
+
+Run: python tools/bench_dit_deepcache.py [family ...]
+Each family runs in a subprocess (clean HBM).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+REPS = int(os.environ.get("SWEEP_REPS", "5"))
+CACHE_DEPTH = int(os.environ.get("CACHE_DEPTH", "1"))
+
+
+def build(name):
+    import jax.numpy as jnp
+
+    bf = jnp.bfloat16
+    if name == "sd3":
+        from cremage_tpu.models.mmdit import MMDiT, sd3_medium_config
+
+        model = MMDiT(sd3_medium_config())
+        x = jnp.zeros((1, 128, 128, 16), bf)
+        args = (x, jnp.zeros((1,)), jnp.zeros((1, 154, 4096), bf),
+                jnp.zeros((1, 2048), bf))
+    elif name == "pixart":
+        from cremage_tpu.models.pixart import PixArt, pixart_sigma_xl_config
+
+        model = PixArt(pixart_sigma_xl_config())
+        x = jnp.zeros((1, 128, 128, 4), bf)
+        args = (x, jnp.zeros((1,)), jnp.zeros((1, 120, 4096), bf))
+    elif name == "hunyuan":
+        from cremage_tpu.models.hunyuan import HunyuanConfig, HunyuanDiT
+
+        model = HunyuanDiT(HunyuanConfig())
+        x = jnp.zeros((1, 128, 128, 4), bf)
+        args = (x, jnp.zeros((1,)), jnp.zeros((1, 77, 1024), bf),
+                jnp.zeros((1, 256, 2048), bf))
+    else:
+        raise SystemExit(f"unknown family {name!r}")
+    return model, args
+
+
+def run_family(name):
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    from cremage_tpu.core.cache import enable_compilation_cache
+    from tools.tpu_family_sweep import zeros_bf16
+
+    enable_compilation_cache()
+    model, args = build(name)
+    x = args[0]
+    params = zeros_bf16(model, *args)
+
+    _, deep_sd = jax.eval_shape(
+        lambda p, *a: model.apply(p, *a, mode="capture",
+                                  cache_depth=CACHE_DEPTH), params, *args)
+    deep = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+
+    def chained(apply_once):
+        @jax.jit
+        def fwd(params, x, deep, *rest):
+            def body(i, xx):
+                out = apply_once(params, xx, deep, *rest)
+                return out[..., : xx.shape[-1]].astype(xx.dtype)
+            return jnp.mean(lax.fori_loop(0, REPS, body, x)
+                            .astype(jnp.float32))
+        return fwd
+
+    full = chained(lambda p, xx, dp, *rest: model.apply(p, xx, *rest))
+    shallow = chained(lambda p, xx, dp, *rest: model.apply(
+        p, xx, *rest, mode="shallow", deep=dp, cache_depth=CACHE_DEPTH))
+
+    def timeit(fn):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, x, deep, *args[1:]))
+        compile_s = time.perf_counter() - t0
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(params, x, deep, *args[1:]))
+            best = min(best, time.perf_counter() - t0)
+        return best / REPS * 1e3, compile_s
+
+    t_full, c1 = timeit(full)
+    t_sh, c2 = timeit(shallow)
+    step2 = (t_full + t_sh) / 2
+    print(f"{name:8s} full {t_full:6.1f} ms  shallow {t_sh:6.1f} ms "
+          f"(cache_depth={CACHE_DEPTH})  -> interval-2 {step2:6.1f} ms/step "
+          f"({t_full / step2:.2f}x)  [compile {c1:.0f}s/{c2:.0f}s]",
+          flush=True)
+
+
+def main():
+    families = sys.argv[1:] or ["sd3", "pixart", "hunyuan"]
+    if len(families) == 1:
+        run_family(families[0])
+        return
+    import subprocess
+
+    rc = 0
+    for f in families:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), f])
+        rc = rc or r.returncode
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
