@@ -91,8 +91,7 @@ def sd15_factory(prefs: Preferences) -> Callable:
     from cremage_tpu.pipelines.sd15 import SD15Pipeline
     from cremage_tpu.io.lora import parse_lora_option_string
 
-    def generate(params, status_cb, result_cb):
-        opts = _opts_from_params(params)
+    def _pipe_for(params, opts):
         # spot inpainting runs the inpaint model family on a cropped
         # working region (reference tools/spot_inpainter.py:100 — the
         # tool window pairs with the ldm_inpaint_model menu)
@@ -109,7 +108,7 @@ def sd15_factory(prefs: Preferences) -> Callable:
                tuple(tuple(x) for x in loras), embedding_dir, inpaint,
                opts.control_net or None, opts.face_model or None,
                opts.face_strength, quantize)
-        pipe = cached_instance(key, lambda: SD15Pipeline(load_sd15_bundle(
+        return cached_instance(key, lambda: SD15Pipeline(load_sd15_bundle(
             ckpt,
             vae_ckpt=opts.vae_ckpt or None,
             loras=loras,
@@ -120,6 +119,10 @@ def sd15_factory(prefs: Preferences) -> Callable:
             face_strength=opts.face_strength,
             quantize_unet=quantize,
         )))
+
+    def generate(params, status_cb, result_cb):
+        opts = _opts_from_params(params)
+        pipe = _pipe_for(params, opts)
         # per-job state on the cached instance: set OR clear
         pipe.face_fixer = None
         if opts.auto_face_fix:
@@ -192,6 +195,20 @@ def sd15_factory(prefs: Preferences) -> Callable:
                 plus=(getattr(pipe.bundle, "faceid_kind", None) == "plus")),
         )
 
+    def generate_batch(params_list, status_cb, result_cbs):
+        # coalesce_key equality guarantees the load-relevant options
+        # match, so the first job's pipe serves the whole group
+        from cremage_tpu.app.batching import run_sd15_batch
+
+        opts = _opts_from_params(params_list[0])
+        pipe = _pipe_for(params_list[0], opts)
+        pipe.face_fixer = None  # coalesce_key rejects auto_face_fix jobs
+        run_sd15_batch(pipe, params_list, status_cb, result_cbs)
+
+    from cremage_tpu.app.batching import sd15_coalesce_key
+
+    generate.generate_batch = generate_batch
+    generate.coalesce_key = sd15_coalesce_key
     return generate
 
 

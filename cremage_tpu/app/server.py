@@ -674,13 +674,18 @@ def main():  # pragma: no cover
                    help="prompt deny-list fallback term (repeatable)")
     p.add_argument("--config", default=None,
                    help="config.yaml path (created with defaults if absent)")
+    p.add_argument("--coalesce", type=int, default=1,
+                   help="serving mode: batch up to N adjacent compatible "
+                        "txt2img jobs into one device batch "
+                        "(app/batching.py). 1 = off (reference behavior)")
     args = p.parse_args()
     from cremage_tpu.app.backends import register_default_backends
     from cremage_tpu.core.config import load_preferences
 
     prefs = load_preferences(args.config) if args.config else None
     worker = EngineWorker(text_safety=make_text_safety(
-        args.text_safety_model_dir, args.deny_term))
+        args.text_safety_model_dir, args.deny_term),
+        coalesce=args.coalesce)
     register_default_backends(worker, prefs)
     ApiServer(worker=worker, host=args.host, port=args.port,
               prefs=prefs, config_path=args.config).start(block=True)

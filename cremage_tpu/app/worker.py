@@ -39,7 +39,7 @@ class EngineWorker:
     generate(parameters: dict, status_cb, result_cb). Factories run
     lazily on first use (model load happens in the worker thread)."""
 
-    def __init__(self, text_safety=None):
+    def __init__(self, text_safety=None, coalesce: int = 1):
         self.job_queue: "queue.Queue[dict]" = queue.Queue()
         self.status_queue: "queue.Queue[Any]" = queue.Queue()
         self._factories: Dict[str, Callable[[], Callable]] = {}
@@ -50,6 +50,12 @@ class EngineWorker:
         # they enqueue, like the reference's pre-queue prompt check
         # (generate_handler.py:77-83)
         self.text_safety = text_safety
+        # serving mode: group up to N adjacent compatible jobs into one
+        # device batch (app/batching.py). 1 = reference behavior (off).
+        self.coalesce = max(1, int(coalesce))
+        # jobs set aside while scanning for batch members; consumed
+        # before the queue so their relative order is preserved
+        self._backlog: list = []
 
     def register_backend(self, model_type: str,
                          factory: Callable[[], Callable]) -> None:
@@ -96,29 +102,96 @@ class EngineWorker:
             self._backends[model_type] = self._factories[model_type]()
         return self._backends[model_type]
 
+    def _next_job(self) -> dict:
+        if self._backlog:
+            return self._backlog.pop(0)
+        return self.job_queue.get()
+
+    def _gather_group(self, job: dict) -> list:
+        """Collect up to `coalesce` adjacent queued jobs batch-compatible
+        with `job` (same model type + equal coalesce_key). Jobs that do
+        not match go to the backlog in order."""
+        try:
+            backend = self._backend_for(job["generator_model_type"])
+        except Exception:
+            return [job]
+        key_fn = getattr(backend, "coalesce_key", None)
+        if key_fn is None or getattr(backend, "generate_batch", None) is None:
+            return [job]
+        k0 = key_fn(job.get("parameters", {}))
+        if k0 is None:
+            return [job]
+        group = [job]
+        scan: list = []
+        while len(group) < self.coalesce:
+            if scan:
+                nxt = scan.pop(0)
+            else:
+                try:
+                    nxt = self.job_queue.get_nowait()
+                except queue.Empty:
+                    break
+            if (nxt.get("type") == MP_MESSAGE_TYPE_INFERENCE
+                    and nxt.get("generator_model_type")
+                    == job["generator_model_type"]
+                    and key_fn(nxt.get("parameters", {})) == k0):
+                group.append(nxt)
+            else:
+                self._backlog.append(nxt)
+        self._backlog.extend(scan)
+        return group
+
+    def _run_one(self, job: dict) -> None:
+        ok, err = True, None
+        try:
+            backend = self._backend_for(job["generator_model_type"])
+            backend(
+                job.get("parameters", {}),
+                self.status_queue.put,
+                lambda img, meta: self.status_queue.put(
+                    make_result_message(img, meta)
+                ),
+            )
+        except Exception as e:  # structured failure, keep worker alive
+            logger.exception("job failed")
+            ok, err = False, f"{type(e).__name__}: {e}"
+        self.status_queue.put({"job_done": {"ok": ok, "error": err}})
+
+    def _run_group(self, group: list) -> None:
+        backend = self._backend_for(group[0]["generator_model_type"])
+        result_cb = lambda img, meta: self.status_queue.put(
+            make_result_message(img, meta))
+        try:
+            backend.generate_batch(
+                [g.get("parameters", {}) for g in group],
+                self.status_queue.put,
+                [result_cb] * len(group),
+            )
+        except Exception:
+            # one poison request must not fail its neighbors: fall back
+            # to running the group serially (each gets its own job_done)
+            logger.exception("coalesced batch failed; retrying serially")
+            for g in group:
+                self._run_one(g)
+            return
+        for _ in group:
+            self.status_queue.put({"job_done": {"ok": True, "error": None}})
+
     def _loop(self) -> None:
         while self._running:
-            job = self.job_queue.get()
+            job = self._next_job()
             if job.get("type") == MP_MESSAGE_TYPE_EXIT:
                 self._running = False
                 break
             if job.get("type") != MP_MESSAGE_TYPE_INFERENCE:
                 logger.warning("unknown job type %r", job.get("type"))
                 continue
-            ok, err = True, None
-            try:
-                backend = self._backend_for(job["generator_model_type"])
-                backend(
-                    job.get("parameters", {}),
-                    self.status_queue.put,
-                    lambda img, meta: self.status_queue.put(
-                        make_result_message(img, meta)
-                    ),
-                )
-            except Exception as e:  # structured failure, keep worker alive
-                logger.exception("job failed")
-                ok, err = False, f"{type(e).__name__}: {e}"
-            self.status_queue.put({"job_done": {"ok": ok, "error": err}})
+            group = ([job] if self.coalesce <= 1
+                     else self._gather_group(job))
+            if len(group) > 1:
+                self._run_group(group)
+            else:
+                self._run_one(job)
 
 
 def make_result_message(img, meta: Dict[str, Any]) -> Dict[str, Any]:
