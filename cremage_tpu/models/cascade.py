@@ -228,12 +228,25 @@ class CascadeAttnBlock(nn.Module):
 
 def _run_trunk(h, r_embed, cond, *, c_hidden, blocks, num_heads, c_cond,
                c_r, conds, attn_levels, down_repeats, up_repeats, dtype,
-               param_dtype):
+               param_dtype, mode="full", deep=None, cache_levels=1):
     """Shared down/up trunk: flat (Res, Time[, Attn]) groups per level,
     LN+conv scalers between levels, repeat-mappers re-running a level.
     Plain helper (NOT a Module): must run inside the caller's compact
-    scope so params land at the root, matching checkpoint keys."""
+    scope so params land at the root, matching checkpoint keys.
+
+    Deep-cache modes follow models/unet.py's contract: "capture"
+    returns (h, deep) with `deep` the hidden state entering up level
+    cache_levels-1 (after the deep upscaler); "shallow" reruns only
+    levels < cache_levels and splices `deep` back in.  Returns (h, None)
+    otherwise so callers unpack uniformly."""
     dd = dict(dtype=dtype, param_dtype=param_dtype)
+    n_levels_all = len(c_hidden)
+    assert mode in ("full", "capture", "shallow"), mode
+    if mode != "full":
+        assert 1 <= cache_levels < n_levels_all, (
+            f"cache_levels must be in [1, {n_levels_all - 1}]")
+    if mode == "shallow":
+        assert deep is not None, "shallow mode needs the cached tensor"
 
     def group(pre, c, skip_channels, with_attn):
         res = CascadeResBlock(c, skip_channels=skip_channels,
@@ -246,7 +259,9 @@ def _run_trunk(h, r_embed, cond, *, c_hidden, blocks, num_heads, c_cond,
 
     n_levels = len(c_hidden)
     skips = []
-    for lv in range(n_levels):
+    down_levels = (range(cache_levels) if mode == "shallow"
+                   else range(n_levels))
+    for lv in down_levels:
         c = c_hidden[lv]
         if lv > 0:
             h = Conv(c, kernel_size=2, stride=2, padding=0,
@@ -271,7 +286,15 @@ def _run_trunk(h, r_embed, cond, *, c_hidden, blocks, num_heads, c_cond,
                 h = mappers[j](h)
         skips.append(h)
 
-    for pos, lv in enumerate(reversed(range(n_levels))):
+    deep_out = None
+    up_levels = (range(cache_levels - 1, -1, -1) if mode == "shallow"
+                 else range(n_levels - 1, -1, -1))
+    if mode == "shallow":
+        h = deep.astype(dtype)
+    for lv in up_levels:
+        pos = n_levels - 1 - lv
+        if mode == "capture" and lv == cache_levels - 1:
+            deep_out = h
         c = c_hidden[lv]
         skip = skips[lv] if pos > 0 else None
         groups = [
@@ -300,7 +323,7 @@ def _run_trunk(h, r_embed, cond, *, c_hidden, blocks, num_heads, c_cond,
             h = ConvTranspose2x2(c_hidden[lv - 1],
                                  name=f"upscalers_{pos}_1",
                                  **dd)(_channel_ln(h))
-    return h
+    return h, deep_out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -338,7 +361,8 @@ class StageC(nn.Module):
 
     @nn.compact
     def __call__(self, x, r, clip_text, clip_text_pooled, clip_img=None,
-                 sca=None, crp=None):
+                 sca=None, crp=None, mode: str = "full", deep=None,
+                 cache_levels: int = 1):
         cfg = self.cfg
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         b = x.shape[0]
@@ -369,13 +393,14 @@ class StageC(nn.Module):
                  name="embedding_1", **dd)(h)
         h = _channel_ln(h)
 
-        h = _run_trunk(
+        h, deep_out = _run_trunk(
             h, r_embed, cond,
             c_hidden=cfg.c_hidden, blocks=cfg.blocks,
             num_heads=cfg.num_heads, c_cond=cfg.c_cond, c_r=cfg.c_r,
             conds=cfg.conds, attn_levels=tuple(range(len(cfg.c_hidden))),
             down_repeats=cfg.down_repeats, up_repeats=cfg.up_repeats,
             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            mode=mode, deep=deep, cache_levels=cache_levels,
         )
 
         out = Conv(cfg.out_channels * p * p, kernel_size=1, padding=0,
@@ -383,7 +408,7 @@ class StageC(nn.Module):
                    param_dtype=cfg.param_dtype)(_channel_ln(h))
         if p > 1:
             out = _pixel_shuffle(out, p)
-        return out
+        return (out, deep_out) if mode == "capture" else out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -418,7 +443,8 @@ class StageB(nn.Module):
 
     @nn.compact
     def __call__(self, x, r, effnet, clip_text_pooled, sca=None,
-                 pixels=None):
+                 pixels=None, mode: str = "full", deep=None,
+                 cache_levels: int = 1):
         cfg = self.cfg
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         b = x.shape[0]
@@ -461,16 +487,18 @@ class StageB(nn.Module):
                   name="pixels_mapper_2", **dd)(px)
         h = h + _resize_bilinear_ac(_channel_ln(px), hh, ww)
 
-        h = _run_trunk(
+        h, deep_out = _run_trunk(
             h, r_embed, cond,
             c_hidden=cfg.c_hidden, blocks=cfg.blocks,
             num_heads=cfg.num_heads, c_cond=cfg.c_cond, c_r=cfg.c_r,
             conds=cfg.conds, attn_levels=cfg.attn_levels,
             down_repeats=cfg.down_repeats, up_repeats=cfg.up_repeats,
             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            mode=mode, deep=deep, cache_levels=cache_levels,
         )
 
         out = Conv(cfg.out_channels * p * p, kernel_size=1, padding=0,
                    name="clf_1", dtype=jnp.float32,
                    param_dtype=cfg.param_dtype)(_channel_ln(h))
-        return _pixel_shuffle(out, p)
+        out = _pixel_shuffle(out, p)
+        return (out, deep_out) if mode == "capture" else out

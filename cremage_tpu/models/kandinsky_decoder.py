@@ -137,8 +137,21 @@ class KandinskyUNet(nn.Module):
     cfg: KandinskyUNetConfig
 
     @nn.compact
-    def __call__(self, x, timesteps, context, y=None):
+    def __call__(self, x, timesteps, context, y=None,
+                 mode: str = "full", deep=None, cache_levels: int = 1):
+        """Deep-cache modes follow models/unet.py's contract exactly:
+        "capture" additionally returns the hidden state entering up
+        level cache_levels-1 (after the deep upsample); "shallow" reruns
+        only resolution levels < cache_levels and splices that cached
+        tensor back in (samplers/deepcache.py)."""
         cfg = self.cfg
+        n_levels = len(cfg.block_out_channels)
+        assert mode in ("full", "capture", "shallow"), mode
+        if mode != "full":
+            assert 1 <= cache_levels < n_levels, (
+                f"cache_levels must be in [1, {n_levels - 1}]")
+        if mode == "shallow":
+            assert deep is not None, "shallow mode needs the cached tensor"
         dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         boc = cfg.block_out_channels
         ted = cfg.time_embed_dim
@@ -156,7 +169,9 @@ class KandinskyUNet(nn.Module):
         # ---- down ----
         hs = [h]
         n_blocks = len(boc)
-        for lv in range(n_blocks):
+        down_levels = (range(cache_levels) if mode == "shallow"
+                       else range(n_blocks))
+        for lv in down_levels:
             plain = cfg.first_block_plain and lv == 0
             for i in range(cfg.layers_per_block):
                 h = ScaleShiftResBlock(
@@ -169,21 +184,36 @@ class KandinskyUNet(nn.Module):
                     )(h, context)
                 hs.append(h)
             if lv != n_blocks - 1:
-                h = ScaleShiftResBlock(
-                    boc[lv], sample="down",
-                    name=f"down_blocks_{lv}_downsamplers_0", **rdd)(h, emb)
-                hs.append(h)
+                # the downsampler ending level cache_levels-1 feeds the
+                # cached deep path; its skip is consumed by a deep up
+                # block, so shallow mode needs neither
+                if mode != "shallow" or lv < cache_levels - 1:
+                    h = ScaleShiftResBlock(
+                        boc[lv], sample="down",
+                        name=f"down_blocks_{lv}_downsamplers_0",
+                        **rdd)(h, emb)
+                    hs.append(h)
 
-        # ---- mid (resnet, attention, resnet) ----
-        h = ScaleShiftResBlock(boc[-1], name="mid_block_resnets_0",
-                               **rdd)(h, emb)
-        h = AddedKVAttention(heads=boc[-1] // cfg.attention_head_dim,
-                             name="mid_block_attentions_0", **rdd)(h, context)
-        h = ScaleShiftResBlock(boc[-1], name="mid_block_resnets_1",
-                               **rdd)(h, emb)
+        # ---- mid (resnet, attention, resnet); skipped in shallow ----
+        if mode != "shallow":
+            h = ScaleShiftResBlock(boc[-1], name="mid_block_resnets_0",
+                                   **rdd)(h, emb)
+            h = AddedKVAttention(heads=boc[-1] // cfg.attention_head_dim,
+                                 name="mid_block_attentions_0",
+                                 **rdd)(h, context)
+            h = ScaleShiftResBlock(boc[-1], name="mid_block_resnets_1",
+                                   **rdd)(h, emb)
 
         # ---- up ----
-        for pos, lv in enumerate(reversed(range(n_blocks))):
+        deep_out = None
+        up_levels = (range(cache_levels - 1, -1, -1) if mode == "shallow"
+                     else range(n_blocks - 1, -1, -1))
+        if mode == "shallow":
+            h = deep.astype(cfg.dtype)
+        for lv in up_levels:
+            pos = n_blocks - 1 - lv
+            if mode == "capture" and lv == cache_levels - 1:
+                deep_out = h
             plain = cfg.first_block_plain and lv == 0
             for i in range(cfg.layers_per_block + 1):
                 skip = hs.pop()
@@ -203,7 +233,7 @@ class KandinskyUNet(nn.Module):
         h = silu(GroupNorm(32, name="conv_norm_out")(h))
         h = Conv(cfg.out_channels, kernel_size=3, name="conv_out",
                  dtype=jnp.float32, param_dtype=cfg.param_dtype)(h)
-        return h
+        return (h, deep_out) if mode == "capture" else h
 
 
 def kandinsky_decoder_eps(out):

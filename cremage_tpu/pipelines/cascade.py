@@ -27,8 +27,10 @@ from cremage_tpu.core.config import GenerationOptions
 from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.unet import UNetConfig, UNetModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
+from cremage_tpu.samplers.deepcache import max_cache_levels as _max_cache_levels
 from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
 from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
@@ -98,6 +100,12 @@ class CascadePipeline:
         sched = self.bundle.schedule
         sigmas = sched.get_sigmas(steps)
         scale = float(opts.scale)
+        dc = int(opts.deep_cache)
+        # the two stages have different level counts (C: 2, B: 4);
+        # clamp the shared knob per stage
+        dcb = max(1, min(int(opts.deep_cache_branch),
+                         _max_cache_levels(model)))
+        use_dc = dc >= 2
 
         def progress(i):
             self._current_status(f"{tag} {int(i) + 1} / {steps}")
@@ -105,24 +113,36 @@ class CascadePipeline:
         from cremage_tpu.models.cascade import StageB as _StageB
 
         def run(params, x, c_ctx, uc_ctx, c_vec, uc_vec, concat, key):
-            def eps_model(xx, tt, cond):
+            def eps_model(xx, tt, cond, **mk):
                 ctx, vec = cond
                 cc = concat
                 if cc is not None and cc.shape[0] != xx.shape[0]:
                     cc = jnp.concatenate([cc] * (xx.shape[0] // cc.shape[0]))
                 if isinstance(model, _StageB):
                     # real Würstchen Stage B: effnet latent + pooled text
-                    return model.apply(params, xx, tt, cc, vec)
+                    return model.apply(params, xx, tt, cc, vec, **mk)
                 if cc is not None:   # UNet stand-in: channel concat
                     xx = jnp.concatenate([xx, cc.astype(xx.dtype)], axis=-1)
-                return model.apply(params, xx, tt, ctx, vec)
+                return model.apply(params, xx, tt, ctx, vec, **mk)
 
             denoise = EpsDenoiser(eps_model, sched)
             den = cfg_denoiser(denoise, (c_ctx, c_vec), (uc_ctx, uc_vec), scale)
+            if use_dc:
+                den_cap = lambda xx, ss: den(xx, ss, mode="capture",
+                                             cache_levels=dcb)
+                den_sh = lambda xx, ss, deep: den(
+                    xx, ss, mode="shallow", cache_levels=dcb, deep=deep)
+                _, deep_sd = jax.eval_shape(
+                    den_cap, x, jnp.asarray(1.0, jnp.float32))
+                cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+                carry = DC.make_dc_denoise(den_cap, den_sh, dc)
+                return DC.sample_euler_ancestral_dc(
+                    carry, cache0, x, sigmas, key=key, progress_cb=progress)
             return K.sample_euler_ancestral(den, x, sigmas, key=key,
                                             progress_cb=progress)
 
-        bucket = (tag, steps, tuple(shape), extra_sig, scale)
+        bucket = (tag, steps, tuple(shape), extra_sig, scale,
+                  dc if use_dc else 0, dcb)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

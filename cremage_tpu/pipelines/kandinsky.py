@@ -23,8 +23,10 @@ from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.kandinsky import DiffusionPrior
 from cremage_tpu.models.unet import UNetModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_latent
+from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
+from cremage_tpu.samplers.deepcache import max_cache_levels as _max_cache_levels
 from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
 from cremage_tpu.core.registry import SAMPLERS
 from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
@@ -129,26 +131,51 @@ class KandinskyPipeline:
                                            sched.sigma_max))
         scale = float(opts.scale)
         sampler_fn = SAMPLERS.get(name)
+        dc = int(opts.deep_cache)
+        dcb = max(1, min(int(opts.deep_cache_branch),
+                         _max_cache_levels(b.decoder)))
+        use_dc = dc >= 2
+        if use_dc and name not in DC.DC_SAMPLERS:
+            raise ValueError(
+                "deep_cache requires a supported sampler "
+                f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
+                f"got {name!r}")
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
 
         def run(params, x, img_embed, neg_embed, key):
-            def eps_model(xx, tt, cond):
+            def eps_model(xx, tt, cond, **mk):
                 if b.image_cond is not None:
                     tvec, ctx = b.image_cond.apply(b.image_cond_params, cond)
-                    out = b.decoder.apply(params, xx, tt, ctx, tvec)
+                    out = b.decoder.apply(params, xx, tt, ctx, tvec, **mk)
                 else:
                     ctx = cond[:, None, :]   # single image-embed token
-                    out = b.decoder.apply(params, xx, tt, ctx, cond)
+                    out = b.decoder.apply(params, xx, tt, ctx, cond, **mk)
+                aux = None
+                if isinstance(out, tuple):
+                    out, aux = out
                 # the real decoder predicts [eps, variance]; samplers use eps
-                return out[..., : xx.shape[-1]]
+                out = out[..., : xx.shape[-1]]
+                return out if aux is None else (out, aux)
 
             denoise = EpsDenoiser(eps_model, sched)
             den = cfg_denoiser(denoise, img_embed, neg_embed, scale)
+            if use_dc:
+                den_cap = lambda xx, ss: den(xx, ss, mode="capture",
+                                             cache_levels=dcb)
+                den_sh = lambda xx, ss, deep: den(
+                    xx, ss, mode="shallow", cache_levels=dcb, deep=deep)
+                _, deep_sd = jax.eval_shape(
+                    den_cap, x, jnp.asarray(1.0, jnp.float32))
+                cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+                carry = DC.make_dc_denoise(den_cap, den_sh, dc)
+                return DC.DC_SAMPLERS[name](carry, cache0, x, sigmas,
+                                            key=key, progress_cb=progress)
             return sampler_fn(den, x, sigmas, key=key, progress_cb=progress)
 
-        bucket = ("kandinsky", name, steps, tuple(shape), dim, scale)
+        bucket = ("kandinsky", name, steps, tuple(shape), dim, scale,
+                  dc if use_dc else 0, dcb)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

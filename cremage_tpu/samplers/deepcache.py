@@ -257,6 +257,19 @@ DC_SAMPLERS = {
 }
 
 
+def max_cache_levels(model) -> int:
+    """Deepest legal cache_levels for a UNet-family model, from its
+    config's level list (cache_levels must stay below the level count).
+    Pipelines clamp the user's deep_cache_branch with this so one knob
+    works across architectures with different depths."""
+    cfg = getattr(model, "cfg", None)
+    for attr in ("c_hidden", "channel_mult", "block_out_channels"):
+        levels = getattr(cfg, attr, None)
+        if levels is not None:
+            return max(1, len(levels) - 1)
+    return 1
+
+
 def deep_cache_shape(unet, params, x, t, context, y=None,
                      cache_levels: int = 1):
     """Static shape/dtype of the deep cache for a given call signature
