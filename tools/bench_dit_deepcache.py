@@ -1,20 +1,29 @@
 #!/usr/bin/env python
-"""Measure the DiT Δ-cache split on the real chip: full vs shallow eval
-time at PRODUCTION config for SD3 / PixArt-Σ / Hunyuan-DiT, and the
-implied DeepCache interval-2 per-step cost.
+"""Measure the DeepCache split on the real chip: full vs shallow eval
+time at PRODUCTION config, and the implied interval-2 per-step cost.
+
+Families: the DiT Δ-cache (sd3 / pixart / hunyuan — shallow reruns the
+embedders + `cache_depth` front blocks + final layer and adds the
+cached fp32 delta) and the skip-UNet hidden-state cache (kandinsky /
+cascade_b / cascade_c — shallow reruns resolution levels below
+`cache_levels`).
 
 Same harness as tools/tpu_family_sweep.py (zeros bf16 params, chained
-fori loop against the ~30 ms tunnel dispatch cost).  The shallow eval
-runs the embedders + `cache_depth` front blocks + final layer and adds
-the cached fp32 delta; interval-2 per-step cost = (full + shallow) / 2.
+fori loop against the ~30 ms tunnel dispatch cost).
 
 Run: python tools/bench_dit_deepcache.py [family ...]
 Each family runs in a subprocess (clean HBM).
 
-RESULTS (v5e-1, 2026-08-18, cache_depth=1, production 1024^2 configs):
-  sd3      full 136.6 ms  shallow 10.9 ms  -> interval-2  73.7 ms/step (1.85x)
-  pixart   full  88.1 ms  shallow  7.8 ms  -> interval-2  48.0 ms/step (1.84x)
-  hunyuan  full 159.6 ms  shallow  9.7 ms  -> interval-2  84.6 ms/step (1.89x)
+RESULTS (v5e-1, 2026-08-18/19, depth=1, production configs):
+  sd3       full 136.6 ms  shallow 10.9 ms  -> interval-2  73.7 ms/step (1.85x)
+  pixart    full  88.1 ms  shallow  7.8 ms  -> interval-2  48.0 ms/step (1.84x)
+  hunyuan   full 159.6 ms  shallow  9.7 ms  -> interval-2  84.6 ms/step (1.89x)
+  kandinsky full  19.6 ms  shallow  6.3 ms  -> interval-2  13.0 ms/step (1.51x)
+  cascade_b full  92.8 ms  shallow  9.6 ms  -> interval-2  51.2 ms/step (1.81x)
+  cascade_c full  23.7 ms  shallow 13.6 ms  -> interval-2  18.7 ms/step (1.27x)
+(cascade_c has only two trunk levels, so its shallow pass keeps level 0's
+8 of 32 block groups — Stage B, the wall-clock-dominant stage, gets the
+full UNet-style win.)
 """
 import os
 import sys
@@ -52,9 +61,37 @@ def build(name):
         x = jnp.zeros((1, 128, 128, 4), bf)
         args = (x, jnp.zeros((1,)), jnp.zeros((1, 77, 1024), bf),
                 jnp.zeros((1, 256, 2048), bf))
+    elif name == "kandinsky":
+        from cremage_tpu.models.kandinsky_decoder import (
+            KandinskyUNet, KandinskyUNetConfig,
+        )
+
+        cfg = KandinskyUNetConfig()
+        model = KandinskyUNet(cfg)
+        x = jnp.zeros((1, 64, 64, cfg.in_channels), bf)
+        args = (x, jnp.zeros((1,)), jnp.zeros((1, 10, cfg.context_dim), bf),
+                jnp.zeros((1, cfg.time_embed_dim), bf))
+    elif name == "cascade_c":
+        from cremage_tpu.models.cascade import StageC, StageCConfig
+
+        model = StageC(StageCConfig())
+        x = jnp.zeros((1, 24, 24, 16), bf)
+        args = (x, jnp.zeros((1,)), jnp.zeros((1, 77, 1280), bf),
+                jnp.zeros((1, 1280), bf))
+    elif name == "cascade_b":
+        from cremage_tpu.models.cascade import StageB, StageBConfig
+
+        model = StageB(StageBConfig())
+        x = jnp.zeros((1, 256, 256, 4), bf)
+        args = (x, jnp.zeros((1,)), jnp.zeros((1, 24, 24, 16), bf),
+                jnp.zeros((1, 1280), bf))
     else:
         raise SystemExit(f"unknown family {name!r}")
     return model, args
+
+
+# skip-UNet families cache by resolution level (models/unet.py contract)
+LEVEL_FAMILIES = {"kandinsky", "cascade_b", "cascade_c"}
 
 
 def run_family(name):
@@ -69,10 +106,18 @@ def run_family(name):
     model, args = build(name)
     x = args[0]
     params = zeros_bf16(model, *args)
+    kw_name = "cache_levels" if name in LEVEL_FAMILIES else "cache_depth"
+    if name in LEVEL_FAMILIES:
+        from cremage_tpu.samplers.deepcache import max_cache_levels
+
+        depth = min(CACHE_DEPTH, max_cache_levels(model))
+    else:
+        depth = CACHE_DEPTH
+    mk = {kw_name: depth}
 
     _, deep_sd = jax.eval_shape(
-        lambda p, *a: model.apply(p, *a, mode="capture",
-                                  cache_depth=CACHE_DEPTH), params, *args)
+        lambda p, *a: model.apply(p, *a, mode="capture", **mk),
+        params, *args)
     deep = jnp.zeros(deep_sd.shape, deep_sd.dtype)
 
     def chained(apply_once):
@@ -87,7 +132,7 @@ def run_family(name):
 
     full = chained(lambda p, xx, dp, *rest: model.apply(p, xx, *rest))
     shallow = chained(lambda p, xx, dp, *rest: model.apply(
-        p, xx, *rest, mode="shallow", deep=dp, cache_depth=CACHE_DEPTH))
+        p, xx, *rest, mode="shallow", deep=dp, **mk))
 
     def timeit(fn):
         t0 = time.perf_counter()
@@ -103,14 +148,15 @@ def run_family(name):
     t_full, c1 = timeit(full)
     t_sh, c2 = timeit(shallow)
     step2 = (t_full + t_sh) / 2
-    print(f"{name:8s} full {t_full:6.1f} ms  shallow {t_sh:6.1f} ms "
-          f"(cache_depth={CACHE_DEPTH})  -> interval-2 {step2:6.1f} ms/step "
+    print(f"{name:9s} full {t_full:6.1f} ms  shallow {t_sh:6.1f} ms "
+          f"({kw_name}={depth})  -> interval-2 {step2:6.1f} ms/step "
           f"({t_full / step2:.2f}x)  [compile {c1:.0f}s/{c2:.0f}s]",
           flush=True)
 
 
 def main():
-    families = sys.argv[1:] or ["sd3", "pixart", "hunyuan"]
+    families = sys.argv[1:] or ["sd3", "pixart", "hunyuan", "kandinsky",
+                                "cascade_b", "cascade_c"]
     if len(families) == 1:
         run_family(families[0])
         return
