@@ -263,3 +263,21 @@ def test_sdxl_pipeline_deep_cache_dpmpp2m():
     assert np.isfinite(dc).all()
     assert dc.shape == plain.shape
     assert np.abs(dc - plain).max() > 0
+
+
+def test_sdxl_deep_cache_composes_with_refiner():
+    """deep_cache applies to BOTH sampling stages: the base pass and the
+    refiner's img2img pass go through the same _sampler_program, so the
+    refiner UNet takes the capture/shallow split too (bucketed per UNet
+    by id)."""
+    from tests.test_edm_sdxl import make_sdxl_bundle, xl_opts
+    from cremage_tpu.pipelines.sdxl import SDXLPipeline
+
+    pipe = SDXLPipeline(make_sdxl_bundle(with_refiner=True))
+    plain = pipe.generate(xl_opts(refiner_strength=0.3,
+                                  sampling_steps=4))[0][0]
+    dc = pipe.generate(xl_opts(refiner_strength=0.3, sampling_steps=4,
+                               deep_cache=2))[0][0]
+    assert np.isfinite(dc).all()
+    assert dc.shape == plain.shape
+    assert np.abs(dc - plain).max() > 0
