@@ -174,6 +174,10 @@ class EngineWorker:
             for g in group:
                 self._run_one(g)
             return
+        from cremage_tpu.utils.observability import METRICS
+
+        METRICS.incr("coalesced_batches")
+        METRICS.incr("coalesced_jobs", len(group))
         for _ in group:
             self.status_queue.put({"job_done": {"ok": True, "error": None}})
 
