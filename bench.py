@@ -10,6 +10,9 @@ Lanes (BASELINE.json driver metric):
            full UNet every 2nd step — samplers/deepcache.py; measured
            v5e: sd15 3.48 vs 2.99, sdxl 0.456 vs 0.286, svd 0.644 vs
            0.538)
+  *_tome   Token-merging variants (ops/tome.py, ratio 0.5; measured
+           v5e: sd15 3.31, sdxl 0.296) — _dc_tome stacks both
+           (sd15 4.02 = +34% over exact, sdxl 0.471)
 
 Each line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -102,7 +105,7 @@ def quantized_unet_zeros(model, *example_args):
     return quantized_zeros(shapes, dtype="int8", include_convs=True)
 
 
-def bench_sd15(quant_dtype=None, deep_cache=0):
+def bench_sd15(quant_dtype=None, deep_cache=0, tome=0.0):
     from cremage_tpu.models.unet import UNetModel, sd15_unet_config
     from cremage_tpu.models.vae import AutoencoderKL, VAEConfig, decode_from_latent
     from cremage_tpu.samplers import deepcache as DCmod
@@ -117,7 +120,7 @@ def bench_sd15(quant_dtype=None, deep_cache=0):
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     h = w = 64  # 512/8
 
-    unet = UNetModel(sd15_unet_config())
+    unet = UNetModel(sd15_unet_config(tome_ratio=float(tome)))
     x1 = jnp.zeros((1, h, w, 4), jnp.bfloat16)
     t1 = jnp.zeros((1,), jnp.float32)
     c1 = jnp.zeros((1, 77, 768), jnp.bfloat16)
@@ -177,11 +180,13 @@ def bench_sd15(quant_dtype=None, deep_cache=0):
     tag = "_int8" if quant_dtype == "int8" else ""
     if deep_cache >= 2:
         tag += f"_deepcache{deep_cache}"
+    if tome > 0:
+        tag += f"_tome{int(tome * 100)}"
     _emit(f"sd15_txt2img_512_20step_euler_a{tag}_images_per_sec_per_chip",
           batch * n_rounds / dt, "images/s", FLUX_4090_ANCHOR)
 
 
-def bench_sdxl(quant_dtype=None, deep_cache=0):
+def bench_sdxl(quant_dtype=None, deep_cache=0, tome=0.0):
     """SDXL 1024^2 30-step EulerEDM with CFG + VAE decode — the
     BASELINE.json north-star configuration.  deep_cache >= 2 adds the
     DeepCache lane (full UNet every N-th step, shallow in between —
@@ -199,7 +204,7 @@ def bench_sdxl(quant_dtype=None, deep_cache=0):
     steps = int(os.environ.get("BENCH_STEPS_SDXL", "30"))
     h = w = 128  # 1024/8
 
-    unet = UNetModel(sdxl_base_unet_config())
+    unet = UNetModel(sdxl_base_unet_config(tome_ratio=float(tome)))
     unet_example = (jnp.zeros((1, h, w, 4), jnp.bfloat16), jnp.zeros((1,)),
                     jnp.zeros((1, 77, 2048), jnp.bfloat16),
                     jnp.zeros((1, 2816)))
@@ -257,6 +262,8 @@ def bench_sdxl(quant_dtype=None, deep_cache=0):
     tag = "_int8" if quant_dtype == "int8" else ""
     if deep_cache >= 2:
         tag += f"_deepcache{deep_cache}"
+    if tome > 0:
+        tag += f"_tome{int(tome * 100)}"
     _emit(f"sdxl_txt2img_1024_30step_euler_edm{tag}_images_per_sec_per_chip",
           batch * n_rounds / dt, "images/s", SDXL_NORTH_STAR)
 
@@ -570,7 +577,21 @@ LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
          "sdxl_dc": lambda: bench_sdxl(deep_cache=int(
              os.environ.get("BENCH_DC_INTERVAL", "2"))),
          "svd_dc": lambda: bench_svd(deep_cache=int(
-             os.environ.get("BENCH_DC_INTERVAL", "2")))}
+             os.environ.get("BENCH_DC_INTERVAL", "2"))),
+         # ToMe lanes (quality grade: approximate — int(N*r) latent
+         # tokens merged before each highest-res self-attention,
+         # ops/tome.py; ratio 0.5 is the ToMeSD paper's near-lossless
+         # setting). _dc_tome stacks both approximations.
+         "sd15_tome": lambda: bench_sd15(tome=float(
+             os.environ.get("BENCH_TOME_RATIO", "0.5"))),
+         "sdxl_tome": lambda: bench_sdxl(tome=float(
+             os.environ.get("BENCH_TOME_RATIO", "0.5"))),
+         "sd15_dc_tome": lambda: bench_sd15(
+             deep_cache=int(os.environ.get("BENCH_DC_INTERVAL", "2")),
+             tome=float(os.environ.get("BENCH_TOME_RATIO", "0.5"))),
+         "sdxl_dc_tome": lambda: bench_sdxl(
+             deep_cache=int(os.environ.get("BENCH_DC_INTERVAL", "2")),
+             tome=float(os.environ.get("BENCH_TOME_RATIO", "0.5")))}
 
 
 def main() -> int:
@@ -578,7 +599,7 @@ def main() -> int:
                            os.environ.get(
                                "BENCH_MODEL",
                                "sd15,sdxl,svd,flux,flux_int8,sd15_e2e,"
-                               "sd15_dc,sdxl_dc,svd_dc"))
+                               "sd15_dc,sdxl_dc,svd_dc,sd15_dc_tome"))
     names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
     if len(names) == 1:
         from cremage_tpu.core.cache import enable_compilation_cache

@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--deep_cache_branch", type=int, default=1,
                    help="shallow compute on DeepCache steps: UNet levels "
                         "or DiT front blocks recomputed")
+    p.add_argument("--tome_ratio", type=float, default=0.0,
+                   help="Token merging (ToMe): merge this fraction of "
+                        "latent tokens before each highest-res "
+                        "self-attention (SD1.5/SDXL; 0.5 = the paper's "
+                        "near-lossless setting; composes with "
+                        "--deep_cache). 0 = off (exact).")
     p.add_argument("--discretization", type=str,
                    default="LegacyDDPMDiscretization")
     p.add_argument("--guider", type=str, default="VanillaCFG")
@@ -161,6 +167,7 @@ def main(argv=None) -> int:
         face_input_img=args.face_input_img, face_model=args.face_model,
         face_strength=args.face_strength,
         deep_cache=args.deep_cache, deep_cache_branch=args.deep_cache_branch,
+        tome_ratio=args.tome_ratio,
     )
 
     if args.use_generation_info:

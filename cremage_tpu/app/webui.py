@@ -109,7 +109,8 @@ INDEX_HTML = """<!doctype html>
     Kandinsky/Cascade/Hunyuan component checkpoint paths,
     flux_quantize, unet_quantize, dit_quantize, control_net,
     deep_cache — e.g. {"deep_cache": 2} for ~1.5-2x faster
-    sampling, any family)</label>
+    sampling, any family; tome_ratio — e.g. {"tome_ratio": 0.5}
+    token merging for SD1.5/SDXL, composes with deep_cache)</label>
   <textarea id="advanced" rows="2" placeholder='{"prior_ckpt": "..."}'></textarea>
   <button class="small" id="paint_btn" onclick="paintOpen()">Paint mask on init image</button>
   <div id="paintbox" style="display:none">

@@ -274,6 +274,11 @@ class GenerationOptions:
     deep_cache_branch: int = 1   # shallow compute on cached steps: UNet
     #   resolution levels recomputed, or DiT front transformer blocks
     #   recomputed (the back blocks' residual delta is the cache)
+    tome_ratio: float = 0.0      # Token merging (ToMe, ops/tome.py):
+    #   merge this fraction of latent tokens before each self-attention
+    #   at the highest-resolution UNet attention level. 0 = off
+    #   (bit-exact default); 0.5 is the paper's near-lossless setting.
+    #   Composes with deep_cache (SD1.5/SDXL).
     # Output
     outdir: str = "outputs"
     generator_model_type: str = GMT_SD_1_5

@@ -18,6 +18,7 @@ weight loading a mechanical string transform (io/checkpoint.py).
 from __future__ import annotations
 
 import dataclasses
+import zlib
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -26,6 +27,7 @@ import jax.numpy as jnp
 from cremage_tpu.models.layers import (
     Conv, Dense, GroupNorm, LayerNorm, silu, timestep_embedding,
 )
+from cremage_tpu.ops import tome
 from cremage_tpu.ops.attention import attention
 
 
@@ -54,6 +56,14 @@ class UNetConfig:
     # IP-Adapter-FaceID extra-attention branch (set when FaceID active)
     ipa_num_tokens: int = 0
     ipa_scale: float = 0.0
+
+    # Token merging (ToMe, ops/tome.py — opt-in speed feature beyond
+    # reference parity). tome_ratio r>0 merges int(N*r) tokens before
+    # each self-attention at the highest-resolution attention level(s);
+    # tome_max_downsample widens application to deeper levels (1 = only
+    # the first attention level, ToMeSD's default).
+    tome_ratio: float = 0.0
+    tome_max_downsample: int = 1
 
 
 def sd15_unet_config(in_channels: int = 4, **kw) -> UNetConfig:
@@ -194,13 +204,27 @@ class BasicTransformerBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     ipa_num_tokens: int = 0
     ipa_scale: float = 0.0
+    # ToMe (ops/tome.py): merge tome_r tokens around attn1 when > 0.
+    # tome_hw is the 2D token grid; tome_salt decorrelates the dst-grid
+    # offset across blocks (mixed with the timestep-derived offset).
+    tome_r: int = 0
+    tome_hw: Tuple[int, int] = (0, 0)
+    tome_salt: int = 0
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, tome_offset=None):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        x = x + CrossAttention(self.heads, self.dim_head, name="attn1", **dd)(
-            LayerNorm(name="norm1")(x)
-        )
+        attn1 = CrossAttention(self.heads, self.dim_head, name="attn1", **dd)
+        if self.tome_r > 0:
+            # metric = the block input itself (ToMeSD §4.1); plan is
+            # recomputed per block on its own input
+            off = (0 if tome_offset is None else tome_offset) + self.tome_salt
+            plan = tome.build_plan(x, self.tome_hw[0], self.tome_hw[1],
+                                   self.tome_r, off)
+            a = attn1(tome.merge(plan, LayerNorm(name="norm1")(x)))
+            x = x + tome.unmerge(plan, a)
+        else:
+            x = x + attn1(LayerNorm(name="norm1")(x))
         x = x + CrossAttention(
             self.heads, self.dim_head, name="attn2",
             ipa_num_tokens=self.ipa_num_tokens, ipa_scale=self.ipa_scale, **dd
@@ -218,11 +242,18 @@ class SpatialTransformer(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     ipa_num_tokens: int = 0
     ipa_scale: float = 0.0
+    tome_ratio: float = 0.0
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, tome_offset=None):
         b, h, w, c = x.shape
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        # ToMe applies only when the grid tiles into 2x2 windows and the
+        # requested ratio removes at least one token (static checks)
+        tome_r = 0
+        if self.tome_ratio > 0 and h % 2 == 0 and w % 2 == 0:
+            tome_r = min(int(h * w * self.tome_ratio), (h * w * 3) // 4)
+        salt = zlib.crc32(str(self.name).encode()) & 0xFFFF
         residual = x
         x = GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
         if self.use_linear:
@@ -234,8 +265,9 @@ class SpatialTransformer(nn.Module):
         for d in range(self.depth):
             x = BasicTransformerBlock(
                 self.heads, self.dim_head, name=f"transformer_blocks_{d}",
-                ipa_num_tokens=self.ipa_num_tokens, ipa_scale=self.ipa_scale, **dd
-            )(x, context)
+                ipa_num_tokens=self.ipa_num_tokens, ipa_scale=self.ipa_scale,
+                tome_r=tome_r, tome_hw=(h, w), tome_salt=salt + d, **dd
+            )(x, context, tome_offset=tome_offset)
         if self.use_linear:
             x = Dense(c, name="proj_out", **dd)(x)
             x = x.reshape(b, h, w, c)
@@ -356,6 +388,19 @@ class UNetModel(nn.Module):
         if isinstance(depths, int):
             depths = (depths,) * len(cfg.channel_mult)
 
+        # ToMe: eligible at attention levels with ds <= (first attention
+        # ds) * tome_max_downsample; the dst-grid offset varies with the
+        # sampler timestep so the merge pattern never sits still
+        tome_ds_limit = 0
+        tome_off = None
+        if cfg.tome_ratio > 0:
+            tome_ds_limit = min(cfg.attention_resolutions) * \
+                cfg.tome_max_downsample
+            tome_off = jnp.reshape(timesteps, (-1,))[0].astype(jnp.int32)
+
+        def _tome_ratio(ds):
+            return cfg.tome_ratio if 0 < ds <= tome_ds_limit else 0.0
+
         # ---- input blocks ----
         # In shallow mode only levels < cache_levels are built; the
         # Downsample ending level cache_levels-1 feeds the (cached) deep
@@ -382,8 +427,9 @@ class UNetModel(nn.Module):
                         use_linear=cfg.use_linear_in_transformer,
                         name=f"input_blocks_{block_idx}_1",
                         ipa_num_tokens=cfg.ipa_num_tokens, ipa_scale=cfg.ipa_scale,
+                        tome_ratio=_tome_ratio(ds),
                         **dd,
-                    )(h, context)
+                    )(h, context, tome_offset=tome_off)
                 hs.append(h)
                 block_idx += 1
             if level != n_levels - 1:
@@ -440,8 +486,9 @@ class UNetModel(nn.Module):
                         use_linear=cfg.use_linear_in_transformer,
                         name=f"output_blocks_{block_idx}_1",
                         ipa_num_tokens=cfg.ipa_num_tokens, ipa_scale=cfg.ipa_scale,
+                        tome_ratio=_tome_ratio(ds),
                         **dd,
-                    )(h, context)
+                    )(h, context, tome_offset=tome_off)
                     sub = 2
                 if level > 0 and i == cfg.num_res_blocks:
                     h = Upsample(ch, name=f"output_blocks_{block_idx}_{sub}", **dd)(h)

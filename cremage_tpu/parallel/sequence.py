@@ -159,6 +159,9 @@ def flux_sp_apply(
     txt_ids,
     guidance: Optional[jnp.ndarray] = None,
     axis: str = "data",
+    mode: str = "full",
+    deep: Optional[jnp.ndarray] = None,
+    cache_depth: int = 1,
 ) -> jnp.ndarray:
     """FLUX forward with the token axis sharded over `mesh[axis]`.
 
@@ -174,6 +177,14 @@ def flux_sp_apply(
 
     img_tokens: (B, Ni, 64); txt_tokens: (B, Nt, ctx_dim); returns
     (B, Ni, 64) velocity, token-sharded like the input.
+
+    DeepCache composes (samplers/deepcache.py Δ-cache, the models/flux.py
+    capture/shallow contract): the cached delta is the per-img-token
+    fp32 residual the back blocks add — token-local by construction —
+    so it simply rides the scan carry TOKEN-SHARDED.  mode="capture"
+    returns (out, delta) both sharded P(None, axis, None); "shallow"
+    takes the sharded delta back in and reruns only the front
+    `cache_depth` double blocks (ring attention included).
     """
     import dataclasses as _dc
 
@@ -198,26 +209,33 @@ def flux_sp_apply(
     frq = P(axis, None, None)
     rep_params = jax.tree.map(lambda _: P(), params)
 
-    if guidance is None:
-        def body(p, it, tt, ft, fi, t_, y_):
-            return sp_model.apply(p, it, tt, t_, y_, None, None,
-                                  freqs=jnp.concatenate([ft, fi], axis=0))
+    assert mode in ("full", "capture", "shallow"), mode
+    mk = {} if mode == "full" else dict(mode=mode, cache_depth=cache_depth)
+    if mode == "shallow":
+        assert deep is not None, "shallow mode needs the cached delta"
 
-        in_specs = (rep_params, tok, tok, frq, frq, P(None), P(None, None))
-        args = (params, img_tokens, txt_tokens, freqs_txt, freqs_img, t,
-                y_vec)
-    else:
-        def body(p, it, tt, ft, fi, t_, y_, g_):
-            return sp_model.apply(p, it, tt, t_, y_, None, None, guidance=g_,
-                                  freqs=jnp.concatenate([ft, fi], axis=0))
+    def body(p, it, tt, ft, fi, t_, y_, *rest):
+        kw = dict(mk)
+        rest = list(rest)
+        if mode == "shallow":
+            kw["deep"] = rest.pop(0)
+        if guidance is not None:
+            kw["guidance"] = rest.pop(0)
+        return sp_model.apply(p, it, tt, t_, y_, None, None,
+                              freqs=jnp.concatenate([ft, fi], axis=0), **kw)
 
-        in_specs = (rep_params, tok, tok, frq, frq, P(None), P(None, None),
-                    P(None))
-        args = (params, img_tokens, txt_tokens, freqs_txt, freqs_img, t,
-                y_vec, guidance)
+    in_specs = [rep_params, tok, tok, frq, frq, P(None), P(None, None)]
+    args = [params, img_tokens, txt_tokens, freqs_txt, freqs_img, t, y_vec]
+    if mode == "shallow":
+        in_specs.append(tok)
+        args.append(deep)
+    if guidance is not None:
+        in_specs.append(P(None))
+        args.append(guidance)
+    out_specs = (tok, tok) if mode == "capture" else tok
 
-    fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=tok,
-                       check_vma=False)
+    fn = jax.shard_map(body, mesh=mesh, in_specs=tuple(in_specs),
+                       out_specs=out_specs, check_vma=False)
     return fn(*args)
 
 
@@ -230,9 +248,14 @@ def mmdit_sp_apply(
     context: jnp.ndarray,
     pooled: jnp.ndarray,
     axis: str = "data",
+    mode: str = "full",
+    deep: Optional[jnp.ndarray] = None,
+    cache_depth: int = 1,
 ) -> jnp.ndarray:
     """MMDiT (SD3) forward with latent patch rows sharded over
-    `mesh[axis]`.
+    `mesh[axis]`.  DeepCache capture/shallow compose: the Δ-cache is
+    the per-token residual of the latent stream (models/mmdit.py), so
+    it rides token-sharded P(None, axis, None).
 
     Each shard patchifies its own row band (the stride-p patch conv is
     band-local when the band height divides by the patch size), adds
@@ -254,17 +277,31 @@ def mmdit_sp_apply(
 
     sp_model = type(model)(_dc.replace(cfg, sp_axis=axis))
     row = P(None, axis, None, None)
+    tokd = P(None, axis, None)
     rep_params = jax.tree.map(lambda _: P(), params)
 
-    def body(p, x_, t_, c_, y_):
-        return sp_model.apply(p, x_, t_, c_, y_)
+    assert mode in ("full", "capture", "shallow"), mode
+    mk = {} if mode == "full" else dict(mode=mode, cache_depth=cache_depth)
+
+    def body(p, x_, t_, c_, y_, *rest):
+        kw = dict(mk)
+        if mode == "shallow":
+            kw["deep"] = rest[0]
+        return sp_model.apply(p, x_, t_, c_, y_, **kw)
+
+    in_specs = [rep_params, row, P(None), P(None, None, None),
+                P(None, None)]
+    args = [params, x, t, context, pooled]
+    if mode == "shallow":
+        assert deep is not None, "shallow mode needs the cached delta"
+        in_specs.append(tokd)
+        args.append(deep)
+    out_specs = (row, tokd) if mode == "capture" else row
 
     fn = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(rep_params, row, P(None), P(None, None, None),
-                  P(None, None)),
-        out_specs=row, check_vma=False)
-    return fn(params, x, t, context, pooled)
+        body, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=out_specs, check_vma=False)
+    return fn(*args)
 
 
 def _validate_bands(hh: int, patch: int, n_shards: int):
@@ -283,8 +320,12 @@ def pixart_sp_apply(
     t: jnp.ndarray,
     y: jnp.ndarray,
     axis: str = "data",
+    mode: str = "full",
+    deep: Optional[jnp.ndarray] = None,
+    cache_depth: int = 1,
 ) -> jnp.ndarray:
     """PixArt-Σ forward with latent patch rows sharded over `mesh[axis]`.
+    DeepCache capture/shallow compose token-sharded (see mmdit_sp_apply).
 
     Self-attention rings the latent kv; cross-attention is local (its
     kv is the replicated text stream y) — zero collectives outside the
@@ -306,17 +347,31 @@ def pixart_sp_apply(
     pos = jnp.asarray(sincos_2d(cfg.hidden_size, hp, wp))   # (N, hidden)
 
     row = P(None, axis, None, None)
+    tokd = P(None, axis, None)
     rep_params = jax.tree.map(lambda _: P(), params)
 
-    def body(p, x_, t_, y_, pos_):
-        return sp_model.apply(p, x_, t_, y_, pos=pos_)
+    assert mode in ("full", "capture", "shallow"), mode
+    mk = {} if mode == "full" else dict(mode=mode, cache_depth=cache_depth)
+
+    def body(p, x_, t_, y_, pos_, *rest):
+        kw = dict(mk)
+        if mode == "shallow":
+            kw["deep"] = rest[0]
+        return sp_model.apply(p, x_, t_, y_, pos=pos_, **kw)
+
+    in_specs = [rep_params, row, P(None), P(None, None, None),
+                P(axis, None)]
+    args = [params, x, t, y, pos]
+    if mode == "shallow":
+        assert deep is not None, "shallow mode needs the cached delta"
+        in_specs.append(tokd)
+        args.append(deep)
+    out_specs = (row, tokd) if mode == "capture" else row
 
     fn = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(rep_params, row, P(None), P(None, None, None),
-                  P(axis, None)),
-        out_specs=row, check_vma=False)
-    return fn(params, x, t, y, pos)
+        body, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=out_specs, check_vma=False)
+    return fn(*args)
 
 
 def hunyuan_sp_apply(
@@ -328,9 +383,14 @@ def hunyuan_sp_apply(
     clip_text: jnp.ndarray,
     mt5_text: jnp.ndarray,
     axis: str = "data",
+    mode: str = "full",
+    deep: Optional[jnp.ndarray] = None,
+    cache_depth: int = 1,
 ) -> jnp.ndarray:
     """Hunyuan-DiT forward with latent patch rows sharded over
-    `mesh[axis]`.
+    `mesh[axis]`.  DeepCache capture/shallow compose token-sharded
+    (see mmdit_sp_apply; the cache boundary stays in the encoder half,
+    so the U-ViT skips never cross it).
 
     Self-attention rings the latent kv (RoPE tables ride in as a
     token-sharded operand built from the GLOBAL grid); cross-attention
@@ -357,13 +417,27 @@ def hunyuan_sp_apply(
 
     row = P(None, axis, None, None)
     txt = P(None, None, None)
+    tokd = P(None, axis, None)
     rep_params = jax.tree.map(lambda _: P(), params)
 
-    def body(p, x_, t_, ct_, mt_, fr_):
-        return sp_model.apply(p, x_, t_, ct_, mt_, freqs=fr_)
+    assert mode in ("full", "capture", "shallow"), mode
+    mk = {} if mode == "full" else dict(mode=mode, cache_depth=cache_depth)
+
+    def body(p, x_, t_, ct_, mt_, fr_, *rest):
+        kw = dict(mk)
+        if mode == "shallow":
+            kw["deep"] = rest[0]
+        return sp_model.apply(p, x_, t_, ct_, mt_, freqs=fr_, **kw)
+
+    in_specs = [rep_params, row, P(None), txt, txt, P(axis, None, None)]
+    args = [params, x, t, clip_text, mt5_text, freqs]
+    if mode == "shallow":
+        assert deep is not None, "shallow mode needs the cached delta"
+        in_specs.append(tokd)
+        args.append(deep)
+    out_specs = (row, tokd) if mode == "capture" else row
 
     fn = jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(rep_params, row, P(None), txt, txt, P(axis, None, None)),
-        out_specs=row, check_vma=False)
-    return fn(params, x, t, clip_text, mt5_text, freqs)
+        body, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=out_specs, check_vma=False)
+    return fn(*args)

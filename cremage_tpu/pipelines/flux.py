@@ -123,11 +123,6 @@ class FluxPipeline:
             self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
 
         sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
-        if use_dc and sp_mesh is not None:
-            raise ValueError(
-                "deep_cache is not combinable with use_mesh_sp "
-                "(the sequence-parallel forward has no capture/shallow "
-                "modes)")
 
         def run(params, x_tokens, txt, vec, key):
             def v_fn(xx, sigma, **mk):
@@ -140,9 +135,13 @@ class FluxPipeline:
                 if sp_mesh is not None:
                     from cremage_tpu.parallel.sequence import flux_sp_apply
 
+                    # DeepCache composes: the Δ-cache is per-img-token,
+                    # so capture/shallow ride through token-sharded
+                    # (the scan carry keeps the delta distributed)
                     return flux_sp_apply(model, params, sp_mesh, xx, txt, t,
                                          vec, img_ids, txt_ids,
-                                         guidance=guidance, axis=sp_axis)
+                                         guidance=guidance, axis=sp_axis,
+                                         **mk)
                 return model.apply(params, xx, txt, t, vec, img_ids, txt_ids,
                                    guidance, **mk)
 

@@ -125,11 +125,6 @@ class HunyuanPipeline:
                 f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
                 f"got {name!r}")
         sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
-        if use_dc and sp_mesh is not None:
-            raise ValueError(
-                "deep_cache is not combinable with use_mesh_sp "
-                "(the sequence-parallel forward has no capture/shallow "
-                "modes)")
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
@@ -140,8 +135,10 @@ class HunyuanPipeline:
                 if sp_mesh is not None:
                     from cremage_tpu.parallel.sequence import hunyuan_sp_apply
 
+                    # DeepCache composes: the Δ-cache is per-token,
+                    # so capture/shallow ride through token-sharded
                     out = hunyuan_sp_apply(b.dit, params, sp_mesh, xx, tt,
-                                           clip_t, mt5_t, axis=sp_axis)
+                                           clip_t, mt5_t, axis=sp_axis, **mk)
                 else:
                     out = b.dit.apply(params, xx, tt, clip_t, mt5_t, **mk)
                 aux = None

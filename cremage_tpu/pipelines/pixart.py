@@ -110,11 +110,6 @@ class PixArtPipeline:
                 f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
                 f"got {name!r}")
         sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
-        if use_dc and sp_mesh is not None:
-            raise ValueError(
-                "deep_cache is not combinable with use_mesh_sp "
-                "(the sequence-parallel forward has no capture/shallow "
-                "modes)")
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
@@ -124,8 +119,10 @@ class PixArtPipeline:
                 if sp_mesh is not None:
                     from cremage_tpu.parallel.sequence import pixart_sp_apply
 
+                    # DeepCache composes: the Δ-cache is per-token,
+                    # so capture/shallow ride through token-sharded
                     out = pixart_sp_apply(dit, params, sp_mesh, xx, tt, cond,
-                                          axis=sp_axis)
+                                          axis=sp_axis, **mk)
                 else:
                     out = dit.apply(params, xx, tt, cond, **mk)
                 aux = None

@@ -198,8 +198,13 @@ class SD15Pipeline:
 
     def _eps_model(self, params, extra_channels: Optional[jnp.ndarray] = None,
                    cn_params=None, hint: Optional[jnp.ndarray] = None,
-                   control_weight: float = 1.0):
+                   control_weight: float = 1.0, tome_ratio: float = 0.0):
         unet = self.bundle.unet
+        if tome_ratio > 0.0:
+            # ToMe has no params — a config-swapped module runs on the
+            # same param tree (ops/tome.py)
+            unet = UNetModel(dataclasses.replace(
+                unet.cfg, tome_ratio=float(tome_ratio)))
         cn_model = self.bundle.controlnet[0] if self.bundle.controlnet else None
 
         def _tile(arr, b):
@@ -272,10 +277,15 @@ class SD15Pipeline:
 
         churn = (opts.sampler_s_churn, opts.sampler_s_tmin,
                  opts.sampler_s_tmax, opts.sampler_s_noise)
+        tr = float(opts.tome_ratio)
+        if not 0.0 <= tr < 0.75:
+            raise ValueError(
+                f"tome_ratio must be in [0, 0.75), got {tr} (a 2x2 dst "
+                "grid leaves only 3N/4 mergeable src tokens)")
         bucket = (name, steps, t_enc, tuple(shape), tuple(c.shape), scale,
                   has_extra, float(opts.ddim_eta), churn,
                   hint is not None, float(control_weight),
-                  int(opts.deep_cache), int(opts.deep_cache_branch))
+                  int(opts.deep_cache), int(opts.deep_cache_branch), tr)
 
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
@@ -303,7 +313,8 @@ class SD15Pipeline:
                 def build():
                     def run(params, x, c, uc, key, extra, cn_params, hint_arr):
                         eps = self._eps_model(params, extra, cn_params,
-                                              hint_arr, control_weight)
+                                              hint_arr, control_weight,
+                                              tome_ratio=tr)
                         eps_cfg = cfg_denoiser(eps, c, uc, scale)
                         return LDMX.sample_dpm_solver(eps_cfg, x, dsched,
                                                       progress_cb=progress)
@@ -314,7 +325,8 @@ class SD15Pipeline:
                 def build():
                     def run(params, x, c, uc, key, extra, cn_params, hint_arr):
                         eps = self._eps_model(params, extra, cn_params,
-                                              hint_arr, control_weight)
+                                              hint_arr, control_weight,
+                                              tome_ratio=tr)
                         eps_cfg = cfg_denoiser(eps, c, uc, scale)
                         if t_enc is not None:
                             noise = noise_like(key, x.shape)
@@ -332,7 +344,8 @@ class SD15Pipeline:
                 def build():
                     def run(params, x, c, uc, key, extra, cn_params, hint_arr):
                         eps = self._eps_model(params, extra, cn_params,
-                                              hint_arr, control_weight)
+                                              hint_arr, control_weight,
+                                              tome_ratio=tr)
                         eps_cfg = cfg_denoiser(eps, c, uc, scale)
                         if t_enc is not None:
                             noise = noise_like(key, x.shape)
@@ -373,7 +386,7 @@ class SD15Pipeline:
         def build():
             def run(params, x, c, uc, key, extra, cn_params, hint_arr):
                 eps = self._eps_model(params, extra, cn_params, hint_arr,
-                                      control_weight)
+                                      control_weight, tome_ratio=tr)
                 denoise = EpsDenoiser(eps, self.bundle.schedule)
                 den_cfg = cfg_denoiser(denoise, c, uc, scale)
                 if t_enc is not None:

@@ -174,11 +174,6 @@ class SD3Pipeline:
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
         use_dc = dc >= 2
-        if use_dc and sp_mesh is not None:
-            raise ValueError(
-                "deep_cache is not combinable with use_mesh_sp "
-                "(the sequence-parallel forward has no capture/shallow "
-                "modes)")
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
@@ -188,9 +183,12 @@ class SD3Pipeline:
                 if sp_mesh is not None:
                     from cremage_tpu.parallel.sequence import mmdit_sp_apply
 
+                    # DeepCache composes: the Δ-cache is per-token, so
+                    # capture/shallow ride through token-sharded
                     return mmdit_sp_apply(mmdit, params, sp_mesh, xx,
                                           tt * 1000.0, cond["crossattn"],
-                                          cond["pooled"], axis=sp_axis)
+                                          cond["pooled"], axis=sp_axis,
+                                          **mk)
                 return mmdit.apply(params, xx, tt * 1000.0,
                                    cond["crossattn"], cond["pooled"], **mk)
 

@@ -255,6 +255,19 @@ class SDXLPipeline:
         guider = GUIDERS.get(opts.guider)
         sampler_name = opts.sampler
 
+        unet_key = id(unet)
+        tr = float(opts.tome_ratio)
+        if not 0.0 <= tr < 0.75:
+            raise ValueError(
+                f"tome_ratio must be in [0, 0.75), got {tr} (a 2x2 dst "
+                "grid leaves only 3N/4 mergeable src tokens)")
+        if tr > 0.0:
+            # ToMe has no params — a config-swapped module runs on the
+            # same param tree (ops/tome.py); program cache keys on the
+            # original module identity + ratio
+            unet = UNetModel(dataclasses.replace(
+                unet.cfg, tome_ratio=tr))
+
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
         use_dc = dc >= 2
@@ -324,11 +337,11 @@ class SDXLPipeline:
                 scale_input=(t_enc is None), progress_cb=progress,
             )
 
-        bucket = ("sdxl", id(unet), sampler_name, steps, t_enc, tuple(shape),
+        bucket = ("sdxl", unet_key, sampler_name, steps, t_enc, tuple(shape),
                   tuple(cond_shape), float(opts.scale), opts.guider,
                   opts.discretization, float(opts.sampler_eta),
                   float(opts.sampler_s_churn), num_frames,
-                  self.bundle.inpaint, dc, dcb)
+                  self.bundle.inpaint, dc, dcb, tr)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -168,6 +168,61 @@ def test_flux_pipeline_sp_matches_plain(mesh8):
     np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
 
 
+def test_flux_sp_deepcache_modes_match_single_device(mesh8):
+    """DeepCache capture/shallow compose with sequence parallelism: the
+    Δ-cache is per-img-token, so it stays token-sharded end to end.
+    capture must reproduce the single-device (out, delta) pair; shallow
+    fed the SHARDED delta at a different t must match the single-device
+    shallow."""
+    from cremage_tpu.parallel.sequence import flux_sp_apply
+
+    model, params, args = _tiny_flux()
+    img_t, txt_t, t, vec, img_ids, txt_ids, _ = args
+    want_out, want_delta = model.apply(params, img_t, txt_t, t, vec,
+                                       img_ids, txt_ids, mode="capture",
+                                       cache_depth=1)
+    with mesh8:
+        got_out, got_delta = flux_sp_apply(
+            model, params, mesh8, img_t, txt_t, t, vec, img_ids, txt_ids,
+            mode="capture", cache_depth=1)
+    assert "data" in str(got_delta.sharding.spec)  # delta stays sharded
+    np.testing.assert_allclose(np.asarray(got_out, np.float32),
+                               np.asarray(want_out, np.float32),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(got_delta, np.float32),
+                               np.asarray(want_delta, np.float32),
+                               atol=3e-5, rtol=3e-5)
+
+    t2 = t + 0.2
+    want_sh = model.apply(params, img_t, txt_t, t2, vec, img_ids, txt_ids,
+                          mode="shallow", deep=want_delta, cache_depth=1)
+    with mesh8:
+        got_sh = flux_sp_apply(
+            model, params, mesh8, img_t, txt_t, t2, vec, img_ids, txt_ids,
+            mode="shallow", deep=got_delta, cache_depth=1)
+    np.testing.assert_allclose(np.asarray(got_sh, np.float32),
+                               np.asarray(want_sh, np.float32),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_flux_pipeline_sp_deepcache_matches_plain(mesh8):
+    """use_mesh_sp + deep_cache=2 runs the DC scan with the delta carry
+    token-sharded and must match the plain single-device DC run."""
+    from tests.test_sd3_flux import make_flux_pipeline
+    from cremage_tpu.core.config import GenerationOptions
+
+    opts = GenerationOptions(prompt="a fox", H=64, W=64, sampling_steps=3,
+                             seed=3, safety_check=False, watermark=False,
+                             deep_cache=2)
+    plain = make_flux_pipeline().generate(opts)[0][0]
+
+    pipe = make_flux_pipeline()
+    pipe.use_mesh_sp(mesh8)
+    with mesh8:
+        sp = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+
+
 # ---------------- MMDiT (SD3) under sequence parallelism -------------------
 
 
@@ -359,6 +414,99 @@ def test_hunyuan_pipeline_sp_matches_plain(mesh8):
                              H=256, W=64, sampling_steps=2, seed=2,
                              sampler="DPM++ 2M", scale=4.5,
                              safety_check=False, watermark=False)
+    plain = build().generate(opts)[0][0]
+    pipe = build()
+    pipe.use_mesh_sp(mesh8)
+    with mesh8:
+        sp = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+
+
+# ---------------- DeepCache under sequence parallelism ---------------------
+#
+# The DiT Δ-cache is the per-token residual the back blocks add, so it
+# composes with token sharding: the capture/shallow forwards run inside
+# the shard_map and the cached delta rides the scan carry token-sharded.
+# (The FLUX variants live above with the FLUX SP tests.)
+
+
+def test_sd3_pipeline_sp_deepcache_matches_plain(mesh8):
+    from tests.test_sd3_flux import make_sd3_bundle
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.pipelines.sd3 import SD3Pipeline
+
+    opts = GenerationOptions(prompt="a cat", negative_prompt="bad",
+                             H=256, W=64, sampling_steps=3, seed=5,
+                             scale=4.0, safety_check=False, watermark=False,
+                             deep_cache=2)
+    plain = SD3Pipeline(make_sd3_bundle()).generate(opts)[0][0]
+
+    pipe = SD3Pipeline(make_sd3_bundle())
+    pipe.use_mesh_sp(mesh8)
+    with mesh8:
+        sp = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+
+
+def test_pixart_pipeline_sp_deepcache_matches_plain(mesh8):
+    from tests.test_pixart import T5D, tiny_pixart
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+    from cremage_tpu.pipelines.pixart import PixArtBundle, PixArtPipeline
+
+    def build():
+        m, params = tiny_pixart()
+        vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 1, 1, 1),
+                                      num_res_blocks=1, dtype=jnp.float32))
+        vp = vae.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))
+        bundle = PixArtBundle(dit=m, dit_params=params, t5=None,
+                              t5_tokenize=None, t5_len=10, vae=vae,
+                              vae_params=vp, t5_dim=T5D)
+        return PixArtPipeline(bundle)
+
+    opts = GenerationOptions(prompt="a bird", H=256, W=64, sampling_steps=3,
+                             seed=2, sampler="DPM++ 2M", scale=4.5,
+                             safety_check=False, watermark=False,
+                             deep_cache=2)
+    plain = build().generate(opts)[0][0]
+    pipe = build()
+    pipe.use_mesh_sp(mesh8)
+    with mesh8:
+        sp = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+
+
+def test_hunyuan_pipeline_sp_deepcache_matches_plain(mesh8):
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.models.hunyuan import HunyuanConfig, HunyuanDiT
+    from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+    from cremage_tpu.pipelines.hunyuan import HunyuanBundle, HunyuanPipeline
+
+    cfg = HunyuanConfig(hidden_size=64, depth=2, num_heads=4, clip_dim=32,
+                        mt5_dim=64, pooled_dim=32, pooler_heads=4,
+                        text_len=7, text_len_t5=12, dtype=jnp.float32)
+    m = HunyuanDiT(cfg)
+    params = m.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+                    jnp.zeros((1,)), jnp.zeros((1, 7, 32)),
+                    jnp.zeros((1, 12, 64)))
+    rng = np.random.default_rng(5)
+    clip_t = rng.normal(size=(7, 32)).astype(np.float32)
+    mt5_t = rng.normal(size=(12, 64)).astype(np.float32)
+
+    def build():
+        vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 1, 1, 1),
+                                      num_res_blocks=1, dtype=jnp.float32))
+        vp = vae.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))
+        bundle = HunyuanBundle(dit=m, dit_params=params, vae=vae,
+                               vae_params=vp,
+                               text_encode=lambda p: (clip_t, mt5_t))
+        return HunyuanPipeline(bundle)
+
+    opts = GenerationOptions(prompt="a bird", negative_prompt="bad",
+                             H=256, W=64, sampling_steps=3, seed=2,
+                             sampler="DPM++ 2M", scale=4.5,
+                             safety_check=False, watermark=False,
+                             deep_cache=2)
     plain = build().generate(opts)[0][0]
     pipe = build()
     pipe.use_mesh_sp(mesh8)
