@@ -11,8 +11,9 @@ Lanes (BASELINE.json driver metric):
            v5e: sd15 3.48 vs 2.99, sdxl 0.456 vs 0.286, svd 0.644 vs
            0.538)
   *_tome   Token-merging variants (ops/tome.py, ratio 0.5; measured
-           v5e: sd15 3.31, sdxl 0.296) — _dc_tome stacks both
-           (sd15 4.02 = +34% over exact, sdxl 0.471)
+           v5e: sd15 3.31, sdxl 0.296, svd 0.571) — _dc_tome stacks
+           both approximations (sd15 4.02 = +34% over exact, sdxl
+           0.471, svd 0.729 = +35% over exact)
 
 Each line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -268,7 +269,7 @@ def bench_sdxl(quant_dtype=None, deep_cache=0, tome=0.0):
           batch * n_rounds / dt, "images/s", SDXL_NORTH_STAR)
 
 
-def bench_svd(quant_dtype=None, deep_cache=0):
+def bench_svd(quant_dtype=None, deep_cache=0, tome=0.0):
     """SVD img2vid: 14 frames at 576x1024 (the model's native video
     resolution), 25-step EulerEDM with the LinearPredictionGuider —
     reference tool defaults (`tools/video_generator.py`)."""
@@ -284,7 +285,8 @@ def bench_svd(quant_dtype=None, deep_cache=0):
     h, w = (int(s) for s in
             os.environ.get("BENCH_SVD_HW", "72x128").split("x"))  # 576x1024/8
 
-    unet = VideoUNet(svd_unet_config(), num_frames=frames)
+    unet = VideoUNet(svd_unet_config(tome_ratio=float(tome)),
+                     num_frames=frames)
     x1 = jnp.zeros((frames, h, w, 8), jnp.bfloat16)
     t1 = jnp.zeros((frames,), jnp.float32)
     c1 = jnp.zeros((frames, 1, 1024), jnp.bfloat16)
@@ -369,6 +371,8 @@ def bench_svd(quant_dtype=None, deep_cache=0):
     tag = "_int8" if quant_dtype == "int8" else ""
     if deep_cache >= 2:
         tag += f"_deepcache{deep_cache}"
+    if tome > 0:
+        tag += f"_tome{int(tome * 100)}"
     _emit(f"svd_img2vid_576x1024_14frame_25step{tag}_frames_per_sec_per_chip",
           frames * n_rounds / dt, "frames/s", FLUX_4090_ANCHOR)
 
@@ -591,6 +595,11 @@ LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
              tome=float(os.environ.get("BENCH_TOME_RATIO", "0.5"))),
          "sdxl_dc_tome": lambda: bench_sdxl(
              deep_cache=int(os.environ.get("BENCH_DC_INTERVAL", "2")),
+             tome=float(os.environ.get("BENCH_TOME_RATIO", "0.5"))),
+         "svd_tome": lambda: bench_svd(tome=float(
+             os.environ.get("BENCH_TOME_RATIO", "0.5"))),
+         "svd_dc_tome": lambda: bench_svd(
+             deep_cache=int(os.environ.get("BENCH_DC_INTERVAL", "2")),
              tome=float(os.environ.get("BENCH_TOME_RATIO", "0.5")))}
 
 
@@ -599,7 +608,8 @@ def main() -> int:
                            os.environ.get(
                                "BENCH_MODEL",
                                "sd15,sdxl,svd,flux,flux_int8,sd15_e2e,"
-                               "sd15_dc,sdxl_dc,svd_dc,sd15_dc_tome"))
+                               "sd15_dc,sdxl_dc,svd_dc,sd15_dc_tome,"
+                               "svd_dc_tome"))
     names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
     if len(names) == 1:
         from cremage_tpu.core.cache import enable_compilation_cache

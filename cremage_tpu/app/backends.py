@@ -389,6 +389,9 @@ def svd_factory(prefs: Preferences) -> Callable:
             motion_bucket_id=int(params.get("motion_bucket_id", 127)),
             cond_aug=float(params.get("cond_aug", 0.02)),
             seed=int(params.get("seed", -1)),
+            deep_cache=int(params.get("deep_cache", 1)),
+            deep_cache_branch=int(params.get("deep_cache_branch", 1)),
+            tome_ratio=float(params.get("tome_ratio", 0.0)),
         )
         quantize = params.get("unet_quantize") or None
         pipe = cached_instance(

@@ -22,6 +22,7 @@ import zlib
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from cremage_tpu.models.layers import (
@@ -396,7 +397,13 @@ class UNetModel(nn.Module):
         if cfg.tome_ratio > 0:
             tome_ds_limit = min(cfg.attention_resolutions) * \
                 cfg.tome_max_downsample
-            tome_off = jnp.reshape(timesteps, (-1,))[0].astype(jnp.int32)
+            # bitcast, not truncation: EDM-style conditioners pass
+            # fractional c_noise values whose int cast would freeze the
+            # offset; the fp32 bit pattern varies with any change in t
+            tome_off = jax.lax.bitcast_convert_type(
+                jnp.reshape(timesteps, (-1,))[0].astype(jnp.float32),
+                jnp.int32) & 0x7FFF
+
 
         def _tome_ratio(ds):
             return cfg.tome_ratio if 0 < ds <= tome_ds_limit else 0.0

@@ -20,6 +20,7 @@ temporal ops reshape to (B, T, ...) internally with T static under jit.
 """
 from __future__ import annotations
 
+import zlib
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -242,12 +243,19 @@ class SpatialVideoTransformer(nn.Module):
     use_linear: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    tome_ratio: float = 0.0      # ToMe on the spatial attn1 (per-frame
+    #   token grids — the batch axis is B*T, so merging is frame-local)
 
     @nn.compact
-    def __call__(self, x, context, time_context, image_only=None):
+    def __call__(self, x, context, time_context, image_only=None,
+                 tome_offset=None):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         bt, hh, ww, c = x.shape
         t = self.num_frames
+        tome_r = 0
+        if self.tome_ratio > 0 and hh % 2 == 0 and ww % 2 == 0:
+            tome_r = min(int(hh * ww * self.tome_ratio), (hh * ww * 3) // 4)
+        salt = zlib.crc32(str(self.name).encode()) & 0xFFFF
         residual = x
         h = GroupNorm(num_groups=32, epsilon=1e-6, name="norm")(x)
         h = h.reshape(bt, hh * ww, c)
@@ -264,8 +272,9 @@ class SpatialVideoTransformer(nn.Module):
 
         for d in range(self.depth):
             h = BasicTransformerBlock(
-                self.heads, self.dim_head, name=f"transformer_blocks_{d}", **dd
-            )(h, context)
+                self.heads, self.dim_head, name=f"transformer_blocks_{d}",
+                tome_r=tome_r, tome_hw=(hh, ww), tome_salt=salt + d, **dd
+            )(h, context, tome_offset=tome_offset)
             h_mix = h + pos
             h_mix = VideoTransformerBlock(
                 self.heads, self.dim_head, t, name=f"time_stack_{d}", **dd
@@ -326,6 +335,23 @@ class VideoUNet(nn.Module):
         if isinstance(depths, int):
             depths = (depths,) * len(cfg.channel_mult)
 
+        # ToMe gating (same rule as UNetModel — see models/unet.py)
+        tome_ds_limit = 0
+        tome_off = None
+        if cfg.tome_ratio > 0:
+            tome_ds_limit = min(cfg.attention_resolutions) * \
+                cfg.tome_max_downsample
+            # bitcast, not truncation: EDM-style conditioners pass
+            # fractional c_noise values whose int cast would freeze the
+            # offset; the fp32 bit pattern varies with any change in t
+            tome_off = jax.lax.bitcast_convert_type(
+                jnp.reshape(timesteps, (-1,))[0].astype(jnp.float32),
+                jnp.int32) & 0x7FFF
+
+
+        def _tome_ratio(ds):
+            return cfg.tome_ratio if 0 < ds <= tome_ds_limit else 0.0
+
         in_levels = (range(cache_levels) if mode == "shallow"
                      else range(n_levels))
         hs = []
@@ -345,8 +371,10 @@ class VideoUNet(nn.Module):
                     heads, dim_head = _heads_for(ch, cfg)
                     h = SpatialVideoTransformer(
                         heads, dim_head, t_frames, depth=depths[level],
-                        name=f"input_blocks_{block_idx}_1", **dd,
-                    )(h, context, time_context, image_only)
+                        name=f"input_blocks_{block_idx}_1",
+                        tome_ratio=_tome_ratio(ds), **dd,
+                    )(h, context, time_context, image_only,
+                      tome_offset=tome_off)
                 hs.append(h)
                 block_idx += 1
             if level != n_levels - 1:
@@ -391,8 +419,10 @@ class VideoUNet(nn.Module):
                     heads, dim_head = _heads_for(ch, cfg)
                     h = SpatialVideoTransformer(
                         heads, dim_head, t_frames, depth=depths[level],
-                        name=f"output_blocks_{block_idx}_1", **dd,
-                    )(h, context, time_context, image_only)
+                        name=f"output_blocks_{block_idx}_1",
+                        tome_ratio=_tome_ratio(ds), **dd,
+                    )(h, context, time_context, image_only,
+                      tome_offset=tome_off)
                     sub = 2
                 if level > 0 and i == cfg.num_res_blocks:
                     h = Upsample(ch, name=f"output_blocks_{block_idx}_{sub}",

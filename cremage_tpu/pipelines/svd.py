@@ -58,6 +58,8 @@ class SVDOptions:
     deep_cache: int = 1   # DeepCache interval (samplers/deepcache.py);
     #   1 = off (exact). Full video-UNet every Nth step, shallow between.
     deep_cache_branch: int = 1
+    tome_ratio: float = 0.0   # Token merging on the spatial attn1
+    #   (ops/tome.py; per-frame token grids). 0 = off (exact).
 
 
 @dataclasses.dataclass
@@ -98,6 +100,15 @@ class SVDPipeline:
     def _program(self, opts: SVDOptions, shape, ctx_dim):
         t_frames = opts.num_frames
         unet = self.bundle.unet
+        tr = float(opts.tome_ratio)
+        if not 0.0 <= tr < 0.75:
+            raise ValueError(
+                f"tome_ratio must be in [0, 0.75), got {tr}")
+        if tr > 0.0:
+            # ToMe has no params — config-swapped module, same tree
+            unet = VideoUNet(
+                dataclasses.replace(unet.cfg, tome_ratio=tr),
+                num_frames=unet.num_frames)
         sigmas = EDM.EDMDiscretization(opts.sigma_min, opts.sigma_max,
                                        opts.rho)(opts.num_steps)
 
@@ -157,7 +168,7 @@ class SVDPipeline:
             )
 
         bucket = ("svd", opts.num_steps, t_frames, tuple(shape), ctx_dim,
-                  dc, dcb)
+                  dc, dcb, tr)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -225,3 +225,59 @@ def test_pipeline_tome_validation():
     pipe = SD15Pipeline(make_bundle())
     with pytest.raises(ValueError, match="tome_ratio"):
         pipe.generate(base_opts(tome_ratio=0.75))
+
+
+# ---------------------------------------------------------------------------
+# SVD (VideoUNet spatial attn1 — per-frame token grids)
+# ---------------------------------------------------------------------------
+
+def test_video_unet_runs_with_tome_same_params():
+    import dataclasses as dc
+
+    from tests.test_svd import CTX, T, tiny_video_cfg
+    from cremage_tpu.models.video_unet import VideoUNet
+
+    cfg = tiny_video_cfg()
+    m0 = VideoUNet(cfg, num_frames=T)
+    x = jax.random.normal(jax.random.key(0), (T, 8, 8, 8))
+    t = jnp.full((T,), 0.73)   # fractional c_noise-style timestep
+    ctx = jax.random.normal(jax.random.key(1), (T, 1, CTX))
+    y = jax.random.normal(jax.random.key(2), (T, 768))
+    params = m0.init(jax.random.key(3), x, t, ctx, y)
+    base = m0.apply(params, x, t, ctx, y)
+
+    m1 = VideoUNet(dc.replace(cfg, tome_ratio=0.4), num_frames=T)
+    out = m1.apply(params, x, t, ctx, y)
+    assert out.shape == base.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 0
+    # deep-cache capture/shallow compose with ToMe
+    out_cap, deep = m1.apply(params, x, t, ctx, y, mode="capture",
+                             cache_levels=1)
+    np.testing.assert_array_equal(np.asarray(out_cap), np.asarray(out))
+    out_sh = m1.apply(params, x, t, ctx, y, mode="shallow", deep=deep,
+                      cache_levels=1)
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out),
+                               atol=1e-5)
+
+
+def test_svd_pipeline_tome_end_to_end():
+    from tests.test_svd import T, tiny_video_unet
+    from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+    from cremage_tpu.pipelines.svd import SVDBundle, SVDOptions, SVDPipeline
+
+    m, params = tiny_video_unet()
+    vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 1, 1, 1),
+                                  num_res_blocks=1, dtype=jnp.float32))
+    vp = vae.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)))
+    pipe = SVDPipeline(SVDBundle(unet=m, unet_params=params, vae=vae,
+                                 vae_params=vp))
+    img = np.random.RandomState(0).uniform(
+        0, 1, (64, 64, 3)).astype(np.float32)
+    frames = pipe.sample(img, SVDOptions(num_frames=T, num_steps=2, seed=4,
+                                         tome_ratio=0.5, deep_cache=2))
+    assert frames.shape == (T, 64, 64, 3)
+    assert np.isfinite(frames).all()
+    with pytest.raises(ValueError, match="tome_ratio"):
+        pipe.sample(img, SVDOptions(num_frames=T, num_steps=2,
+                                    tome_ratio=0.9))
