@@ -377,7 +377,7 @@ def bench_svd(quant_dtype=None, deep_cache=0, tome=0.0):
           frames * n_rounds / dt, "frames/s", FLUX_4090_ANCHOR)
 
 
-def bench_flux(quant_dtype="float8_e4m3"):
+def bench_flux(quant_dtype="float8_e4m3", tome=0.0):
     """FLUX.1-schnell 1024^2 4-step txt2img with 8-bit transformer
     weights — the ONLY lane with a direct published reference number:
     the reference runs this exact model qfloat8-quantized at ~0.125
@@ -413,6 +413,13 @@ def bench_flux(quant_dtype="float8_e4m3"):
     hp = wp = h // 2
 
     cfg = flux_schnell_config()
+    if tome > 0:
+        # DiT ToMe: ONE merge for the whole block stack (ops/tome.py) —
+        # every per-token matmul (attention + MLPs) runs on the
+        # int(N*(1-r)) reduced stream
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, tome_ratio=float(tome))
     model = FluxModel(cfg)
     txt_ids, img_ids = make_position_ids(hp, wp, txt_len)
     shapes = jax.eval_shape(
@@ -457,6 +464,8 @@ def bench_flux(quant_dtype="float8_e4m3"):
                            jax.random.key(i + 1)), n_rounds)
 
     tag = "int8" if quant_dtype == "int8" else "fp8"
+    if tome > 0:
+        tag += f"_tome{int(round(tome * 100)):02d}"
     _emit(f"flux_schnell_txt2img_1024_4step_{tag}_images_per_sec_per_chip",
           batch * n_rounds / dt, "images/s", FLUX_4090_ANCHOR)
 
@@ -600,6 +609,14 @@ LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
              os.environ.get("BENCH_TOME_RATIO", "0.5"))),
          "svd_dc_tome": lambda: bench_svd(
              deep_cache=int(os.environ.get("BENCH_DC_INTERVAL", "2")),
+             tome=float(os.environ.get("BENCH_TOME_RATIO", "0.5"))),
+         # DiT ToMe lanes (quality grade: approximate — one merge for
+         # the whole block stack, ops/tome.py; excludes deep_cache
+         # by design there)
+         "flux_tome": lambda: bench_flux(tome=float(
+             os.environ.get("BENCH_TOME_RATIO", "0.5"))),
+         "flux_int8_tome": lambda: bench_flux(
+             quant_dtype="int8",
              tome=float(os.environ.get("BENCH_TOME_RATIO", "0.5")))}
 
 

@@ -80,10 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "or DiT front blocks recomputed")
     p.add_argument("--tome_ratio", type=float, default=0.0,
                    help="Token merging (ToMe): merge this fraction of "
-                        "latent tokens before each highest-res "
-                        "self-attention (SD1.5/SDXL; 0.5 = the paper's "
-                        "near-lossless setting; composes with "
-                        "--deep_cache). 0 = off (exact).")
+                        "latent tokens. UNets (SD1.5/SDXL): around each "
+                        "highest-res self-attention, composes with "
+                        "--deep_cache. DiTs (SD3/FLUX/PixArt/Hunyuan): "
+                        "one merge for the whole block stack (excludes "
+                        "--deep_cache/SP there). 0.5 = the paper's "
+                        "near-lossless setting; 0 = off (exact).")
     p.add_argument("--discretization", type=str,
                    default="LegacyDDPMDiscretization")
     p.add_argument("--guider", type=str, default="VanillaCFG")

@@ -275,10 +275,12 @@ class GenerationOptions:
     #   resolution levels recomputed, or DiT front transformer blocks
     #   recomputed (the back blocks' residual delta is the cache)
     tome_ratio: float = 0.0      # Token merging (ToMe, ops/tome.py):
-    #   merge this fraction of latent tokens before each self-attention
-    #   at the highest-resolution UNet attention level. 0 = off
-    #   (bit-exact default); 0.5 is the paper's near-lossless setting.
-    #   Composes with deep_cache (SD1.5/SDXL).
+    #   merge this fraction of latent tokens. 0 = off (bit-exact
+    #   default); 0.5 is the paper's near-lossless setting.  UNets
+    #   (SD1.5/SDXL/SVD spatial): around each highest-resolution
+    #   self-attention; composes with deep_cache.  DiTs (SD3/FLUX/
+    #   PixArt/Hunyuan): ONE merge for the whole block stack (attention
+    #   + MLPs); excludes deep_cache and use_mesh_sp there.
     # Output
     outdir: str = "outputs"
     generator_model_type: str = GMT_SD_1_5

@@ -44,6 +44,13 @@ class FluxConfig:
     guidance_embed: bool = False     # schnell: False, dev: True
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+    # Token merging (ToMe, ops/tome.py — opt-in speed feature beyond
+    # reference parity).  tome_ratio r>0 merges int(Ni*r) img tokens
+    # once after img_in; the WHOLE block stack (joint attention + MLPs)
+    # runs on the reduced stream and the final projection output is
+    # unmerged.  Kept tokens keep their RoPE rows (merged tokens adopt
+    # the dst position).  Full-forward mode only (no deep_cache/sp).
+    tome_ratio: float = 0.0
     # Set (to a mesh axis name) ONLY when the forward runs inside a
     # shard_map body with the token axis sharded over that axis: every
     # per-token op (Dense/LN/modulation) then works on the local token
@@ -76,11 +83,14 @@ def rope_freqs(ids: np.ndarray, axes_dim, theta: float) -> np.ndarray:
 
 
 def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
-    """x: (B, N, H, D); freqs: (N, D/2, 2)."""
+    """x: (B, N, H, D); freqs: (N, D/2, 2), or (B, N, D/2, 2) when the
+    table is per-batch-row (the ToMe path gathers each row's kept
+    tokens' freqs — plans differ across the batch)."""
     b, n, h, d = x.shape
     xf = x.astype(jnp.float32).reshape(b, n, h, d // 2, 2)
-    cos = freqs[None, :, None, :, 0]
-    sin = freqs[None, :, None, :, 1]
+    f = freqs if freqs.ndim == 4 else freqs[None]
+    cos = f[:, :, None, :, 0]
+    sin = f[:, :, None, :, 1]
     xr = xf[..., 0]
     xi = xf[..., 1]
     out = jnp.stack([xr * cos - xi * sin, xr * sin + xi * cos], axis=-1)
@@ -286,6 +296,31 @@ class FluxModel(nn.Module):
                                  axis=0)
             freqs = jnp.asarray(rope_freqs(ids, cfg.axes_dim, cfg.theta))
 
+        plan = None
+        if cfg.tome_ratio > 0:
+            assert mode == "full", (
+                "tome_ratio does not compose with deep_cache on DiTs: the "
+                "Δ-cache is a full-token-stream tensor and the merge plan "
+                "varies per step")
+            assert cfg.sp_axis is None, (
+                "tome_ratio does not compose with sequence parallelism "
+                "(the bipartite match needs the global token set)")
+            from cremage_tpu.ops import tome
+
+            ids_np = np.asarray(img_ids)
+            hp = int(ids_np[:, 1].max()) + 1
+            wp = int(ids_np[:, 2].max()) + 1
+            assert hp * wp == img.shape[1], (hp, wp, img.shape)
+            plan = tome.plan_for_grid(img, hp, wp, cfg.tome_ratio, t)
+            if plan is not None:
+                img = tome.merge(plan, img)
+                b, nt = txt.shape[0], txt.shape[1]
+                f_txt = jnp.broadcast_to(freqs[None, :nt],
+                                         (b, nt) + freqs.shape[1:])
+                f_img = tome.select(plan, jnp.broadcast_to(
+                    freqs[None, nt:], (b, hp * wp) + freqs.shape[1:]))
+                freqs = jnp.concatenate([f_txt, f_img], axis=1)
+
         n_double = cache_depth if mode == "shallow" else cfg.depth_double
         front = None
         for i in range(n_double):
@@ -309,6 +344,12 @@ class FluxModel(nn.Module):
         sh, sc = jnp.split(sh_sc, 2, -1)
         out = _no_affine_ln(img) * (1 + sc[:, None]) + sh[:, None]
         out = Dense(cfg.in_channels, name="final_layer_linear", **dd)(out)
+        if plan is not None:
+            # unmerge AFTER the per-token final projection: 64-channel
+            # traffic instead of hidden_size, identical result
+            from cremage_tpu.ops import tome
+
+            out = tome.unmerge(plan, out)
         return (out, delta) if mode == "capture" else out
 
 

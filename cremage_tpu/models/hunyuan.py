@@ -54,6 +54,12 @@ class HunyuanConfig:
     # replicated joint text stream).  parallel/sequence.py
     # hunyuan_sp_apply is the entry point.
     sp_axis: Optional[str] = None
+    # Token merging (ToMe, ops/tome.py — opt-in speed feature beyond
+    # reference parity): one merge of int(N*ratio) tokens after the
+    # patch embed, the whole block stack (incl. the per-token U-ViT
+    # skips) runs reduced with gathered RoPE rows, the final projection
+    # output is unmerged.  Full-forward mode only.
+    tome_ratio: float = 0.0
 
 
 def _silu_fp32(x, dtype):
@@ -162,6 +168,22 @@ class HunyuanDiT(nn.Module):
             freqs = jnp.asarray(rope_freqs(
                 ids, (d_head - d_head // 2, d_head // 2), 10000.0))
 
+        plan = None
+        if cfg.tome_ratio > 0:
+            assert mode == "full", (
+                "tome_ratio does not compose with deep_cache on DiTs: the "
+                "Δ-cache is a full-token-stream tensor and the merge plan "
+                "varies per step")
+            assert cfg.sp_axis is None, (
+                "tome_ratio does not compose with sequence parallelism")
+            from cremage_tpu.ops import tome
+
+            plan = tome.plan_for_grid(tokens, hp, wp, cfg.tome_ratio, t)
+            if plan is not None:
+                tokens = tome.merge(plan, tokens)
+                freqs = tome.select(plan, jnp.broadcast_to(
+                    freqs[None], (b,) + freqs.shape))
+
         t_emb = timestep_embedding(t, 256).astype(cfg.dtype)
         t_vec = Dense(c, name="t_embedder_mlp_0", **dd)(t_emb)
         t_vec = Dense(c, name="t_embedder_mlp_2", **dd)(silu(t_vec))
@@ -239,6 +261,10 @@ class HunyuanDiT(nn.Module):
         out = ((tf32 - mean) / jnp.sqrt(var + 1e-6)).astype(cfg.dtype)
         out = out * (1 + scale[:, None]) + shift[:, None]
         out = Dense(p * p * cfg.out_channels, name="final_linear", **dd)(out)
+        if plan is not None:
+            from cremage_tpu.ops import tome
+
+            out = tome.unmerge(plan, out)   # per-token final proj: unmerge last
         out = out.reshape(b, hp, wp, p, p, cfg.out_channels)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cfg.out_channels)
         return (out, delta) if mode == "capture" else out

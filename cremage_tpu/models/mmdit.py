@@ -50,6 +50,12 @@ class MMDiTConfig:
     # schedule with the context kv folded as a replicated prefix
     # (parallel/sequence.py mmdit_sp_apply is the entry point).
     sp_axis: Optional[str] = None
+    # Token merging (ToMe, ops/tome.py — opt-in speed feature beyond
+    # reference parity): one merge of int(N*ratio) latent tokens after
+    # the pos-embed add, the whole joint-block stack runs on the
+    # reduced latent stream (context stream untouched), the final
+    # projection output is unmerged.  Full-forward mode only.
+    tome_ratio: float = 0.0
 
 
 def sd3_medium_config(**kw) -> MMDiTConfig:
@@ -209,6 +215,20 @@ class MMDiT(nn.Module):
         cropped = cropped.reshape(1, hp * wp, cfg.hidden_size)
         tokens = tokens + cropped.astype(cfg.dtype)
 
+        plan = None
+        if cfg.tome_ratio > 0:
+            assert mode == "full", (
+                "tome_ratio does not compose with deep_cache on DiTs: the "
+                "Δ-cache is a full-token-stream tensor and the merge plan "
+                "varies per step")
+            assert cfg.sp_axis is None, (
+                "tome_ratio does not compose with sequence parallelism")
+            from cremage_tpu.ops import tome
+
+            plan = tome.plan_for_grid(tokens, hp, wp, cfg.tome_ratio, t)
+            if plan is not None:
+                tokens = tome.merge(plan, tokens)
+
         t_emb = timestep_embedding(t, 256).astype(cfg.dtype)
         t_vec = Dense(cfg.hidden_size, name="t_embedder_mlp_0", **dd)(t_emb)
         t_vec = Dense(cfg.hidden_size, name="t_embedder_mlp_2", **dd)(silu(t_vec))
@@ -238,6 +258,10 @@ class MMDiT(nn.Module):
                   **dd)(silu(vec)), 2, axis=-1)
         out = _modulate(_no_affine_ln(tokens), shift, scale)
         out = Dense(p * p * cfg.in_channels, name="final_layer_linear", **dd)(out)
+        if plan is not None:
+            from cremage_tpu.ops import tome
+
+            out = tome.unmerge(plan, out)   # per-token final proj: unmerge last
         out = out.reshape(b, hp, wp, p, p, cfg.in_channels)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cfg.in_channels)
         return (out, delta) if mode == "capture" else out

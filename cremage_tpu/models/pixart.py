@@ -45,6 +45,11 @@ class PixArtConfig:
     # schedule; cross-attention stays local (its kv is the replicated
     # text).  parallel/sequence.py pixart_sp_apply is the entry point.
     sp_axis: Optional[str] = None
+    # Token merging (ToMe, ops/tome.py — opt-in speed feature beyond
+    # reference parity): one merge of int(N*ratio) tokens after the
+    # pos-embed add, the whole block stack runs reduced, the final
+    # projection output is unmerged.  Full-forward mode only.
+    tome_ratio: float = 0.0
 
 
 def pixart_sigma_xl_config(**kw) -> PixArtConfig:
@@ -157,6 +162,20 @@ class PixArt(nn.Module):
             pos = jnp.asarray(sincos_2d(cfg.hidden_size, hp, wp))
         tokens = tokens + pos[None].astype(cfg.dtype)
 
+        plan = None
+        if cfg.tome_ratio > 0:
+            assert mode == "full", (
+                "tome_ratio does not compose with deep_cache on DiTs: the "
+                "Δ-cache is a full-token-stream tensor and the merge plan "
+                "varies per step")
+            assert cfg.sp_axis is None, (
+                "tome_ratio does not compose with sequence parallelism")
+            from cremage_tpu.ops import tome
+
+            plan = tome.plan_for_grid(tokens, hp, wp, cfg.tome_ratio, t)
+            if plan is not None:
+                tokens = tome.merge(plan, tokens)
+
         t_emb = timestep_embedding(t, 256).astype(cfg.dtype)
         t_vec = Dense(cfg.hidden_size, name="t_embedder_mlp_0", **dd)(t_emb)
         t_vec = Dense(cfg.hidden_size, name="t_embedder_mlp_2", **dd)(silu(t_vec))
@@ -188,6 +207,10 @@ class PixArt(nn.Module):
         out = _ln(tokens) * (1 + scale.astype(tokens.dtype)) + shift.astype(
             tokens.dtype)
         out = Dense(p * p * cfg.out_channels, name="final_layer_linear", **dd)(out)
+        if plan is not None:
+            from cremage_tpu.ops import tome
+
+            out = tome.unmerge(plan, out)   # per-token final proj: unmerge last
         out = out.reshape(b, hp, wp, p, p, cfg.out_channels)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cfg.out_channels)
         return (out, delta) if mode == "capture" else out

@@ -9,6 +9,18 @@ positions.  An opt-in speed feature beyond reference parity (the
 reference `/root/reference` has no equivalent); quality degrades
 gracefully with `ratio` (paper: ratio 0.5 is near-lossless on SD1.5).
 
+Two integration shapes:
+- UNets (SD1.5/SDXL/SVD spatial): per-block merge around attn1 only,
+  exactly ToMeSD (models/unet.py BasicTransformerBlock).
+- DiTs (SD3/FLUX/PixArt-Σ/Hunyuan): ONE merge at the block-stack input
+  — the whole depth (self/joint attention, cross attention q side, and
+  the MLPs, i.e. every per-token matmul) runs on the reduced stream and
+  the final per-token projection output is unmerged at the end.  RoPE
+  models gather the kept tokens' freq rows with `select` (a merged
+  token adopts its dst position).  This is the DiT analog where MLPs
+  dominate: attention-only merging would leave most of the FLOPs
+  untouched.
+
 TPU-first design (vs the public pytorch ToMeSD):
 - All shapes are static: `r` is a Python int fixed at trace time, the
   sx*sy candidate dst/src index grids are compile-time constants and
@@ -29,8 +41,9 @@ TPU-first design (vs the public pytorch ToMeSD):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -108,6 +121,41 @@ def build_plan(metric: jnp.ndarray, h: int, w: int, r: int,
                     mrg_sel=mrg_sel, mrg_tgt=mrg_tgt, n=n, r=r)
 
 
+def check_dit_options(use_deep_cache: bool, sp_mesh) -> None:
+    """Pipeline-level validation shared by the DiT integrations
+    (SD3/FLUX/PixArt/Hunyuan): tome_ratio>0 excludes the two features
+    whose state is a full-token-stream tensor or a sharded token axis."""
+    if use_deep_cache:
+        raise ValueError(
+            "tome_ratio does not compose with deep_cache for the DiT "
+            "families: the Δ-cache is a full-token-stream tensor and the "
+            "merge plan varies per step — pick one (the UNet families "
+            "compose because their merge is per-attention-block)")
+    if sp_mesh is not None:
+        raise ValueError(
+            "tome_ratio does not compose with use_mesh_sp: the bipartite "
+            "soft match needs the global token set on one device")
+
+
+def plan_for_grid(metric: jnp.ndarray, hp: int, wp: int, ratio: float,
+                  t: jnp.ndarray) -> Optional[ToMePlan]:
+    """Standard whole-grid plan used by the DiT integrations: r =
+    min(int(N*ratio), 3N/4) over the hp x wp token grid, dst-grid offset
+    derived from the (traced) sampler timestep's fp32 bit pattern (int
+    truncation would freeze the grid for fractional sigmas).  Returns
+    None when the grid is odd-sided or r rounds to 0 — callers skip
+    ToMe entirely then."""
+    if hp % 2 or wp % 2:
+        return None
+    n = hp * wp
+    r = min(int(n * ratio), (n * 3) // 4)
+    if r <= 0:
+        return None
+    off = jax.lax.bitcast_convert_type(
+        jnp.reshape(t, (-1,))[0].astype(jnp.float32), jnp.int32) & 0x7FFF
+    return build_plan(metric, hp, wp, r, off)
+
+
 def merge(plan: ToMePlan, x: jnp.ndarray) -> jnp.ndarray:
     """(B, N, C) -> (B, N-r, C): [kept src tokens; dst tokens], with
     each dst slot the mean of itself and every src merged into it."""
@@ -125,6 +173,22 @@ def merge(plan: ToMePlan, x: jnp.ndarray) -> jnp.ndarray:
     cnt = jnp.ones((b, nd), jnp.float32).at[bi, plan.mrg_tgt].add(1.0)
     dst = (acc / cnt[..., None]).astype(x.dtype)
     return jnp.concatenate([unm, dst], axis=1)
+
+
+def select(plan: ToMePlan, x: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, ...) -> (B, N-r, ...): per-token side data (RoPE freq
+    rows, position tables) reordered into merge()'s slot order
+    [kept src tokens; dst tokens] WITHOUT averaging — a merged slot
+    keeps its dst token's row (ToMe convention: the merged token
+    adopts the dst position)."""
+    b, n = x.shape[:2]
+    trail = x.shape[2:]
+    xf = x.reshape(b, n, -1)
+    x_src = jnp.take(xf, plan.src_idx, axis=1)
+    x_dst = jnp.take(xf, plan.dst_idx, axis=1)
+    unm = jnp.take_along_axis(x_src, plan.unm_sel[..., None], axis=1)
+    out = jnp.concatenate([unm, x_dst], axis=1)
+    return out.reshape(b, out.shape[1], *trail)
 
 
 def unmerge(plan: ToMePlan, y: jnp.ndarray) -> jnp.ndarray:

@@ -24,6 +24,7 @@ from cremage_tpu.models.flux import (
 )
 from cremage_tpu.models.t5 import T5Encoder
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.ops.tome import check_dit_options as _check_dit_tome
 from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
 from cremage_tpu.samplers import deepcache as DC
@@ -118,6 +119,13 @@ class FluxPipeline:
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
         use_dc = dc >= 2
+        tr = float(opts.tome_ratio)
+        if tr > 0:
+            _check_dit_tome(use_dc, self.sp_mesh)
+            # ToMe has no params — a config-swapped module runs on the
+            # same param tree (ops/tome.py)
+            model = type(model)(dataclasses.replace(
+                model.cfg, tome_ratio=tr))
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
@@ -161,7 +169,7 @@ class FluxPipeline:
                                        progress_cb=progress)
 
         bucket = ("flux", steps, hp, wp, txt_len, b, guidance_scale,
-                  sp_mesh is not None, dc if use_dc else 0, dcb)
+                  sp_mesh is not None, dc if use_dc else 0, dcb, tr)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -17,6 +17,7 @@ from cremage_tpu.core.config import GenerationOptions
 from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.hunyuan import HunyuanDiT
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.ops.tome import check_dit_options as _check_dit_tome
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
@@ -125,6 +126,13 @@ class HunyuanPipeline:
                 f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
                 f"got {name!r}")
         sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
+        dit = b.dit
+        tr = float(opts.tome_ratio)
+        if tr > 0:
+            _check_dit_tome(use_dc, sp_mesh)
+            # ToMe has no params — a config-swapped module runs on the
+            # same param tree (ops/tome.py)
+            dit = type(dit)(dataclasses.replace(dit.cfg, tome_ratio=tr))
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
@@ -137,10 +145,10 @@ class HunyuanPipeline:
 
                     # DeepCache composes: the Δ-cache is per-token,
                     # so capture/shallow ride through token-sharded
-                    out = hunyuan_sp_apply(b.dit, params, sp_mesh, xx, tt,
+                    out = hunyuan_sp_apply(dit, params, sp_mesh, xx, tt,
                                            clip_t, mt5_t, axis=sp_axis, **mk)
                 else:
-                    out = b.dit.apply(params, xx, tt, clip_t, mt5_t, **mk)
+                    out = dit.apply(params, xx, tt, clip_t, mt5_t, **mk)
                 aux = None
                 if isinstance(out, tuple):
                     out, aux = out
@@ -163,7 +171,7 @@ class HunyuanPipeline:
             return sampler_fn(den, x, sigmas, key=key, progress_cb=progress)
 
         bucket = ("hunyuan", name, steps, tuple(shape), dims, scale,
-                  sp_mesh is not None, dc if use_dc else 0, dcb)
+                  sp_mesh is not None, dc if use_dc else 0, dcb, tr)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -20,6 +20,7 @@ from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.pixart import PixArt
 from cremage_tpu.models.t5 import T5Encoder
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.ops.tome import check_dit_options as _check_dit_tome
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
@@ -110,6 +111,12 @@ class PixArtPipeline:
                 f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
                 f"got {name!r}")
         sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
+        tr = float(opts.tome_ratio)
+        if tr > 0:
+            _check_dit_tome(use_dc, sp_mesh)
+            # ToMe has no params — a config-swapped module runs on the
+            # same param tree (ops/tome.py)
+            dit = type(dit)(dataclasses.replace(dit.cfg, tome_ratio=tr))
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
@@ -148,7 +155,7 @@ class PixArtPipeline:
                               progress_cb=progress)
 
         bucket = ("pixart", name, steps, tuple(shape), tuple(cond_shape),
-                  scale, sp_mesh is not None, dc if use_dc else 0, dcb)
+                  scale, sp_mesh is not None, dc if use_dc else 0, dcb, tr)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -29,6 +29,7 @@ from cremage_tpu.models.mmdit import MMDiT
 from cremage_tpu.models.open_clip import OpenCLIPTextModel
 from cremage_tpu.models.t5 import T5Encoder
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.ops.tome import check_dit_options as _check_dit_tome
 from cremage_tpu.prompt.chunking import generate_weighted_chunks, make_ti_fetch
 from cremage_tpu.prompt.parser import compute_prompt_score
 from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
@@ -174,6 +175,13 @@ class SD3Pipeline:
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
         use_dc = dc >= 2
+        tr = float(opts.tome_ratio)
+        if tr > 0:
+            _check_dit_tome(use_dc, sp_mesh)
+            # ToMe has no params — a config-swapped module runs on the
+            # same param tree (ops/tome.py)
+            mmdit = type(mmdit)(dataclasses.replace(
+                mmdit.cfg, tome_ratio=tr))
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
@@ -208,7 +216,7 @@ class SD3Pipeline:
                                        progress_cb=progress)
 
         bucket = ("sd3", opts.sampling_steps, tuple(shape), cond_shapes,
-                  scale, sp_mesh is not None, dc if use_dc else 0, dcb)
+                  scale, sp_mesh is not None, dc if use_dc else 0, dcb, tr)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

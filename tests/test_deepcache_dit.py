@@ -238,13 +238,7 @@ def test_hunyuan_pipeline_deep_cache():
     assert np.abs(dc - plain).max() > 0
 
 
-def test_sd3_deep_cache_rejects_sequence_parallel():
-    from tests.test_sd3_flux import make_sd3_bundle
-    from cremage_tpu.pipelines.sd3 import SD3Pipeline
-    from jax.sharding import Mesh
-
-    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
-    pipe = SD3Pipeline(make_sd3_bundle())
-    pipe.use_mesh_sp(mesh)
-    with pytest.raises(ValueError, match="use_mesh_sp"):
-        pipe.generate(_gen_opts(deep_cache=2))
+# deep_cache + use_mesh_sp COMPOSE since the Δ-cache rides token-sharded
+# (the former rejection test lived here; the composition is proven by
+# tests/test_sequence_parallel.py's SP+DC parity tests for all four
+# DiT families).
