@@ -611,8 +611,11 @@ LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
              deep_cache=int(os.environ.get("BENCH_DC_INTERVAL", "2")),
              tome=float(os.environ.get("BENCH_TOME_RATIO", "0.5"))),
          # DiT ToMe lanes (quality grade: approximate — one merge for
-         # the whole block stack, ops/tome.py; excludes deep_cache
-         # by design there)
+         # the whole block stack, ops/tome.py; excludes deep_cache by
+         # design there).  MEASURED (v5e, round 3, ratio 0.5):
+         # flux fp8+tome 0.7497 img/s (= 6.0x the reference's published
+         # 0.125 on a 4090), int8+tome 0.8953 (= 7.2x) — vs 0.3956 /
+         # 0.4959 unmerged.  Both in the default lane set.
          "flux_tome": lambda: bench_flux(tome=float(
              os.environ.get("BENCH_TOME_RATIO", "0.5"))),
          "flux_int8_tome": lambda: bench_flux(
@@ -626,7 +629,7 @@ def main() -> int:
                                "BENCH_MODEL",
                                "sd15,sdxl,svd,flux,flux_int8,sd15_e2e,"
                                "sd15_dc,sdxl_dc,svd_dc,sd15_dc_tome,"
-                               "svd_dc_tome"))
+                               "svd_dc_tome,flux_tome,flux_int8_tome"))
     names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
     if len(names) == 1:
         from cremage_tpu.core.cache import enable_compilation_cache

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Measure DiT ToMe on the real chip: full vs token-merged eval time at
+PRODUCTION config (1024² latents -> 4096 tokens, patch 2).
+
+The DiT integration (ops/tome.py) merges int(N*ratio) image tokens once
+at the block-stack input, so EVERY per-token matmul (attention q/k/v/
+proj, MLPs) runs on the reduced stream; the plan build (one (Ns x Nd)
+similarity matmul + argsort) and the final unmerge gather are the
+overhead being measured against.
+
+Same harness as tools/bench_dit_deepcache.py (zeros bf16 params,
+chained fori loop against the ~30 ms tunnel dispatch cost).
+
+Run: python tools/bench_dit_tome.py [family ...]
+Each family runs in a subprocess (clean HBM).
+
+RESULTS (v5e-1, 2026-08-19, ratio 0.5, production configs):
+  sd3       full 137.1 ms  tome  48.3 ms -> 2.84x per step
+  pixart    full  89.0 ms  tome  28.8 ms -> 3.08x per step
+  hunyuan   full 161.0 ms  tome  57.2 ms -> 2.82x per step
+(compare tools/bench_dit_deepcache.py interval-2: 73.7/48.0/84.6
+ms/step — whole-stack ToMe at 0.5 beats the Δ-cache on every DiT;
+the speedup exceeds the naive 2x because the quadratic attention term
+shrinks 4x and the flash kernel's exp-bound share goes with it.
+Full-lane numbers for FLUX are in bench.py: fp8 0.396->0.750 img/s,
+int8 0.496->0.895 = 7.2x the reference's published 4090 number.)
+"""
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+REPS = int(os.environ.get("SWEEP_REPS", "5"))
+RATIO = float(os.environ.get("TOME_RATIO", "0.5"))
+
+
+def run_family(name):
+    import jax
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    from cremage_tpu.core.cache import enable_compilation_cache
+    from tools.bench_dit_deepcache import build
+    from tools.tpu_family_sweep import zeros_bf16
+
+    enable_compilation_cache()
+    model, args = build(name)
+    x = args[0]
+    # vary t across chained reps: the plan's dst offset derives from it,
+    # so a constant t would let XLA hoist the plan out of the loop and
+    # overstate the win
+    params = zeros_bf16(model, *args)
+    tome_model = type(model)(dataclasses.replace(
+        model.cfg, tome_ratio=RATIO))
+
+    def chained(mdl):
+        @jax.jit
+        def fwd(params, x, *rest):
+            def body(i, xx):
+                out = mdl.apply(params, xx, rest[0] + i, *rest[1:])
+                return out[..., : xx.shape[-1]].astype(xx.dtype)
+            return jnp.mean(lax.fori_loop(0, REPS, body, x)
+                            .astype(jnp.float32))
+        return fwd
+
+    full = chained(model)
+    merged = chained(tome_model)
+
+    def timeit(fn):
+        t0 = time.perf_counter()
+        np.asarray(fn(params, x, *args[1:]))
+        compile_s = time.perf_counter() - t0
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(params, x, *args[1:]))
+            best = min(best, time.perf_counter() - t0)
+        return best / REPS * 1e3, compile_s
+
+    t_full, c1 = timeit(full)
+    t_tm, c2 = timeit(merged)
+    print(f"{name:9s} full {t_full:6.1f} ms  tome({RATIO}) {t_tm:6.1f} ms "
+          f"-> {t_full / t_tm:.2f}x per step  [compile {c1:.0f}s/{c2:.0f}s]",
+          flush=True)
+
+
+def main():
+    families = sys.argv[1:] or ["sd3", "pixart", "hunyuan"]
+    if len(families) == 1:
+        run_family(families[0])
+        return
+    import subprocess
+
+    rc = 0
+    for f in families:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__), f])
+        rc = rc or r.returncode
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
