@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cremage_tpu.models.layers import Dense, silu, timestep_embedding
+from cremage_tpu.ops import tome
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,7 +50,8 @@ class FluxConfig:
     # once after img_in; the WHOLE block stack (joint attention + MLPs)
     # runs on the reduced stream and the final projection output is
     # unmerged.  Kept tokens keep their RoPE rows (merged tokens adopt
-    # the dst position).  Full-forward mode only (no deep_cache/sp).
+    # the dst position).  Composes with deep_cache (the Δ-cache is
+    # stored in full-token space); not with sp_axis.
     tome_ratio: float = 0.0
     # Set (to a mesh axis name) ONLY when the forward runs inside a
     # shard_map body with the token axis sharded over that axis: every
@@ -298,15 +300,9 @@ class FluxModel(nn.Module):
 
         plan = None
         if cfg.tome_ratio > 0:
-            assert mode == "full", (
-                "tome_ratio does not compose with deep_cache on DiTs: the "
-                "Δ-cache is a full-token-stream tensor and the merge plan "
-                "varies per step")
             assert cfg.sp_axis is None, (
                 "tome_ratio does not compose with sequence parallelism "
                 "(the bipartite match needs the global token set)")
-            from cremage_tpu.ops import tome
-
             ids_np = np.asarray(img_ids)
             hp = int(ids_np[:, 1].max()) + 1
             wp = int(ids_np[:, 2].max()) + 1
@@ -329,15 +325,22 @@ class FluxModel(nn.Module):
             if mode == "capture" and i == cache_depth - 1:
                 front = img
 
+        # The Δ-cache lives in FULL-token space so ToMe composes: capture
+        # unmerges the reduced delta, shallow re-merges it under the
+        # current step's plan (group-averaging constituent deltas).
         if mode == "shallow":
-            img = (img.astype(jnp.float32) + deep).astype(cfg.dtype)
+            deep_r = tome.merge(plan, deep) if plan is not None else deep
+            img = (img.astype(jnp.float32) + deep_r).astype(cfg.dtype)
         else:
             x = jnp.concatenate([txt, img], axis=1)
             for i in range(cfg.depth_single):
                 x = SingleBlock(cfg, name=f"single_blocks_{i}")(x, vec, freqs)
             img = x[:, txt.shape[1]:]
-        delta = (img.astype(jnp.float32) - front.astype(jnp.float32)
-                 if mode == "capture" else None)
+        delta = None
+        if mode == "capture":
+            delta = img.astype(jnp.float32) - front.astype(jnp.float32)
+            if plan is not None:
+                delta = tome.unmerge(plan, delta)
 
         sh_sc = Dense(2 * cfg.hidden_size, name="final_layer_adaLN_modulation_1",
                       **dd)(silu(vec))
@@ -347,8 +350,6 @@ class FluxModel(nn.Module):
         if plan is not None:
             # unmerge AFTER the per-token final projection: 64-channel
             # traffic instead of hidden_size, identical result
-            from cremage_tpu.ops import tome
-
             out = tome.unmerge(plan, out)
         return (out, delta) if mode == "capture" else out
 

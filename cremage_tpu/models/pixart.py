@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cremage_tpu.models.layers import Conv, Dense, silu, timestep_embedding
+from cremage_tpu.ops import tome
 from cremage_tpu.ops.attention import attention
 
 
@@ -48,7 +49,8 @@ class PixArtConfig:
     # Token merging (ToMe, ops/tome.py — opt-in speed feature beyond
     # reference parity): one merge of int(N*ratio) tokens after the
     # pos-embed add, the whole block stack runs reduced, the final
-    # projection output is unmerged.  Full-forward mode only.
+    # projection output is unmerged.  Composes with deep_cache (the
+    # Δ-cache is stored in full-token space); not with sp_axis.
     tome_ratio: float = 0.0
 
 
@@ -164,14 +166,8 @@ class PixArt(nn.Module):
 
         plan = None
         if cfg.tome_ratio > 0:
-            assert mode == "full", (
-                "tome_ratio does not compose with deep_cache on DiTs: the "
-                "Δ-cache is a full-token-stream tensor and the merge plan "
-                "varies per step")
             assert cfg.sp_axis is None, (
                 "tome_ratio does not compose with sequence parallelism")
-            from cremage_tpu.ops import tome
-
             plan = tome.plan_for_grid(tokens, hp, wp, cfg.tome_ratio, t)
             if plan is not None:
                 tokens = tome.merge(plan, tokens)
@@ -193,10 +189,17 @@ class PixArt(nn.Module):
             tokens = PixArtBlock(cfg, name=f"blocks_{i}")(tokens, y, t6)
             if mode == "capture" and i == cache_depth - 1:
                 front = tokens
+        # The Δ-cache lives in FULL-token space so ToMe composes: capture
+        # unmerges the reduced delta, shallow re-merges it under the
+        # current step's plan (group-averaging constituent deltas).
         if mode == "shallow":
-            tokens = (tokens.astype(jnp.float32) + deep).astype(cfg.dtype)
-        delta = (tokens.astype(jnp.float32) - front.astype(jnp.float32)
-                 if mode == "capture" else None)
+            deep_r = tome.merge(plan, deep) if plan is not None else deep
+            tokens = (tokens.astype(jnp.float32) + deep_r).astype(cfg.dtype)
+        delta = None
+        if mode == "capture":
+            delta = tokens.astype(jnp.float32) - front.astype(jnp.float32)
+            if plan is not None:
+                delta = tome.unmerge(plan, delta)
 
         table = self.param("final_layer_scale_shift_table",
                            nn.initializers.normal(0.02),
@@ -208,8 +211,6 @@ class PixArt(nn.Module):
             tokens.dtype)
         out = Dense(p * p * cfg.out_channels, name="final_layer_linear", **dd)(out)
         if plan is not None:
-            from cremage_tpu.ops import tome
-
             out = tome.unmerge(plan, out)   # per-token final proj: unmerge last
         out = out.reshape(b, hp, wp, p, p, cfg.out_channels)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, cfg.out_channels)

@@ -121,16 +121,14 @@ def build_plan(metric: jnp.ndarray, h: int, w: int, r: int,
                     mrg_sel=mrg_sel, mrg_tgt=mrg_tgt, n=n, r=r)
 
 
-def check_dit_options(use_deep_cache: bool, sp_mesh) -> None:
+def check_dit_options(sp_mesh) -> None:
     """Pipeline-level validation shared by the DiT integrations
-    (SD3/FLUX/PixArt/Hunyuan): tome_ratio>0 excludes the two features
-    whose state is a full-token-stream tensor or a sharded token axis."""
-    if use_deep_cache:
-        raise ValueError(
-            "tome_ratio does not compose with deep_cache for the DiT "
-            "families: the Δ-cache is a full-token-stream tensor and the "
-            "merge plan varies per step — pick one (the UNet families "
-            "compose because their merge is per-attention-block)")
+    (SD3/FLUX/PixArt/Hunyuan).  deep_cache COMPOSES with ToMe there:
+    the Δ-cache is stored in full-token space (capture unmerges the
+    reduced delta; shallow re-merges it under the current step's plan,
+    group-averaging constituent deltas), so per-step plan changes are
+    fine.  Sequence parallelism does not: the bipartite soft match
+    needs the global token set on one device."""
     if sp_mesh is not None:
         raise ValueError(
             "tome_ratio does not compose with use_mesh_sp: the bipartite "

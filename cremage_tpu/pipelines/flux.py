@@ -121,7 +121,7 @@ class FluxPipeline:
         use_dc = dc >= 2
         tr = float(opts.tome_ratio)
         if tr > 0:
-            _check_dit_tome(use_dc, self.sp_mesh)
+            _check_dit_tome(self.sp_mesh)
             # ToMe has no params — a config-swapped module runs on the
             # same param tree (ops/tome.py)
             model = type(model)(dataclasses.replace(

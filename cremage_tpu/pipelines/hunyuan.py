@@ -129,7 +129,7 @@ class HunyuanPipeline:
         dit = b.dit
         tr = float(opts.tome_ratio)
         if tr > 0:
-            _check_dit_tome(use_dc, sp_mesh)
+            _check_dit_tome(sp_mesh)
             # ToMe has no params — a config-swapped module runs on the
             # same param tree (ops/tome.py)
             dit = type(dit)(dataclasses.replace(dit.cfg, tome_ratio=tr))

@@ -177,7 +177,7 @@ class SD3Pipeline:
         use_dc = dc >= 2
         tr = float(opts.tome_ratio)
         if tr > 0:
-            _check_dit_tome(use_dc, sp_mesh)
+            _check_dit_tome(sp_mesh)
             # ToMe has no params — a config-swapped module runs on the
             # same param tree (ops/tome.py)
             mmdit = type(mmdit)(dataclasses.replace(

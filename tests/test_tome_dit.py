@@ -19,9 +19,13 @@ Contracts proven here:
   its dst token's output, so the unmerged output has exactly
   kept-many unique rows;
 - a ratio that rounds to r=0 is bit-identical to the plain forward;
-- capture/shallow modes assert (the Δ-cache does not compose);
-- product pipelines accept tome_ratio and reject the deep_cache /
-  use_mesh_sp combinations with actionable errors.
+- the Δ-cache COMPOSES: it is stored in full-token space (capture
+  unmerges the reduced delta, shallow re-merges it under the current
+  step's plan), proven by a merge∘unmerge round-trip oracle, a
+  capture/shallow splice contract, and a pipeline tome+deep_cache
+  drive;
+- product pipelines accept tome_ratio and reject the use_mesh_sp
+  combination with an actionable error.
 """
 import dataclasses
 
@@ -161,15 +165,37 @@ def test_dit_tome_zero_r_is_bit_identical():
     np.testing.assert_array_equal(np.asarray(tm), np.asarray(full))
 
 
-def test_dit_tome_rejects_capture_mode():
+def test_merge_unmerge_roundtrip():
+    # merge(plan, unmerge(plan, y)) == y: the full-token-space Δ-cache
+    # round-trip is exact up to the group-mean of identical values
+    k = jax.random.split(jax.random.key(5), 2)
+    metric = jax.random.normal(k[0], (2, 16, 6))
+    plan = tome.build_plan(metric, 4, 4, r=6, offset=1)
+    y = jax.random.normal(k[1], (2, 10, 8))      # reduced stream
+    back = tome.merge(plan, tome.unmerge(plan, y))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(y),
+                               rtol=0, atol=1e-6)
+
+
+def test_dit_tome_capture_shallow_contract():
+    """ToMe composes with the Δ-cache: capture (with tome) matches the
+    full tome forward bitwise, the stored delta is FULL-token-space,
+    and splicing it back at the same input reproduces the output."""
     from tests.test_pixart import tiny_pixart, T5D
 
     m, params = tiny_pixart()
-    args = (jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,)),
-            jnp.zeros((1, 10, T5D)))
-    with pytest.raises(AssertionError, match="deep_cache"):
-        _tome_swap(m, 0.5).apply(params, *args, mode="capture",
-                                 cache_depth=1)
+    k = jax.random.split(jax.random.key(8), 2)
+    args = (jax.random.normal(k[0], (2, 8, 8, 4)), jnp.full((2,), 400.0),
+            jax.random.normal(k[1], (2, 10, T5D)))
+    tm = _tome_swap(m, 0.5)
+    full = tm.apply(params, *args)
+    cap, delta = tm.apply(params, *args, mode="capture", cache_depth=1)
+    np.testing.assert_array_equal(np.asarray(cap), np.asarray(full))
+    assert delta.shape[1] == 16          # full token count, not reduced
+    sh = tm.apply(params, *args, mode="shallow", deep=delta,
+                  cache_depth=1)
+    np.testing.assert_allclose(np.asarray(sh), np.asarray(full),
+                               rtol=0, atol=2e-4)
 
 
 # ---------------- product pipelines -----------------------------------------
@@ -254,12 +280,14 @@ def test_hunyuan_pipeline_tome():
     assert np.abs(tm - plain).max() > 0
 
 
-def test_dit_tome_rejects_deep_cache():
+def test_flux_pipeline_tome_deep_cache_composes():
     from tests.test_sd3_flux import make_flux_pipeline
 
     pipe = make_flux_pipeline()
-    with pytest.raises(ValueError, match="deep_cache"):
-        pipe.generate(_gen_opts(tome_ratio=0.5, deep_cache=2))
+    plain = pipe.generate(_gen_opts())[0][0]
+    both = pipe.generate(_gen_opts(tome_ratio=0.5, deep_cache=2))[0][0]
+    assert np.isfinite(both).all()
+    assert np.abs(both - plain).max() > 0
 
 
 def test_dit_tome_rejects_sequence_parallel():

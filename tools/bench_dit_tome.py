@@ -70,21 +70,45 @@ def run_family(name):
     full = chained(model)
     merged = chained(tome_model)
 
-    def timeit(fn):
+    # DC x ToMe shallow arm: the Δ-cache is stored full-token-space, so
+    # shallow re-merges it per step — measure that re-merge + front
+    # block cost to get the combined interval-2 number
+    cache_depth = int(os.environ.get("CACHE_DEPTH", "1"))
+    _, deep_sd = jax.eval_shape(
+        lambda p, *a: tome_model.apply(p, *a, mode="capture",
+                                       cache_depth=cache_depth),
+        params, *args)
+    deep = jnp.zeros(deep_sd.shape, deep_sd.dtype)
+
+    @jax.jit
+    def shallow_tm(params, x, deep, *rest):
+        def body(i, xx):
+            out = tome_model.apply(params, xx, rest[0] + i, *rest[1:],
+                                   mode="shallow", deep=deep,
+                                   cache_depth=cache_depth)
+            return out[..., : x.shape[-1]].astype(xx.dtype)
+        return jnp.mean(lax.fori_loop(0, REPS, body, x)
+                        .astype(jnp.float32))
+
+    def timeit(fn, extra=()):
         t0 = time.perf_counter()
-        np.asarray(fn(params, x, *args[1:]))
+        np.asarray(fn(params, x, *extra, *args[1:]))
         compile_s = time.perf_counter() - t0
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(fn(params, x, *args[1:]))
+            np.asarray(fn(params, x, *extra, *args[1:]))
             best = min(best, time.perf_counter() - t0)
         return best / REPS * 1e3, compile_s
 
     t_full, c1 = timeit(full)
     t_tm, c2 = timeit(merged)
+    t_sh, c3 = timeit(shallow_tm, extra=(deep,))
+    step2 = (t_tm + t_sh) / 2
     print(f"{name:9s} full {t_full:6.1f} ms  tome({RATIO}) {t_tm:6.1f} ms "
-          f"-> {t_full / t_tm:.2f}x per step  [compile {c1:.0f}s/{c2:.0f}s]",
+          f"(-> {t_full / t_tm:.2f}x)  tome-shallow {t_sh:6.1f} ms "
+          f"-> tome+DC2 {step2:6.1f} ms/step ({t_full / step2:.2f}x)  "
+          f"[compile {c1:.0f}s/{c2:.0f}s/{c3:.0f}s]",
           flush=True)
 
 
