@@ -15,15 +15,17 @@ Run: python tools/bench_dit_tome.py [family ...]
 Each family runs in a subprocess (clean HBM).
 
 RESULTS (v5e-1, 2026-08-19, ratio 0.5, production configs):
-  sd3       full 137.1 ms  tome  48.3 ms -> 2.84x per step
-  pixart    full  89.0 ms  tome  28.8 ms -> 3.08x per step
-  hunyuan   full 161.0 ms  tome  57.2 ms -> 2.82x per step
-(compare tools/bench_dit_deepcache.py interval-2: 73.7/48.0/84.6
-ms/step — whole-stack ToMe at 0.5 beats the Δ-cache on every DiT;
-the speedup exceeds the naive 2x because the quadratic attention term
-shrinks 4x and the flash kernel's exp-bound share goes with it.
-Full-lane numbers for FLUX are in bench.py: fp8 0.396->0.750 img/s,
-int8 0.496->0.895 = 7.2x the reference's published 4090 number.)
+  sd3     full 137.0  tome 48.8 (2.81x)  tome-shallow  8.8 -> tome+DC2 28.8 ms/step (4.76x)
+  pixart  full  90.0  tome 29.6 (3.04x)  tome-shallow  8.3 -> tome+DC2 19.0 ms/step (4.75x)
+  hunyuan full 161.3  tome 56.8 (2.84x)  tome-shallow  8.3 -> tome+DC2 32.6 ms/step (4.95x)
+(compare tools/bench_dit_deepcache.py interval-2 alone: 73.7/48.0/84.6
+ms/step — whole-stack ToMe at 0.5 beats the Δ-cache on every DiT, and
+the two STACK to ~4.8x per step since the Δ-cache is stored in
+full-token space; the ToMe speedup exceeds the naive 2x because the
+quadratic attention term shrinks 4x and the flash kernel's exp-bound
+share goes with it.  Full-lane numbers for FLUX are in bench.py: fp8
+0.396->0.750 img/s, int8 0.496->0.895 = 7.2x the reference's published
+4090 number.)
 """
 import dataclasses
 import os
