@@ -107,9 +107,7 @@ def run_sd15_batch(
 
     from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
     from cremage_tpu.models.vae import decode_from_latent
-    from cremage_tpu.pipelines.sd15 import T_DRIVEN_SAMPLERS
     from cremage_tpu.prompt.wildcards import resolve_wildcards
-    from cremage_tpu.samplers import kdiffusion as K
     from cremage_tpu.services.watermark import embed_watermark
 
     opts_list = [GenerationOptions.from_dict(p) for p in params_list]
@@ -138,13 +136,7 @@ def run_sd15_batch(
     # what a solo run draws (sd15.py txt2img_latents)
     h, w = o0.H // o0.f, o0.W // o0.f
     ch = pipe.bundle.latent_channels
-    if o0.sampler in T_DRIVEN_SAMPLERS:
-        sigma0 = 1.0
-    else:
-        kind = K.SAMPLER_SCHEDULE.get(o0.sampler, "model")
-        sigma0 = float(
-            pipe.bundle.schedule.get_sigmas(o0.sampling_steps)[0]
-            if kind == "model" else pipe.bundle.schedule.sigma_max)
+    sigma0 = pipe._sigma0(o0)
     keys = [key_for_image(seed, 0) for seed in seeds]
     x = jnp.concatenate(
         [noise_like(k, (o.n_samples, h, w, ch)) * sigma0

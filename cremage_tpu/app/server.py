@@ -194,7 +194,7 @@ class ApiServer:
             # engine-reachable beyond the reference's 12-name menu
             # (reference vendors these but never lists them:
             # sampler_utils.py:21-34 vs image_generator.py:42-43)
-            extra = ["PLMS", "DPM Solver"]
+            extra = ["PLMS", "DPM Solver", "LCM"]
             sgm = list(SGM_SAMPLER_NAMES)
             # SDXL/SVD run the SGM sampler menu; everything else takes
             # the k-diffusion/DDIM names (flow families ignore it)

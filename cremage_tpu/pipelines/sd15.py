@@ -37,6 +37,7 @@ from cremage_tpu.samplers import ddim as DDIM
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import ldm_extra as LDMX
+from cremage_tpu.samplers import lcm as LCM
 from cremage_tpu.samplers import schedules as S
 from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
 from cremage_tpu.core.registry import SAMPLERS
@@ -52,8 +53,11 @@ StatusCb = Callable[[str], None]
 # and dispatch goes through the ldm-style schedule builders. DDIM is the
 # reference's menu entry; PLMS / DPM Solver are its two vendored
 # non-menu samplers (ldm/models/diffusion/{plms.py,dpm_solver/}),
-# exposed here via /v1/meta "extra_samplers".
-T_DRIVEN_SAMPLERS = ("DDIM", "PLMS", "DPM Solver")
+# exposed here via /v1/meta "extra_samplers".  LCM (samplers/lcm.py,
+# beyond reference parity) pairs with LCM-LoRA weights merged through
+# io/lora.py for 4-8-step sampling; its noise init uses the LCM grid's
+# own top sigma (see _sigma0).
+T_DRIVEN_SAMPLERS = ("DDIM", "PLMS", "DPM Solver", "LCM")
 
 
 @dataclasses.dataclass
@@ -319,6 +323,34 @@ class SD15Pipeline:
                         return LDMX.sample_dpm_solver(eps_cfg, x, dsched,
                                                       progress_cb=progress)
                     return run
+            elif name == "LCM":
+                # LCM-LoRA sampling (samplers/lcm.py): consistency
+                # boundary scalings on the k-space denoiser; img2img
+                # maps t_enc to diffusers' strength-truncated origin
+                # grid (strength = t_enc/steps, t_enc steps run)
+                n_lcm = steps if t_enc is None else t_enc
+                strength = 1.0 if t_enc is None else t_enc / steps
+                lsched = LCM.make_lcm_schedule(acp, n_lcm,
+                                               strength=strength)
+
+                def build():
+                    def run(params, x, c, uc, key, extra, cn_params, hint_arr):
+                        eps = self._eps_model(params, extra, cn_params,
+                                              hint_arr, control_weight,
+                                              tome_ratio=tr)
+                        den = EpsDenoiser(eps, self.bundle.schedule)
+                        den_cfg = cfg_denoiser(den, c, uc, scale)
+                        if t_enc is not None:
+                            # k-space stochastic encode to the truncated
+                            # grid's top sigma (same as the k-sampler
+                            # img2img path)
+                            x0 = x.astype(jnp.float32) + noise_like(
+                                key, x.shape) * float(lsched.sigmas[0])
+                        else:
+                            x0 = x
+                        return LCM.sample_lcm(den_cfg, x0, lsched, key=key,
+                                              progress_cb=progress)
+                    return run
             elif name == "PLMS":
                 sched = DDIM.make_ddim_schedule(acp, steps, eta=0.0)
 
@@ -420,19 +452,27 @@ class SD15Pipeline:
 
     # ---------------- high-level modes ----------------
 
+    def _sigma0(self, opts) -> float:
+        """Initial-noise scale for the selected sampler: k-diffusion
+        convention x = N(0,1)*sigma_max; t-driven DDPM-space samplers
+        start from unit noise; LCM starts at its own grid's top sigma."""
+        name = opts.sampler
+        if name == "LCM":
+            acp = 1.0 / (1.0 + self.bundle.schedule.sigmas**2)
+            return float(LCM.make_lcm_schedule(
+                acp, opts.sampling_steps).sigmas[0])
+        if name in T_DRIVEN_SAMPLERS:
+            return 1.0
+        kind = K.SAMPLER_SCHEDULE.get(name, "model")
+        return float(self.bundle.schedule.get_sigmas(opts.sampling_steps)[0]
+                     if kind == "model" else self.bundle.schedule.sigma_max)
+
     def txt2img_latents(self, opts, c, uc, key, status_cb=_noop_status,
                         hint=None, control_weight=1.0):
         h, w = opts.H // opts.f, opts.W // opts.f
         b = c.shape[0]
-        if opts.sampler in T_DRIVEN_SAMPLERS:
-            x = noise_like(key, (b, h, w, self.bundle.latent_channels))
-        else:
-            kind = K.SAMPLER_SCHEDULE.get(opts.sampler, "model")
-            if kind == "model":
-                sigma0 = self.bundle.schedule.get_sigmas(opts.sampling_steps)[0]
-            else:
-                sigma0 = self.bundle.schedule.sigma_max
-            x = noise_like(key, (b, h, w, self.bundle.latent_channels)) * float(sigma0)
+        x = noise_like(key, (b, h, w, self.bundle.latent_channels)) * \
+            self._sigma0(opts)
         lat = self._sample(opts, x, c, uc, key, opts.sampling_steps,
                            hint=hint, control_weight=control_weight,
                            status_cb=status_cb)
@@ -492,12 +532,8 @@ class SD15Pipeline:
             [mask_lat.astype(jnp.float32), masked_lat.astype(jnp.float32)], axis=-1
         )
         extra = jnp.broadcast_to(extra, (b,) + extra.shape[1:])
-        x = noise_like(key, (b, h8, w8, self.bundle.latent_channels))
-        kind = K.SAMPLER_SCHEDULE.get(opts.sampler, "model")
-        if opts.sampler not in T_DRIVEN_SAMPLERS:
-            sigma0 = (self.bundle.schedule.get_sigmas(opts.sampling_steps)[0]
-                      if kind == "model" else self.bundle.schedule.sigma_max)
-            x = x * float(sigma0)
+        x = noise_like(key, (b, h8, w8, self.bundle.latent_channels)) * \
+            self._sigma0(opts)
         lat = self._sample(opts, x, c, uc, key, opts.sampling_steps,
                            extra_channels=extra, status_cb=status_cb)
         return lat, mask_b

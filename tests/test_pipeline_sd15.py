@@ -106,11 +106,23 @@ def test_txt2img_sampler_menu(bundle, sampler):
     assert np.isfinite(results[0][0]).all()
 
 
-@pytest.mark.parametrize("sampler", ["PLMS", "DPM Solver"])
+@pytest.mark.parametrize("sampler", ["PLMS", "DPM Solver", "LCM"])
 def test_txt2img_extra_samplers(bundle, sampler):
-    # the reference's two vendored non-menu samplers (image_generator.py:42-43)
+    # the reference's two vendored non-menu samplers
+    # (image_generator.py:42-43) plus LCM (samplers/lcm.py, pairs with
+    # LCM-LoRA weights; beyond reference parity)
     pipe = SD15Pipeline(bundle)
     results = pipe.generate(base_opts(sampler=sampler))
+    assert np.isfinite(results[0][0]).all()
+
+
+def test_img2img_lcm(bundle):
+    # LCM img2img: t_enc maps to diffusers' strength-truncated grid
+    pipe = SD15Pipeline(bundle)
+    init = np.zeros((64, 64, 3), np.float32)
+    opts = base_opts(mode=MODE_IMAGE_TO_IMAGE, sampler="LCM", strength=0.5,
+                     sampling_steps=4)
+    results = pipe.generate(opts, init_image=init)
     assert np.isfinite(results[0][0]).all()
 
 
