@@ -44,6 +44,7 @@ from cremage_tpu.prompt.parser import compute_prompt_score
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import edm as EDM
+from cremage_tpu.samplers import lcm as LCM
 from cremage_tpu.samplers import schedules as S
 from cremage_tpu.core.registry import GUIDERS
 from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
@@ -281,8 +282,25 @@ class SDXLPipeline:
                 "deep_cache supports the VanillaCFG guider only, got "
                 f"{opts.guider!r}")
 
+        # LCM (samplers/lcm.py): pairs with SDXL LCM-LoRA weights
+        # merged through the normal loader; the grid/boundary math runs
+        # on the model's 1000-step DDPM table, not the EDM menu
+        lsched = None
+        if sampler_name == "LCM":
+            if opts.guider != "VanillaCFG":
+                raise ValueError(
+                    "the LCM sampler supports the VanillaCFG guider "
+                    f"only, got {opts.guider!r}")
+            if t_enc is not None:
+                raise ValueError(
+                    "LCM on SDXL supports txt2img only (use the SD1.5 "
+                    "pipeline's LCM for strength-based img2img)")
+            lsched = LCM.make_lcm_schedule(
+                EDM.LegacyDDPMDiscretization().alphas_cumprod, steps)
+
         def progress(i):
-            total = len(sigmas) - 1
+            total = (len(lsched.sigmas) if lsched is not None
+                     else len(sigmas) - 1)
             self._current_status(f"Sampling {int(i) + 1} / {total}")
 
         def run(params, x, c, uc, key, extra=None):
@@ -302,6 +320,13 @@ class SDXLPipeline:
                 EDM.LegacyDDPMDiscretization()(1000, do_append_zero=False),
             )
             denoise = guider(denoiser, c, uc, **guider_kwargs)
+            if lsched is not None:
+                # diffusers' DDPM-space unit-noise init is exactly the
+                # sgm prepare_sampling_loop scaling in k-space
+                x0 = x.astype(jnp.float32) * float(
+                    np.sqrt(1.0 + lsched.sigmas[0] ** 2))
+                return LCM.sample_lcm(denoise, x0, lsched, key=key,
+                                      progress_cb=progress)
             if use_dc:
                 # mirror run_sgm_sampler's prepare_sampling_loop scaling
                 sig = np.asarray(sigmas, np.float64)

@@ -226,6 +226,23 @@ def test_sdxl_sampler_menu(sdxl_bundle, sampler):
     assert np.isfinite(results[0][0]).all()
 
 
+def test_sdxl_lcm_sampler(sdxl_bundle):
+    # LCM-LoRA sampling on SDXL (samplers/lcm.py): 4-step txt2img
+    pipe = SDXLPipeline(sdxl_bundle)
+    msgs = []
+    results = pipe.generate(xl_opts(sampler="LCM", sampling_steps=4,
+                                    scale=1.5), status_cb=msgs.append)
+    assert np.isfinite(results[0][0]).all()
+    assert any("Sampling 4 / 4" in m for m in msgs)
+    # img2img and non-CFG guiders are rejected with actionable errors
+    init = np.zeros((64, 64, 3), np.float32)
+    with pytest.raises(ValueError, match="txt2img only"):
+        pipe.generate(xl_opts(sampler="LCM", strength=0.5,
+                              sampling_steps=4), init_image=init)
+    with pytest.raises(ValueError, match="VanillaCFG"):
+        pipe.generate(xl_opts(sampler="LCM", guider="IdentityGuider"))
+
+
 def test_sdxl_edm_discretization_option(sdxl_bundle):
     pipe = SDXLPipeline(sdxl_bundle)
     results = pipe.generate(xl_opts(discretization="EDMDiscretization"))
