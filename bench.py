@@ -647,12 +647,20 @@ LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
 
 
 def main() -> int:
+    # Default lanes in PRIORITY order: the driver-metric exact lanes
+    # first (sd15/sdxl/svd + the flux headline), then the approximate
+    # headline lanes, then the rest.  BENCH_BUDGET_S (default 2400 s)
+    # stops launching new lanes once the wall-clock budget is spent, so
+    # a full default run always terminates with the important lanes
+    # captured instead of being killed mid-flight by a harness timeout
+    # (each lane is a subprocess; a lane may overshoot the budget by
+    # its own duration but never blocks the lanes already printed).
     lanes = os.environ.get("BENCH_LANES",
                            os.environ.get(
                                "BENCH_MODEL",
-                               "sd15,sdxl,svd,flux,flux_int8,sd15_e2e,"
-                               "sd15_dc,sdxl_dc,svd_dc,sd15_dc_tome,"
-                               "svd_dc_tome,flux_tome,flux_int8_tome"))
+                               "sd15,sdxl,svd,flux_int8,sd15_dc_tome,"
+                               "sdxl_dc,svd_dc_tome,flux_int8_tome,"
+                               "flux,sd15_e2e,sd15_dc,svd_dc,flux_tome"))
     names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
     if len(names) == 1:
         from cremage_tpu.core.cache import enable_compilation_cache
@@ -670,8 +678,14 @@ def main() -> int:
     import subprocess
     import sys
 
+    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    t0 = time.time()
     rc = 0
-    for name in names:
+    for i, name in enumerate(names):
+        if i and time.time() - t0 > budget:
+            print("bench: budget %.0fs spent, skipping lanes: %s"
+                  % (budget, ",".join(names[i:])), file=sys.stderr)
+            break
         env = dict(os.environ, BENCH_LANES=name)
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            env=env)
