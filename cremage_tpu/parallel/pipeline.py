@@ -1,0 +1,270 @@
+"""Pipeline parallelism (PP) for the FLUX transformer.
+
+The reference has no distributed runtime at all (SURVEY §2.2); this is
+TPU-native scaling design, completing the parallel/ family: DP
+(core/mesh.py batch axis), TP (parallel/sharding.py), SP
+(parallel/sequence.py), and now PP.
+
+What PP buys over the others:
+- vs TP: ONE activation transfer per stage boundary per microbatch
+  instead of collectives inside every layer — the right trade when ICI
+  bandwidth is the constraint, and the only way past TP's head-count
+  sharding cap.
+- vs SP: no token-axis resharding; weights are PARTITIONED, not
+  replicated — bf16 FLUX.1 (≈24 GB transformer) does not fit one 16 GB
+  v5e chip but spans 2+ chips under PP without quantization.
+
+Design (idiomatic JAX, no explicit schedule program):
+- the 19 double + 38 single blocks are split into contiguous stages,
+  weighted 2:1 (a DoubleBlock runs two streams' worth of matmuls);
+  stage s's params are committed to device s with `jax.device_put`.
+- each stage is its own jitted function reusing the exact DoubleBlock /
+  SingleBlock modules under their FluxModel names, so a stage's param
+  tree is literally a top-level slice of the full tree (quantized
+  trees slice the same way — `weight_scale` siblings ride along).
+- the host streams microbatches through the stage jits; JAX async
+  dispatch overlaps stage s on microbatch m with stage s-1 on
+  microbatch m+1, so the GPipe schedule emerges from data dependencies
+  alone.  With one microbatch PP is a memory-spanning feature (bubbles
+  fill the pipe); throughput needs microbatches >= stages.
+
+Behavior contract: output equals the single-device FluxModel forward
+(tests/test_pipeline_parallel.py proves parity on the CPU mesh).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cremage_tpu.models.flux import (
+    DoubleBlock, FluxConfig, MLPEmbedder, SingleBlock, _no_affine_ln,
+    make_position_ids, rope_freqs,
+)
+from cremage_tpu.models.layers import Dense, silu, timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class StageSpec:
+    """Contiguous slice of the FLUX block sequence."""
+    d_lo: int
+    d_hi: int
+    s_lo: int
+    s_hi: int
+
+    @property
+    def units(self) -> int:
+        return 2 * (self.d_hi - self.d_lo) + (self.s_hi - self.s_lo)
+
+
+def flux_pp_plan(cfg: FluxConfig, n_stages: int) -> List[StageSpec]:
+    """Split the (doubles then singles) chain into n_stages contiguous
+    chunks balanced by compute weight (double=2, single=1)."""
+    nd, ns = cfg.depth_double, cfg.depth_single
+    if not 1 <= n_stages <= nd + ns:
+        raise ValueError(
+            f"n_stages must be in [1, {nd + ns}] for depth_double={nd}, "
+            f"depth_single={ns}; got {n_stages}")
+    weights = [2] * nd + [1] * ns
+    total = sum(weights)
+    specs: List[StageSpec] = []
+    pos = 0
+    acc = 0.0
+    for s in range(n_stages):
+        # ideal cumulative weight after this stage; leave at least one
+        # block per remaining stage
+        target = total * (s + 1) / n_stages
+        hi = pos
+        while hi < len(weights) and (
+                acc + weights[hi] <= target + 1e-9
+                or hi - pos == 0) and len(weights) - (hi + 1) >= (
+                    n_stages - s - 1):
+            acc += weights[hi]
+            hi += 1
+        if s == n_stages - 1:
+            while hi < len(weights):
+                acc += weights[hi]
+                hi += 1
+        d_lo, d_hi = min(pos, nd), min(hi, nd)
+        s_lo, s_hi = max(pos - nd, 0), max(hi - nd, 0)
+        specs.append(StageSpec(d_lo, d_hi, s_lo, s_hi))
+        pos = hi
+    assert pos == len(weights), specs
+    return specs
+
+
+class FluxStage(nn.Module):
+    """One PP stage: optional embedders (first), a contiguous run of
+    double then single blocks, optional final layer (last).  Module
+    names match FluxModel exactly, so `params` is a top-level slice of
+    the full FluxModel tree."""
+    cfg: FluxConfig
+    spec: StageSpec
+    txt_len: int
+    first: bool = False
+    last: bool = False
+
+    @nn.compact
+    def __call__(self, carry: Dict[str, jnp.ndarray], freqs: jnp.ndarray):
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        if self.first:
+            img = Dense(cfg.hidden_size, name="img_in", **dd)(
+                carry["img_tokens"].astype(cfg.dtype))
+            txt = Dense(cfg.hidden_size, name="txt_in", **dd)(
+                carry["txt_tokens"].astype(cfg.dtype))
+            vec = MLPEmbedder(cfg.hidden_size, cfg.dtype, cfg.param_dtype,
+                              name="time_in")(
+                timestep_embedding(carry["t"] * 1000.0, 256).astype(cfg.dtype))
+            if cfg.guidance_embed:
+                vec = vec + MLPEmbedder(
+                    cfg.hidden_size, cfg.dtype, cfg.param_dtype,
+                    name="guidance_in")(
+                    timestep_embedding(carry["guidance"] * 1000.0,
+                                       256).astype(cfg.dtype))
+            vec = vec + MLPEmbedder(cfg.hidden_size, cfg.dtype,
+                                    cfg.param_dtype, name="vector_in")(
+                carry["y_vec"].astype(cfg.dtype))
+            img_s, txt_s, x = img, txt, None
+        else:
+            img_s, txt_s = carry.get("img"), carry.get("txt")
+            x = carry.get("x")
+            vec = carry["vec"]
+
+        for i in range(self.spec.d_lo, self.spec.d_hi):
+            img_s, txt_s = DoubleBlock(cfg, name=f"double_blocks_{i}")(
+                img_s, txt_s, vec, freqs)
+        if x is None and (self.spec.s_hi > self.spec.s_lo or self.last):
+            x = jnp.concatenate([txt_s, img_s], axis=1)
+        for i in range(self.spec.s_lo, self.spec.s_hi):
+            x = SingleBlock(cfg, name=f"single_blocks_{i}")(x, vec, freqs)
+
+        if self.last:
+            img_out = x[:, self.txt_len:]
+            sh_sc = Dense(2 * cfg.hidden_size,
+                          name="final_layer_adaLN_modulation_1", **dd)(
+                silu(vec))
+            sh, sc = jnp.split(sh_sc, 2, -1)
+            out = _no_affine_ln(img_out) * (1 + sc[:, None]) + sh[:, None]
+            return Dense(cfg.in_channels, name="final_layer_linear",
+                         **dd)(out)
+        nxt = {"vec": vec}
+        if x is not None:
+            nxt["x"] = x
+        else:
+            nxt["img"], nxt["txt"] = img_s, txt_s
+        return nxt
+
+
+def _stage_param_names(cfg: FluxConfig, spec: StageSpec, first: bool,
+                       last: bool) -> List[str]:
+    names = [f"double_blocks_{i}" for i in range(spec.d_lo, spec.d_hi)]
+    names += [f"single_blocks_{i}" for i in range(spec.s_lo, spec.s_hi)]
+    if first:
+        names += ["img_in", "txt_in", "time_in", "vector_in"]
+        if cfg.guidance_embed:
+            names.append("guidance_in")
+    if last:
+        names += ["final_layer_adaLN_modulation_1", "final_layer_linear"]
+    return names
+
+
+def _slice_params(params: Any, names: Sequence[str]) -> Any:
+    """Top-level slice across every variable collection."""
+    out = {}
+    for col, tree in params.items():
+        sub = {k: tree[k] for k in names if k in tree}
+        out[col] = sub
+    return out
+
+
+@dataclasses.dataclass
+class _BoundStage:
+    fn: Callable
+    params: Any
+    freqs: jnp.ndarray
+    device: Any
+
+
+class FluxPP:
+    """Pipeline-parallel FLUX forward over explicit devices.
+
+    One instance is bound to a (hp, wp, txt_len) geometry (the RoPE
+    table is precomputed per stage device).  Call with full-batch
+    operands; `microbatch` splits the batch and streams the chunks so
+    stages overlap via async dispatch.
+    """
+
+    def __init__(self, model, params, devices: Sequence[Any],
+                 hp: int, wp: int, txt_len: int,
+                 n_stages: Optional[int] = None):
+        cfg = model.cfg
+        if cfg.tome_ratio > 0:
+            raise ValueError(
+                "tome_ratio does not compose with pipeline parallelism "
+                "(the merge plan and its freq gather are stage-0-local; "
+                "use tome without pp, or pp without tome)")
+        if cfg.sp_axis is not None:
+            raise ValueError("choose one of sequence parallelism "
+                             "(use_mesh_sp) or pipeline parallelism")
+        devices = list(devices)
+        n_stages = int(n_stages or len(devices))
+        if n_stages > len(devices):
+            raise ValueError(f"{n_stages} stages need {n_stages} devices, "
+                             f"got {len(devices)}")
+        self.cfg = cfg
+        self.n_stages = n_stages
+        specs = flux_pp_plan(cfg, n_stages)
+        txt_ids, img_ids = make_position_ids(hp, wp, txt_len)
+        freqs_np = np.asarray(rope_freqs(
+            np.concatenate([txt_ids, img_ids], axis=0), cfg.axes_dim,
+            cfg.theta))
+        self.stages: List[_BoundStage] = []
+        for si, spec in enumerate(specs):
+            first, last = si == 0, si == n_stages - 1
+            mod = FluxStage(cfg, spec, txt_len, first=first, last=last)
+            sub = _slice_params(params, _stage_param_names(
+                cfg, spec, first, last))
+            dev = devices[si]
+            self.stages.append(_BoundStage(
+                fn=jax.jit(mod.apply),
+                params=jax.device_put(sub, dev),
+                freqs=jax.device_put(jnp.asarray(freqs_np), dev),
+                device=dev))
+
+    @property
+    def out_device(self):
+        return self.stages[-1].device
+
+    def __call__(self, img_tokens, txt_tokens, t, y_vec, guidance=None,
+                 microbatch: Optional[int] = None) -> jnp.ndarray:
+        b = img_tokens.shape[0]
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (b,))
+        if self.cfg.guidance_embed:
+            if guidance is None:
+                raise ValueError("guidance_embed model needs guidance")
+            guidance = jnp.broadcast_to(
+                jnp.asarray(guidance, jnp.float32), (b,))
+        mb = int(microbatch or b)
+        if b % mb != 0:
+            # a ragged tail microbatch would compile a second program per
+            # stage; keep the contract strict instead
+            raise ValueError(f"batch {b} must divide by microbatch {mb}")
+        outs = []
+        for lo in range(0, b, mb):
+            sl = slice(lo, lo + mb)
+            carry: Any = {"img_tokens": img_tokens[sl],
+                          "txt_tokens": txt_tokens[sl],
+                          "t": t[sl], "y_vec": y_vec[sl]}
+            if self.cfg.guidance_embed:
+                carry["guidance"] = guidance[sl]
+            for st in self.stages:
+                carry = jax.device_put(carry, st.device)
+                carry = st.fn(st.params, carry, st.freqs)
+            outs.append(carry)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(
+            [jax.device_put(o, self.stages[-1].device) for o in outs], axis=0)

@@ -90,8 +90,36 @@ class FluxPipeline:
         self._current_status: Callable = _noop
         self.sp_mesh = None
         self.sp_axis = "data"
+        self.pp_devices = None
+        self.pp_n_stages = None
+        self.pp_microbatch = None
+        self._pp_cache: Dict[Tuple, Any] = {}
+
+    def use_mesh_pp(self, devices, n_stages: Optional[int] = None,
+                    microbatch: Optional[int] = None):
+        """Pipeline-parallel deployment (parallel/pipeline.py): the
+        19-double/38-single block chain is partitioned into contiguous
+        stages, each stage's params committed to its own device, and
+        microbatches stream through the stage jits.  Weights are
+        PARTITIONED (not replicated): this is the deployment that runs
+        bf16 FLUX.1 (≈24 GB transformer) across 2+ chips whose
+        individual HBM it does not fit.  Excludes use_mesh_sp /
+        tome_ratio / deep_cache (stage-local caches don't span the
+        partition; quantize to fp8/int8 instead if those knobs matter
+        more than bf16 weights)."""
+        if self.sp_mesh is not None:
+            raise ValueError("choose one of use_mesh_sp / use_mesh_pp")
+        if hasattr(devices, "devices"):  # a Mesh
+            devices = list(np.asarray(devices.devices).flat)
+        self.pp_devices = list(devices)
+        self.pp_n_stages = n_stages
+        self.pp_microbatch = microbatch
+        self._cache.clear()
+        self._pp_cache.clear()
 
     def use_mesh_sp(self, mesh, axis: str = "data"):
+        if self.pp_devices is not None:
+            raise ValueError("choose one of use_mesh_sp / use_mesh_pp")
         """Sequence-parallel deployment: params replicated over `mesh`,
         the latent-token axis of every transformer forward sharded over
         `mesh[axis]` with ring attention (parallel/sequence.py).  The
@@ -129,6 +157,46 @@ class FluxPipeline:
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
+
+        if self.pp_devices is not None:
+            if use_dc:
+                raise ValueError(
+                    "deep_cache does not compose with use_mesh_pp (the "
+                    "Δ-cache boundary is stage-local; drop deep_cache or "
+                    "deploy without pp)")
+            if tr > 0:
+                raise ValueError(
+                    "tome_ratio does not compose with use_mesh_pp (the "
+                    "merge plan and its RoPE gather are stage-0-local)")
+            from cremage_tpu.parallel.pipeline import FluxPP
+
+            geom = (hp, wp, txt_len)
+            pp = self._pp_cache.get(geom)
+            if pp is None:
+                pp = FluxPP(model, self.bundle.params, self.pp_devices,
+                            hp=hp, wp=wp, txt_len=txt_len,
+                            n_stages=self.pp_n_stages)
+                self._pp_cache[geom] = pp
+            mb = self.pp_microbatch
+
+            def run_pp(params, x_tokens, txt, vec, key):
+                # host-stepped flow Euler (samplers/flow.py semantics):
+                # 4-8 schnell/dev steps make the host loop free, and the
+                # staged forward cannot live inside one jit program.
+                # x lives on the LAST stage's device (where v lands) so
+                # the Euler update never mixes committed devices.
+                x = jax.device_put(x_tokens.astype(jnp.float32),
+                                   pp.out_device)
+                for i in range(len(sigmas) - 1):
+                    g = guidance_scale if model.cfg.guidance_embed else None
+                    v = pp(x, txt, float(sigmas[i]), vec, guidance=g,
+                           microbatch=mb)
+                    x = x + float(sigmas[i + 1] - sigmas[i]) * v.astype(
+                        jnp.float32)
+                    progress(i)
+                return x
+
+            return run_pp
 
         sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
 

@@ -1,0 +1,142 @@
+"""Pipeline parallelism (parallel/pipeline.py): stage plan, parity vs
+the single-device FluxModel forward, microbatch streaming, validation.
+
+The reference has no distributed runtime (SURVEY §2.2) — PP is
+TPU-native scaling design; these tests prove the stage decomposition is
+exact on the 8-device CPU mesh.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cremage_tpu.models.flux import FluxConfig
+from cremage_tpu.parallel.pipeline import FluxPP, flux_pp_plan
+
+from tests.test_sequence_parallel import _tiny_flux
+
+
+def _cfg(nd, ns):
+    return FluxConfig(hidden_size=64, num_heads=2, head_dim=32,
+                      depth_double=nd, depth_single=ns, context_dim=32,
+                      vec_dim=32, axes_dim=(8, 12, 12), in_channels=16,
+                      dtype=jnp.float32)
+
+
+def test_plan_covers_chain_balanced():
+    cfg = _cfg(19, 38)  # production FLUX depths
+    for n_stages in (1, 2, 3, 4, 8):
+        specs = flux_pp_plan(cfg, n_stages)
+        assert len(specs) == n_stages
+        # contiguous, complete cover: doubles then singles, no gaps
+        d_pos = s_pos = 0
+        for sp in specs:
+            assert sp.d_lo == d_pos and sp.s_lo == s_pos
+            assert sp.d_hi >= sp.d_lo and sp.s_hi >= sp.s_lo
+            assert sp.units > 0
+            if sp.s_hi > sp.s_lo:  # singles only after all doubles
+                assert sp.d_hi == 19
+            d_pos, s_pos = sp.d_hi, sp.s_hi
+        assert d_pos == 19 and s_pos == 38
+        # balance: no stage more than ~2x the ideal share
+        ideal = (2 * 19 + 38) / n_stages
+        assert max(sp.units for sp in specs) <= ideal + 2
+
+
+def test_plan_rejects_bad_stage_count():
+    cfg = _cfg(2, 2)
+    with pytest.raises(ValueError, match="n_stages"):
+        flux_pp_plan(cfg, 5)
+    with pytest.raises(ValueError, match="n_stages"):
+        flux_pp_plan(cfg, 0)
+
+
+@pytest.mark.parametrize("guidance_embed", [False, True])
+@pytest.mark.parametrize("n_stages", [2, 3, 4])
+def test_flux_pp_matches_single_device(mesh8, guidance_embed, n_stages):
+    """Stage decomposition over distinct devices must reproduce the
+    monolithic forward: embedder placement, the double->single concat
+    inside whichever stage holds the boundary, the final layer on the
+    last stage, and cross-device activation hops."""
+    model, params, args = _tiny_flux(guidance_embed=guidance_embed)
+    img_t, txt_t, t, vec, img_ids, txt_ids, guidance = args
+    want = np.asarray(model.apply(params, *args), np.float32)
+
+    pp = FluxPP(model, params, jax.devices()[:n_stages], hp=4, wp=4,
+                txt_len=txt_t.shape[1], n_stages=n_stages)
+    got = pp(img_t, txt_t, t, vec, guidance=guidance)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_flux_pp_microbatch_streams_match_full_batch(mesh8):
+    """Batch 4 streamed as 4x1 and 2x2 microbatches equals the
+    full-batch result (per-sample math is batch-invariant)."""
+    model, params, args = _tiny_flux()
+    _, txt_t1, _, _, img_ids, txt_ids, _ = args
+    ks = jax.random.split(jax.random.key(7), 3)
+    b = 4
+    img_t = jax.random.normal(ks[0], (b, 16, 16))
+    txt_t = jax.random.normal(ks[1], (b, txt_t1.shape[1], 32))
+    vec = jax.random.normal(ks[2], (b, 32))
+    t = jnp.full((b,), 0.6)
+    want = np.asarray(model.apply(params, img_t, txt_t, t, vec,
+                                  img_ids, txt_ids, None), np.float32)
+
+    pp = FluxPP(model, params, jax.devices()[:2], hp=4, wp=4,
+                txt_len=txt_t.shape[1], n_stages=2)
+    for mb in (1, 2, 4):
+        got = pp(img_t, txt_t, t, vec, microbatch=mb)
+        np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                                   atol=3e-5, rtol=3e-5)
+
+
+def test_flux_pp_validates(mesh8):
+    import dataclasses as dc
+
+    model, params, args = _tiny_flux()
+    img_t, txt_t, t, vec, *_ = args
+    pp = FluxPP(model, params, jax.devices()[:2], hp=4, wp=4,
+                txt_len=txt_t.shape[1])
+    with pytest.raises(ValueError, match="divide"):
+        pp(jnp.tile(img_t, (3, 1, 1)), jnp.tile(txt_t, (3, 1, 1)),
+           jnp.tile(t, 3), jnp.tile(vec, (3, 1)), microbatch=2)
+    with pytest.raises(ValueError, match="stages"):
+        FluxPP(model, params, jax.devices()[:1], hp=4, wp=4,
+               txt_len=8, n_stages=2)
+    tome_model = type(model)(dc.replace(model.cfg, tome_ratio=0.5))
+    with pytest.raises(ValueError, match="tome"):
+        FluxPP(tome_model, params, jax.devices()[:2], hp=4, wp=4,
+               txt_len=8)
+
+
+def test_flux_pipeline_pp_matches_plain(mesh8):
+    """FluxPipeline.use_mesh_pp: the product path (host-stepped flow
+    Euler + staged transformer + VAE decode) must match the plain
+    single-device generation."""
+    from tests.test_sd3_flux import make_flux_pipeline
+    from cremage_tpu.core.config import GenerationOptions
+
+    opts = GenerationOptions(prompt="a fox", H=64, W=64, sampling_steps=2,
+                             seed=3, safety_check=False, watermark=False)
+    plain = make_flux_pipeline().generate(opts)[0][0]
+
+    pipe = make_flux_pipeline()
+    pipe.use_mesh_pp(jax.devices()[:2])
+    pp = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(pp, plain, atol=2e-5, rtol=2e-5)
+
+
+def test_flux_pipeline_pp_rejects_compositions(mesh8):
+    from tests.test_sd3_flux import make_flux_pipeline
+    from cremage_tpu.core.config import GenerationOptions
+
+    pipe = make_flux_pipeline()
+    pipe.use_mesh_pp(jax.devices()[:2])
+    for bad in (dict(deep_cache=2), dict(tome_ratio=0.5)):
+        opts = GenerationOptions(prompt="x", H=64, W=64, sampling_steps=2,
+                                 safety_check=False, watermark=False, **bad)
+        with pytest.raises(ValueError):
+            pipe.generate(opts)
+    with pytest.raises(ValueError, match="one of"):
+        pipe.use_mesh_sp(None)
