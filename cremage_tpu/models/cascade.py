@@ -31,6 +31,7 @@ mappers with bilinear align-corners resizing.
 from __future__ import annotations
 
 import dataclasses
+import zlib
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -38,6 +39,7 @@ import jax.lax as lax
 import jax.numpy as jnp
 
 from cremage_tpu.models.layers import Conv, Dense, silu, timestep_embedding
+from cremage_tpu.ops import tome
 from cremage_tpu.ops.attention import attention
 
 
@@ -200,35 +202,53 @@ class CascadeAttnBlock(nn.Module):
     cond_dim: int
     num_heads: int
     self_attn: bool = True
+    # ToMe (ops/tome.py): ratio > 0 merges the SPATIAL tokens before the
+    # fused attention (q and the self part of kv see the reduced stream;
+    # the cond-token prefix stays full) and unmerges the projected
+    # output before the residual add — same shape as the UNet attn1
+    # integration in models/unet.py.
+    tome_ratio: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cond):
+    def __call__(self, x, cond, tome_offset=None):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         c = self.channels
         bsz, hh, ww, _ = x.shape
         d = c // self.num_heads
         kv = Dense(c, name="kv_mapper_1", **dd)(silu(cond.astype(self.dtype)))
         tokens = _channel_ln(x).reshape(bsz, hh * ww, c).astype(self.dtype)
+        plan = None
+        if self.tome_ratio > 0 and hh % 2 == 0 and ww % 2 == 0:
+            r = min(int(hh * ww * self.tome_ratio), (hh * ww * 3) // 4)
+            if r > 0:
+                off = ((0 if tome_offset is None else tome_offset)
+                       + (zlib.crc32(str(self.name).encode()) & 0xFFFF))
+                plan = tome.build_plan(tokens, hh, ww, r, off)
+                tokens = tome.merge(plan, tokens)
         if self.self_attn:
             kv = jnp.concatenate([kv, tokens], axis=1)
         q = Dense(c, name="attention_to_q", **dd)(tokens)
         k = Dense(c, name="attention_to_k", **dd)(kv)
         v = Dense(c, name="attention_to_v", **dd)(kv)
         m = kv.shape[1]
+        n = tokens.shape[1]
         a = attention(
-            q.reshape(bsz, hh * ww, self.num_heads, d),
+            q.reshape(bsz, n, self.num_heads, d),
             k.reshape(bsz, m, self.num_heads, d),
             v.reshape(bsz, m, self.num_heads, d),
-        ).reshape(bsz, hh * ww, c)
+        ).reshape(bsz, n, c)
         out = Dense(c, name="attention_to_out_0", **dd)(a)
+        if plan is not None:
+            out = tome.unmerge(plan, out)
         return x + out.reshape(bsz, hh, ww, c)
 
 
 def _run_trunk(h, r_embed, cond, *, c_hidden, blocks, num_heads, c_cond,
                c_r, conds, attn_levels, down_repeats, up_repeats, dtype,
-               param_dtype, mode="full", deep=None, cache_levels=1):
+               param_dtype, mode="full", deep=None, cache_levels=1,
+               tome_ratio=0.0, tome_max_downsample=1, tome_offset=None):
     """Shared down/up trunk: flat (Res, Time[, Attn]) groups per level,
     LN+conv scalers between levels, repeat-mappers re-running a level.
     Plain helper (NOT a Module): must run inside the caller's compact
@@ -248,12 +268,22 @@ def _run_trunk(h, r_embed, cond, *, c_hidden, blocks, num_heads, c_cond,
     if mode == "shallow":
         assert deep is not None, "shallow mode needs the cached tensor"
 
-    def group(pre, c, skip_channels, with_attn):
+    # ToMe eligibility mirrors models/unet.py: only attention levels
+    # within tome_max_downsample of the widest attention grid merge
+    min_attn_lv = min(attn_levels) if attn_levels else 0
+
+    def _tome_ratio(lv):
+        if tome_ratio <= 0:
+            return 0.0
+        eligible = (1 << lv) <= (1 << min_attn_lv) * tome_max_downsample
+        return tome_ratio if eligible else 0.0
+
+    def group(pre, c, skip_channels, with_attn, lv):
         res = CascadeResBlock(c, skip_channels=skip_channels,
                               name=pre + "_res", **dd)
         tim = CascadeTimestepBlock(c, c_r, conds, name=pre + "_time", **dd)
         att = (CascadeAttnBlock(c, c_cond, num_heads, name=pre + "_attn",
-                                **dd)
+                                tome_ratio=_tome_ratio(lv), **dd)
                if with_attn else None)
         return res, tim, att
 
@@ -267,7 +297,7 @@ def _run_trunk(h, r_embed, cond, *, c_hidden, blocks, num_heads, c_cond,
             h = Conv(c, kernel_size=2, stride=2, padding=0,
                      name=f"downscalers_{lv}_1", **dd)(_channel_ln(h))
         groups = [
-            group(f"down_blocks_{lv}_{i}", c, 0, lv in attn_levels)
+            group(f"down_blocks_{lv}_{i}", c, 0, lv in attn_levels, lv)
             for i in range(blocks[lv])
         ]
         reps = down_repeats[lv]
@@ -281,7 +311,7 @@ def _run_trunk(h, r_embed, cond, *, c_hidden, blocks, num_heads, c_cond,
                 h = res(h)
                 h = tim(h, r_embed)
                 if att is not None:
-                    h = att(h, cond)
+                    h = att(h, cond, tome_offset=tome_offset)
             if j < reps - 1:
                 h = mappers[j](h)
         skips.append(h)
@@ -300,7 +330,7 @@ def _run_trunk(h, r_embed, cond, *, c_hidden, blocks, num_heads, c_cond,
         groups = [
             group(f"up_blocks_{pos}_{i}", c,
                   c if (skip is not None and i == 0) else 0,
-                  lv in attn_levels)
+                  lv in attn_levels, lv)
             for i in range(blocks[::-1][pos])
         ]
         reps = up_repeats[pos]
@@ -316,7 +346,7 @@ def _run_trunk(h, r_embed, cond, *, c_hidden, blocks, num_heads, c_cond,
                 h = res(h, skip if i == 0 else None)
                 h = tim(h, r_embed)
                 if att is not None:
-                    h = att(h, cond)
+                    h = att(h, cond, tome_offset=tome_offset)
             if j < reps - 1:
                 h = mappers[j](h)
         if lv > 0:
@@ -342,6 +372,10 @@ class StageCConfig:
     clip_img_dim: int = 768
     c_r: int = 64
     conds: Tuple[str, ...] = ("sca", "crp")
+    # ToMe (ops/tome.py, same knob as models/unet.py): merge int(N*r)
+    # spatial tokens around the widest attention level(s)
+    tome_ratio: float = 0.0
+    tome_max_downsample: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -385,6 +419,14 @@ class StageC(nn.Module):
                        for c in cfg.conds]
         r_embed = self._r_embed(r, cond_values)
 
+        tome_off = None
+        if cfg.tome_ratio > 0:
+            # fp32 bitcast, not int truncation: fractional sigmas must
+            # still vary the dst-grid offset (models/unet.py rationale)
+            tome_off = lax.bitcast_convert_type(
+                jnp.reshape(r, (-1,))[0].astype(jnp.float32),
+                jnp.int32) & 0x7FFF
+
         p = cfg.patch_size
         h = x.astype(cfg.dtype)
         if p > 1:
@@ -401,6 +443,9 @@ class StageC(nn.Module):
             down_repeats=cfg.down_repeats, up_repeats=cfg.up_repeats,
             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
             mode=mode, deep=deep, cache_levels=cache_levels,
+            tome_ratio=cfg.tome_ratio,
+            tome_max_downsample=cfg.tome_max_downsample,
+            tome_offset=tome_off,
         )
 
         out = Conv(cfg.out_channels * p * p, kernel_size=1, padding=0,
@@ -430,6 +475,9 @@ class StageBConfig:
     # attention only at the widest levels (Würstchen B puts attention
     # where tokens are few)
     attn_levels: Tuple[int, ...] = (2, 3)
+    # ToMe (ops/tome.py, same knob as models/unet.py)
+    tome_ratio: float = 0.0
+    tome_max_downsample: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -459,6 +507,14 @@ class StageB(nn.Module):
             parts.append(timestep_embedding(
                 sca if (c == "sca" and sca is not None) else zeros, cfg.c_r))
         r_embed = jnp.concatenate(parts, axis=-1)
+
+        tome_off = None
+        if cfg.tome_ratio > 0:
+            # fp32 bitcast, not int truncation: fractional sigmas must
+            # still vary the dst-grid offset (models/unet.py rationale)
+            tome_off = lax.bitcast_convert_type(
+                jnp.reshape(r, (-1,))[0].astype(jnp.float32),
+                jnp.int32) & 0x7FFF
 
         p = cfg.patch_size
         h = _pixel_unshuffle(x.astype(cfg.dtype), p)
@@ -495,6 +551,9 @@ class StageB(nn.Module):
             down_repeats=cfg.down_repeats, up_repeats=cfg.up_repeats,
             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
             mode=mode, deep=deep, cache_levels=cache_levels,
+            tome_ratio=cfg.tome_ratio,
+            tome_max_downsample=cfg.tome_max_downsample,
+            tome_offset=tome_off,
         )
 
         out = Conv(cfg.out_channels * p * p, kernel_size=1, padding=0,

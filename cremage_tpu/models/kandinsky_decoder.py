@@ -25,14 +25,17 @@ receives the conditioner's time vector (already time_embed_dim wide).
 from __future__ import annotations
 
 import dataclasses
+import zlib
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from cremage_tpu.models.layers import (
     Conv, Dense, GroupNorm, silu, timestep_embedding,
 )
+from cremage_tpu.ops import tome
 from cremage_tpu.ops.attention import attention
 
 
@@ -47,6 +50,12 @@ class KandinskyUNetConfig:
     # which down blocks carry attention (diffusers layout: the first is
     # a plain ResnetDownsampleBlock2D, the rest SimpleCrossAttn)
     first_block_plain: bool = True
+    # Token merging (ToMe, ops/tome.py — opt-in speed feature, same knob
+    # as models/unet.py): merge int(N*ratio) spatial tokens around each
+    # highest-resolution added-KV attention; tome_max_downsample widens
+    # application to deeper levels (1 = only the widest attention level)
+    tome_ratio: float = 0.0
+    tome_max_downsample: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -103,17 +112,31 @@ class AddedKVAttention(nn.Module):
     with the context tokens' add_k/add_v concatenated onto the key axis."""
 
     heads: int
+    # ToMe (ops/tome.py): ratio > 0 merges spatial tokens before the
+    # fused attention (q and the self part of k/v both see the reduced
+    # stream; the ctx add_k/add_v prefix stays full) and unmerges the
+    # projected output before the residual add — the same shape the
+    # UNet's BasicTransformerBlock uses around attn1.
+    tome_ratio: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, ctx):
+    def __call__(self, x, ctx, tome_offset=None):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         b, hh, ww, c = x.shape
         d = c // self.heads
         h = GroupNorm(32, name="group_norm")(x).reshape(b, hh * ww, c)
         h = h.astype(self.dtype)
         ctx = ctx.astype(self.dtype)
+        plan = None
+        if self.tome_ratio > 0 and hh % 2 == 0 and ww % 2 == 0:
+            r = min(int(hh * ww * self.tome_ratio), (hh * ww * 3) // 4)
+            if r > 0:
+                off = ((0 if tome_offset is None else tome_offset)
+                       + (zlib.crc32(str(self.name).encode()) & 0xFFFF))
+                plan = tome.build_plan(h, hh, ww, r, off)
+                h = tome.merge(plan, h)
         q = Dense(c, name="to_q", **dd)(h)
         k_self = Dense(c, name="to_k", **dd)(h)
         v_self = Dense(c, name="to_v", **dd)(h)
@@ -127,6 +150,8 @@ class AddedKVAttention(nn.Module):
             v.reshape(b, m, self.heads, d),
         ).reshape(b, n, c)
         out = Dense(c, name="to_out_0", **dd)(a)
+        if plan is not None:
+            out = tome.unmerge(plan, out)
         return x + out.reshape(b, hh, ww, c)
 
 
@@ -166,6 +191,24 @@ class KandinskyUNet(nn.Module):
         h = Conv(boc[0], kernel_size=3, name="conv_in", **dd)(x)
         rdd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
 
+        # ToMe eligibility mirrors models/unet.py: only attention levels
+        # within tome_max_downsample of the widest attention grid merge;
+        # the dst-grid offset derives from the timestep (fp32 bitcast so
+        # fractional sigmas still vary it)
+        tome_off = None
+        min_attn_lv = 1 if cfg.first_block_plain else 0
+        if cfg.tome_ratio > 0:
+            tome_off = jax.lax.bitcast_convert_type(
+                jnp.reshape(timesteps, (-1,))[0].astype(jnp.float32),
+                jnp.int32) & 0x7FFF
+
+        def _tome_ratio(lv):
+            if cfg.tome_ratio <= 0:
+                return 0.0
+            eligible = (1 << lv) <= (1 << min_attn_lv) * \
+                cfg.tome_max_downsample
+            return cfg.tome_ratio if eligible else 0.0
+
         # ---- down ----
         hs = [h]
         n_blocks = len(boc)
@@ -180,8 +223,9 @@ class KandinskyUNet(nn.Module):
                 if not plain:
                     h = AddedKVAttention(
                         heads=boc[lv] // cfg.attention_head_dim,
+                        tome_ratio=_tome_ratio(lv),
                         name=f"down_blocks_{lv}_attentions_{i}", **rdd,
-                    )(h, context)
+                    )(h, context, tome_offset=tome_off)
                 hs.append(h)
             if lv != n_blocks - 1:
                 # the downsampler ending level cache_levels-1 feeds the
@@ -199,8 +243,9 @@ class KandinskyUNet(nn.Module):
             h = ScaleShiftResBlock(boc[-1], name="mid_block_resnets_0",
                                    **rdd)(h, emb)
             h = AddedKVAttention(heads=boc[-1] // cfg.attention_head_dim,
+                                 tome_ratio=_tome_ratio(n_blocks - 1),
                                  name="mid_block_attentions_0",
-                                 **rdd)(h, context)
+                                 **rdd)(h, context, tome_offset=tome_off)
             h = ScaleShiftResBlock(boc[-1], name="mid_block_resnets_1",
                                    **rdd)(h, emb)
 
@@ -223,8 +268,9 @@ class KandinskyUNet(nn.Module):
                 if not plain:
                     h = AddedKVAttention(
                         heads=boc[lv] // cfg.attention_head_dim,
+                        tome_ratio=_tome_ratio(lv),
                         name=f"up_blocks_{pos}_attentions_{i}", **rdd,
-                    )(h, context)
+                    )(h, context, tome_offset=tome_off)
             if lv != 0:
                 h = ScaleShiftResBlock(
                     boc[lv], sample="up",

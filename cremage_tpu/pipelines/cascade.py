@@ -106,6 +106,11 @@ class CascadePipeline:
         dcb = max(1, min(int(opts.deep_cache_branch),
                          _max_cache_levels(model)))
         use_dc = dc >= 2
+        # ToMe: config-swapped module on the same param tree (ops/tome.py)
+        tr = float(opts.tome_ratio)
+        if tr > 0:
+            model = type(model)(dataclasses.replace(
+                model.cfg, tome_ratio=tr))
 
         def progress(i):
             self._current_status(f"{tag} {int(i) + 1} / {steps}")
@@ -142,7 +147,7 @@ class CascadePipeline:
                                             progress_cb=progress)
 
         bucket = (tag, steps, tuple(shape), extra_sig, scale,
-                  dc if use_dc else 0, dcb)
+                  dc if use_dc else 0, dcb, tr)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

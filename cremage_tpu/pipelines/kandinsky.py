@@ -140,6 +140,13 @@ class KandinskyPipeline:
                 "deep_cache requires a supported sampler "
                 f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
                 f"got {name!r}")
+        # ToMe: config-swapped decoder on the same param tree; the prior
+        # diffuses a single embedding vector (no spatial tokens to merge)
+        tr = float(opts.tome_ratio)
+        decoder = b.decoder
+        if tr > 0:
+            decoder = type(decoder)(dataclasses.replace(
+                decoder.cfg, tome_ratio=tr))
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
@@ -148,10 +155,10 @@ class KandinskyPipeline:
             def eps_model(xx, tt, cond, **mk):
                 if b.image_cond is not None:
                     tvec, ctx = b.image_cond.apply(b.image_cond_params, cond)
-                    out = b.decoder.apply(params, xx, tt, ctx, tvec, **mk)
+                    out = decoder.apply(params, xx, tt, ctx, tvec, **mk)
                 else:
                     ctx = cond[:, None, :]   # single image-embed token
-                    out = b.decoder.apply(params, xx, tt, ctx, cond, **mk)
+                    out = decoder.apply(params, xx, tt, ctx, cond, **mk)
                 aux = None
                 if isinstance(out, tuple):
                     out, aux = out
@@ -175,7 +182,7 @@ class KandinskyPipeline:
             return sampler_fn(den, x, sigmas, key=key, progress_cb=progress)
 
         bucket = ("kandinsky", name, steps, tuple(shape), dim, scale,
-                  dc if use_dc else 0, dcb)
+                  dc if use_dc else 0, dcb, tr)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)
