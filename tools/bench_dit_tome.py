@@ -15,9 +15,16 @@ Run: python tools/bench_dit_tome.py [family ...]
 Each family runs in a subprocess (clean HBM).
 
 RESULTS (v5e-1, 2026-08-19, ratio 0.5, production configs):
-  sd3     full 137.0  tome 48.8 (2.81x)  tome-shallow  8.8 -> tome+DC2 28.8 ms/step (4.76x)
-  pixart  full  90.0  tome 29.6 (3.04x)  tome-shallow  8.3 -> tome+DC2 19.0 ms/step (4.75x)
-  hunyuan full 161.3  tome 56.8 (2.84x)  tome-shallow  8.3 -> tome+DC2 32.6 ms/step (4.95x)
+  sd3       full 137.0  tome 48.8 (2.81x)  tome-shallow  8.8 -> tome+DC2 28.8 ms/step (4.76x)
+  pixart    full  90.0  tome 29.6 (3.04x)  tome-shallow  8.3 -> tome+DC2 19.0 ms/step (4.75x)
+  hunyuan   full 161.3  tome 56.8 (2.84x)  tome-shallow  8.3 -> tome+DC2 32.6 ms/step (4.95x)
+  kandinsky full  20.3  tome 14.6 (1.40x)  tome-shallow  6.8 -> tome+DC2 10.7 ms/step (1.90x)
+  cascade_b full  93.6  tome 67.4 (1.39x)  tome-shallow 10.4 -> tome+DC2 38.9 ms/step (2.41x)
+  cascade_c full  23.7  tome 23.9 (0.99x)  tome-shallow 13.3 -> tome+DC2 18.6 ms/step (1.28x)
+(cascade_c's ToMe is a wash — 24x24 latents put so few tokens through
+its attentions that the plan build + unmerge cancel the matmul savings;
+Stage B, the wall-clock-dominant Cascade stage, gets the real win and
+stacks with the Δ-cache to 2.41x.  Leave tome_ratio at 0 for Stage C.)
 (compare tools/bench_dit_deepcache.py interval-2 alone: 73.7/48.0/84.6
 ms/step — whole-stack ToMe at 0.5 beats the Δ-cache on every DiT, and
 the two STACK to ~4.8x per step since the Δ-cache is stored in
@@ -46,7 +53,7 @@ def run_family(name):
     import jax.numpy as jnp
 
     from cremage_tpu.core.cache import enable_compilation_cache
-    from tools.bench_dit_deepcache import build
+    from tools.bench_dit_deepcache import LEVEL_FAMILIES, build
     from tools.tpu_family_sweep import zeros_bf16
 
     enable_compilation_cache()
@@ -76,9 +83,14 @@ def run_family(name):
     # shallow re-merges it per step — measure that re-merge + front
     # block cost to get the combined interval-2 number
     cache_depth = int(os.environ.get("CACHE_DEPTH", "1"))
+    if name in LEVEL_FAMILIES:   # skip-UNet families cache by res level
+        from cremage_tpu.samplers.deepcache import max_cache_levels
+
+        mk = {"cache_levels": min(cache_depth, max_cache_levels(model))}
+    else:
+        mk = {"cache_depth": cache_depth}
     _, deep_sd = jax.eval_shape(
-        lambda p, *a: tome_model.apply(p, *a, mode="capture",
-                                       cache_depth=cache_depth),
+        lambda p, *a: tome_model.apply(p, *a, mode="capture", **mk),
         params, *args)
     deep = jnp.zeros(deep_sd.shape, deep_sd.dtype)
 
@@ -86,8 +98,7 @@ def run_family(name):
     def shallow_tm(params, x, deep, *rest):
         def body(i, xx):
             out = tome_model.apply(params, xx, rest[0] + i, *rest[1:],
-                                   mode="shallow", deep=deep,
-                                   cache_depth=cache_depth)
+                                   mode="shallow", deep=deep, **mk)
             return out[..., : x.shape[-1]].astype(xx.dtype)
         return jnp.mean(lax.fori_loop(0, REPS, body, x)
                         .astype(jnp.float32))
@@ -115,7 +126,8 @@ def run_family(name):
 
 
 def main():
-    families = sys.argv[1:] or ["sd3", "pixart", "hunyuan"]
+    families = sys.argv[1:] or ["sd3", "pixart", "hunyuan", "kandinsky",
+                                "cascade_b", "cascade_c"]
     if len(families) == 1:
         run_family(families[0])
         return
