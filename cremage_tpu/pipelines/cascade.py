@@ -106,8 +106,12 @@ class CascadePipeline:
         dcb = max(1, min(int(opts.deep_cache_branch),
                          _max_cache_levels(model)))
         use_dc = dc >= 2
-        # ToMe: config-swapped module on the same param tree (ops/tome.py)
-        tr = float(opts.tome_ratio)
+        # ToMe: config-swapped module on the same param tree (ops/tome.py).
+        # Stage C is excluded: measured a wash on v5e (0.99x — its 24x24
+        # latents leave too few tokens for the plan build + unmerge to pay
+        # off; tools/bench_dit_tome.py). The knob still buys 1.39x via
+        # Stage B, the wall-clock-dominant stage.
+        tr = 0.0 if tag == "StageC" else float(opts.tome_ratio)
         if tr > 0:
             model = type(model)(dataclasses.replace(
                 model.cfg, tome_ratio=tr))
