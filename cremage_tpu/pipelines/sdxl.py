@@ -291,12 +291,19 @@ class SDXLPipeline:
                 raise ValueError(
                     "the LCM sampler supports the VanillaCFG guider "
                     f"only, got {opts.guider!r}")
-            if t_enc is not None:
-                raise ValueError(
-                    "LCM on SDXL supports txt2img only (use the SD1.5 "
-                    "pipeline's LCM for strength-based img2img)")
+            # img2img maps t_enc to diffusers' strength-truncated origin
+            # grid (strength = t_enc/steps, t_enc steps run) — same
+            # contract as the SD1.5 pipeline's LCM
+            n_lcm = steps if t_enc is None else t_enc
+            lcm_strength = 1.0 if t_enc is None else t_enc / steps
             lsched = LCM.make_lcm_schedule(
-                EDM.LegacyDDPMDiscretization().alphas_cumprod, steps)
+                EDM.LegacyDDPMDiscretization().alphas_cumprod, n_lcm,
+                strength=lcm_strength)
+            if t_enc is not None:
+                # the img2img caller does x0 = lat + noise*sigmas[0]
+                # (k-space stochastic encode == diffusers add_noise at
+                # the grid's top timestep) — hand it the LCM sigmas
+                sigmas = lsched.sigmas
 
         def progress(i):
             total = (len(lsched.sigmas) if lsched is not None
@@ -321,10 +328,11 @@ class SDXLPipeline:
             )
             denoise = guider(denoiser, c, uc, **guider_kwargs)
             if lsched is not None:
-                # diffusers' DDPM-space unit-noise init is exactly the
-                # sgm prepare_sampling_loop scaling in k-space
-                x0 = x.astype(jnp.float32) * float(
-                    np.sqrt(1.0 + lsched.sigmas[0] ** 2))
+                x0 = x.astype(jnp.float32)
+                if t_enc is None:
+                    # diffusers' DDPM-space unit-noise init is exactly
+                    # the sgm prepare_sampling_loop scaling in k-space
+                    x0 = x0 * float(np.sqrt(1.0 + lsched.sigmas[0] ** 2))
                 return LCM.sample_lcm(denoise, x0, lsched, key=key,
                                       progress_cb=progress)
             if use_dc:

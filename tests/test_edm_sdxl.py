@@ -234,11 +234,17 @@ def test_sdxl_lcm_sampler(sdxl_bundle):
                                     scale=1.5), status_cb=msgs.append)
     assert np.isfinite(results[0][0]).all()
     assert any("Sampling 4 / 4" in m for m in msgs)
-    # img2img and non-CFG guiders are rejected with actionable errors
+    # img2img: strength maps to the truncated origin grid and runs
+    # t_enc = int(strength*steps) LCM steps (k-space stochastic encode
+    # to the truncated grid's top sigma, same contract as SD1.5 LCM)
     init = np.zeros((64, 64, 3), np.float32)
-    with pytest.raises(ValueError, match="txt2img only"):
-        pipe.generate(xl_opts(sampler="LCM", strength=0.5,
-                              sampling_steps=4), init_image=init)
+    msgs = []
+    results = pipe.generate(xl_opts(sampler="LCM", strength=0.5,
+                                    sampling_steps=8, scale=1.5),
+                            init_image=init, status_cb=msgs.append)
+    assert np.isfinite(results[0][0]).all()
+    assert any("Sampling 4 / 4" in m for m in msgs)
+    # non-CFG guiders are rejected with actionable errors
     with pytest.raises(ValueError, match="VanillaCFG"):
         pipe.generate(xl_opts(sampler="LCM", guider="IdentityGuider"))
 
