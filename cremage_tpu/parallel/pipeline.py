@@ -268,3 +268,182 @@ class FluxPP:
             outs.append(carry)
         return outs[0] if len(outs) == 1 else jnp.concatenate(
             [jax.device_put(o, self.stages[-1].device) for o in outs], axis=0)
+
+
+# ---------------- MMDiT (SD3) pipeline parallelism ----------------
+#
+# The joint-block chain is homogeneous (every block costs the same), so
+# the plan is a plain contiguous split; everything else mirrors FluxPP:
+# stage modules reuse JointBlock under its MMDiT name so stage params
+# are top-level slices of the full tree (quantize_dit's weight_scale
+# siblings ride along), and microbatches stream through per-stage jits.
+
+
+def uniform_pp_plan(depth: int, n_stages: int) -> List[tuple]:
+    """Contiguous (lo, hi) chunks of a homogeneous depth-`depth` chain,
+    sizes differing by at most one."""
+    if not 1 <= n_stages <= depth:
+        raise ValueError(
+            f"n_stages must be in [1, {depth}] for depth={depth}; "
+            f"got {n_stages}")
+    base, extra = divmod(depth, n_stages)
+    plan = []
+    lo = 0
+    for s in range(n_stages):
+        hi = lo + base + (1 if s < extra else 0)
+        plan.append((lo, hi))
+        lo = hi
+    assert lo == depth, plan
+    return plan
+
+
+class MMDiTStage(nn.Module):
+    """One PP stage of the SD3 MMDiT: optional embedders (first), a
+    contiguous run of joint blocks, optional final layer + unpatchify
+    (last).  Module/param names match models/mmdit.py MMDiT exactly."""
+    cfg: Any                     # MMDiTConfig
+    lo: int
+    hi: int
+    hp: int                      # patch-grid geometry (static per bind)
+    wp: int
+    first: bool = False
+    last: bool = False
+
+    @nn.compact
+    def __call__(self, carry: Dict[str, jnp.ndarray]):
+        from cremage_tpu.models.mmdit import (
+            JointBlock, _modulate, _no_affine_ln,
+        )
+        from cremage_tpu.models.layers import Conv
+
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        p = cfg.patch_size
+        if self.first:
+            x = carry["x"]
+            b = x.shape[0]
+            xe = Conv(cfg.hidden_size, kernel_size=p, stride=p, padding=0,
+                      name="x_embedder_proj", **dd)(x.astype(cfg.dtype))
+            tokens = xe.reshape(b, self.hp * self.wp, cfg.hidden_size)
+            pos = self.param(
+                "pos_embed", nn.initializers.normal(0.01),
+                (1, cfg.pos_embed_max_size * cfg.pos_embed_max_size,
+                 cfg.hidden_size),
+                cfg.param_dtype,
+            )
+            grid = pos.reshape(cfg.pos_embed_max_size,
+                               cfg.pos_embed_max_size, cfg.hidden_size)
+            top = (cfg.pos_embed_max_size - self.hp) // 2
+            left = (cfg.pos_embed_max_size - self.wp) // 2
+            cropped = grid[top:top + self.hp, left:left + self.wp]
+            tokens = tokens + cropped.reshape(
+                1, self.hp * self.wp, cfg.hidden_size).astype(cfg.dtype)
+            t_emb = timestep_embedding(carry["t"], 256).astype(cfg.dtype)
+            t_vec = Dense(cfg.hidden_size, name="t_embedder_mlp_0",
+                          **dd)(t_emb)
+            t_vec = Dense(cfg.hidden_size, name="t_embedder_mlp_2",
+                          **dd)(silu(t_vec))
+            y_vec = Dense(cfg.hidden_size, name="y_embedder_mlp_0", **dd)(
+                carry["pooled"].astype(cfg.dtype))
+            y_vec = Dense(cfg.hidden_size, name="y_embedder_mlp_2",
+                          **dd)(silu(y_vec))
+            vec = t_vec + y_vec
+            ctx = Dense(cfg.hidden_size, name="context_embedder", **dd)(
+                carry["context"].astype(cfg.dtype))
+        else:
+            ctx, tokens, vec = carry["ctx"], carry["tokens"], carry["vec"]
+
+        for i in range(self.lo, self.hi):
+            ctx, tokens = JointBlock(
+                cfg, final=(i == cfg.depth - 1), name=f"joint_blocks_{i}"
+            )(ctx, tokens, vec)
+
+        if self.last:
+            b = tokens.shape[0]
+            shift, scale = jnp.split(
+                Dense(2 * cfg.hidden_size,
+                      name="final_layer_adaLN_modulation_1",
+                      **dd)(silu(vec)), 2, axis=-1)
+            out = _modulate(_no_affine_ln(tokens), shift, scale)
+            out = Dense(p * p * cfg.in_channels, name="final_layer_linear",
+                        **dd)(out)
+            out = out.reshape(b, self.hp, self.wp, p, p, cfg.in_channels)
+            return out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, self.hp * p, self.wp * p, cfg.in_channels)
+        # the depth-1 block is always in the last stage, so ctx is a
+        # tensor (never the final block's dropped context) here
+        return {"ctx": ctx, "tokens": tokens, "vec": vec}
+
+
+def _mmdit_stage_param_names(lo: int, hi: int, first: bool,
+                             last: bool) -> List[str]:
+    names = [f"joint_blocks_{i}" for i in range(lo, hi)]
+    if first:
+        names += ["x_embedder_proj", "pos_embed", "t_embedder_mlp_0",
+                  "t_embedder_mlp_2", "y_embedder_mlp_0",
+                  "y_embedder_mlp_2", "context_embedder"]
+    if last:
+        names += ["final_layer_adaLN_modulation_1", "final_layer_linear"]
+    return names
+
+
+class MMDiTPP:
+    """Pipeline-parallel SD3 MMDiT forward over explicit devices.
+
+    One instance is bound to an (hp, wp) patch-grid geometry.  Call
+    with full-batch operands; `microbatch` splits the batch and streams
+    the chunks so stages overlap via async dispatch (with CFG's doubled
+    batch, microbatch=b gives two chunks for free)."""
+
+    def __init__(self, model, params, devices: Sequence[Any],
+                 hp: int, wp: int, n_stages: Optional[int] = None):
+        cfg = model.cfg
+        if cfg.tome_ratio > 0:
+            raise ValueError(
+                "tome_ratio does not compose with pipeline parallelism "
+                "(the merge plan is stage-0-local); use tome without pp")
+        if cfg.sp_axis is not None:
+            raise ValueError("choose one of sequence parallelism "
+                             "(use_mesh_sp) or pipeline parallelism")
+        devices = list(devices)
+        n_stages = int(n_stages or len(devices))
+        if n_stages > len(devices):
+            raise ValueError(f"{n_stages} stages need {n_stages} devices, "
+                             f"got {len(devices)}")
+        self.cfg = cfg
+        self.n_stages = n_stages
+        self.stages: List[_BoundStage] = []
+        for si, (lo, hi) in enumerate(uniform_pp_plan(cfg.depth, n_stages)):
+            first, last = si == 0, si == n_stages - 1
+            mod = MMDiTStage(cfg, lo, hi, hp=hp, wp=wp,
+                             first=first, last=last)
+            sub = _slice_params(
+                params, _mmdit_stage_param_names(lo, hi, first, last))
+            dev = devices[si]
+            self.stages.append(_BoundStage(
+                fn=jax.jit(mod.apply),
+                params=jax.device_put(sub, dev),
+                freqs=None, device=dev))
+
+    @property
+    def out_device(self):
+        return self.stages[-1].device
+
+    def __call__(self, x, t, context, pooled,
+                 microbatch: Optional[int] = None) -> jnp.ndarray:
+        b = x.shape[0]
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (b,))
+        mb = int(microbatch or b)
+        if b % mb != 0:
+            raise ValueError(f"batch {b} must divide by microbatch {mb}")
+        outs = []
+        for lo in range(0, b, mb):
+            sl = slice(lo, lo + mb)
+            carry: Any = {"x": x[sl], "t": t[sl],
+                          "context": context[sl], "pooled": pooled[sl]}
+            for st in self.stages:
+                carry = jax.device_put(carry, st.device)
+                carry = st.fn(st.params, carry)
+            outs.append(carry)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(
+            [jax.device_put(o, self.out_device) for o in outs], axis=0)

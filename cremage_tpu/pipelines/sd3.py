@@ -152,8 +152,35 @@ class SD3Pipeline:
         self._current_status: Callable = _noop
         self.sp_mesh = None
         self.sp_axis = "data"
+        self.pp_devices = None
+        self.pp_n_stages = None
+        self.pp_microbatch = None
+        self._pp_cache: Dict[Tuple, Any] = {}
+
+    def use_mesh_pp(self, devices, n_stages: Optional[int] = None,
+                    microbatch: Optional[int] = None):
+        """Pipeline-parallel deployment (parallel/pipeline.py MMDiTPP):
+        the joint-block chain is partitioned into contiguous stages,
+        each stage's params committed to its own device, and
+        microbatches stream through the stage jits (CFG's doubled batch
+        gives two chunks for free).  Weights are PARTITIONED, not
+        replicated — the deployment for spanning chips whose individual
+        HBM the transformer does not fit.  Excludes use_mesh_sp /
+        tome_ratio / deep_cache (stage-local caches don't span the
+        partition)."""
+        if self.sp_mesh is not None:
+            raise ValueError("choose one of use_mesh_sp / use_mesh_pp")
+        if hasattr(devices, "devices"):  # a Mesh
+            devices = list(np.asarray(devices.devices).flat)
+        self.pp_devices = list(devices)
+        self.pp_n_stages = n_stages
+        self.pp_microbatch = microbatch
+        self._cache.clear()
+        self._pp_cache.clear()
 
     def use_mesh_sp(self, mesh, axis: str = "data"):
+        if self.pp_devices is not None:
+            raise ValueError("choose one of use_mesh_sp / use_mesh_pp")
         """Sequence-parallel deployment: params replicated over `mesh`,
         latent patch rows of every MMDiT forward sharded over
         `mesh[axis]` with ring attention and the context stream folded
@@ -185,6 +212,59 @@ class SD3Pipeline:
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
+
+        if self.pp_devices is not None:
+            if use_dc:
+                raise ValueError(
+                    "deep_cache does not compose with use_mesh_pp (the "
+                    "Δ-cache boundary is stage-local; drop deep_cache or "
+                    "deploy without pp)")
+            if tr > 0:
+                raise ValueError(
+                    "tome_ratio does not compose with use_mesh_pp (the "
+                    "merge plan is stage-0-local)")
+            from cremage_tpu.parallel.pipeline import MMDiTPP
+
+            p = mmdit.cfg.patch_size
+            geom = (shape[1] // p, shape[2] // p)
+            pp = self._pp_cache.get(geom)
+            if pp is None:
+                pp = MMDiTPP(mmdit, self.bundle.mmdit_params,
+                             self.pp_devices, hp=geom[0], wp=geom[1],
+                             n_stages=self.pp_n_stages)
+                self._pp_cache[geom] = pp
+            mb = self.pp_microbatch
+            sig = np.asarray(sigmas, np.float64)
+
+            def run_pp(params, x, c, uc, key):
+                # host-stepped flow Euler (samplers/flow.py semantics,
+                # batched [uc, c] CFG like cfg_velocity): the staged
+                # forward cannot live inside one jit program.  x lives
+                # on the LAST stage's device (where v lands).
+                xx = jax.device_put(x.astype(jnp.float32), pp.out_device)
+                use_cfg = uc is not None and scale != 1.0
+                if use_cfg:
+                    ctx2 = jnp.concatenate(
+                        [uc["crossattn"], c["crossattn"]], axis=0)
+                    pool2 = jnp.concatenate(
+                        [uc["pooled"], c["pooled"]], axis=0)
+                for i in range(len(sig) - 1):
+                    t_val = float(sig[i]) * 1000.0
+                    if use_cfg:
+                        bsz = xx.shape[0]
+                        v2 = pp(jnp.concatenate([xx, xx], axis=0), t_val,
+                                ctx2, pool2, microbatch=mb)
+                        vu, vc = v2[:bsz], v2[bsz:]
+                        v = vu + scale * (vc - vu)
+                    else:
+                        v = pp(xx, t_val, c["crossattn"], c["pooled"],
+                               microbatch=mb)
+                    xx = xx + float(sig[i + 1] - sig[i]) * v.astype(
+                        jnp.float32)
+                    progress(i)
+                return xx
+
+            return run_pp
 
         def run(params, x, c, uc, key):
             def v_model(xx, tt, cond, **mk):

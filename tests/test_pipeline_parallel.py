@@ -140,3 +140,108 @@ def test_flux_pipeline_pp_rejects_compositions(mesh8):
             pipe.generate(opts)
     with pytest.raises(ValueError, match="one of"):
         pipe.use_mesh_sp(None)
+
+
+# ---------------- MMDiT (SD3) pipeline parallelism ----------------
+
+
+def test_uniform_plan_covers_chain():
+    from cremage_tpu.parallel.pipeline import uniform_pp_plan
+
+    for depth, n_stages in ((24, 5), (24, 1), (24, 24), (2, 2), (38, 8)):
+        plan = uniform_pp_plan(depth, n_stages)
+        assert len(plan) == n_stages
+        assert plan[0][0] == 0 and plan[-1][1] == depth
+        sizes = [hi - lo for lo, hi in plan]
+        assert all(s > 0 for s in sizes)
+        assert max(sizes) - min(sizes) <= 1          # balanced
+        assert all(a[1] == b[0] for a, b in zip(plan, plan[1:]))
+    with pytest.raises(ValueError, match="n_stages"):
+        uniform_pp_plan(4, 5)
+    with pytest.raises(ValueError, match="n_stages"):
+        uniform_pp_plan(4, 0)
+
+
+@pytest.mark.parametrize("n_stages", [1, 2])
+def test_mmdit_pp_matches_single_device(mesh8, n_stages):
+    """Stage decomposition (embedders + pos-embed crop on the first
+    stage, joint blocks across stages, final layer + unpatchify on the
+    last) must reproduce the monolithic MMDiT forward."""
+    from tests.test_sequence_parallel import _tiny_mmdit
+    from cremage_tpu.parallel.pipeline import MMDiTPP
+
+    model, params, args = _tiny_mmdit()
+    x, t, ctx, pooled = args
+    want = np.asarray(model.apply(params, *args), np.float32)
+    p = model.cfg.patch_size
+    pp = MMDiTPP(model, params, jax.devices()[:n_stages],
+                 hp=x.shape[1] // p, wp=x.shape[2] // p, n_stages=n_stages)
+    got = pp(x, t, ctx, pooled)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_mmdit_pp_microbatch_and_validation(mesh8):
+    import dataclasses as dc
+
+    from tests.test_sequence_parallel import _tiny_mmdit
+    from cremage_tpu.parallel.pipeline import MMDiTPP
+
+    model, params, args = _tiny_mmdit()
+    x1, _, ctx1, pooled1 = args
+    ks = jax.random.split(jax.random.key(11), 3)
+    b = 4
+    x = jax.random.normal(ks[0], (b,) + x1.shape[1:])
+    ctx = jax.random.normal(ks[1], (b,) + ctx1.shape[1:])
+    pooled = jax.random.normal(ks[2], (b,) + pooled1.shape[1:])
+    t = jnp.full((b,), 500.0)
+    want = np.asarray(model.apply(params, x, t, ctx, pooled), np.float32)
+    p = model.cfg.patch_size
+    pp = MMDiTPP(model, params, jax.devices()[:2],
+                 hp=x.shape[1] // p, wp=x.shape[2] // p, n_stages=2)
+    for mb in (1, 2, 4):
+        got = pp(x, t, ctx, pooled, microbatch=mb)
+        np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                                   atol=3e-5, rtol=3e-5)
+    with pytest.raises(ValueError, match="divide"):
+        pp(x, t, ctx, pooled, microbatch=3)
+    with pytest.raises(ValueError, match="stages"):
+        MMDiTPP(model, params, jax.devices()[:1], hp=4, wp=4, n_stages=2)
+    tome_model = type(model)(dc.replace(model.cfg, tome_ratio=0.5))
+    with pytest.raises(ValueError, match="tome"):
+        MMDiTPP(tome_model, params, jax.devices()[:2], hp=4, wp=4)
+
+
+def test_sd3_pipeline_pp_matches_plain(mesh8):
+    """SD3Pipeline.use_mesh_pp: host-stepped flow Euler with batched
+    [uc, c] CFG over the staged MMDiT + VAE decode must match plain
+    single-device generation."""
+    from tests.test_sd3_flux import make_sd3_bundle
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.pipelines.sd3 import SD3Pipeline
+
+    opts = GenerationOptions(prompt="a cat", negative_prompt="bad",
+                             H=64, W=64, sampling_steps=2, seed=5,
+                             scale=4.0, safety_check=False, watermark=False)
+    plain = SD3Pipeline(make_sd3_bundle()).generate(opts)[0][0]
+
+    pipe = SD3Pipeline(make_sd3_bundle())
+    pipe.use_mesh_pp(jax.devices()[:2])
+    pp = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(pp, plain, atol=2e-5, rtol=2e-5)
+
+
+def test_sd3_pipeline_pp_rejects_compositions(mesh8):
+    from tests.test_sd3_flux import make_sd3_bundle
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.pipelines.sd3 import SD3Pipeline
+
+    pipe = SD3Pipeline(make_sd3_bundle())
+    pipe.use_mesh_pp(jax.devices()[:2])
+    for bad in (dict(deep_cache=2), dict(tome_ratio=0.5)):
+        opts = GenerationOptions(prompt="x", H=64, W=64, sampling_steps=2,
+                                 safety_check=False, watermark=False, **bad)
+        with pytest.raises(ValueError):
+            pipe.generate(opts)
+    with pytest.raises(ValueError, match="use_mesh_sp / use_mesh_pp"):
+        pipe.use_mesh_sp(mesh8)
