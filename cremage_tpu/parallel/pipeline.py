@@ -447,3 +447,148 @@ class MMDiTPP:
             outs.append(carry)
         return outs[0] if len(outs) == 1 else jnp.concatenate(
             [jax.device_put(o, self.out_device) for o in outs], axis=0)
+
+
+# ---------------- PixArt-Σ pipeline parallelism ----------------
+#
+# Another homogeneous chain (uniform_pp_plan); the carry between stages
+# is (tokens, y, t6, t_vec) — cross-attention text y and the shared
+# adaLN table t6 ride along because every block consumes them, t_vec
+# because the final layer does.
+
+
+class PixArtStage(nn.Module):
+    """One PP stage of PixArt-Σ: optional embedders (first), a
+    contiguous run of blocks, optional final layer + unpatchify (last).
+    Module/param names match models/pixart.py PixArt exactly."""
+    cfg: Any                     # PixArtConfig
+    lo: int
+    hi: int
+    hp: int
+    wp: int
+    first: bool = False
+    last: bool = False
+
+    @nn.compact
+    def __call__(self, carry: Dict[str, jnp.ndarray]):
+        from cremage_tpu.models.layers import Conv
+        from cremage_tpu.models.pixart import PixArtBlock, _ln, sincos_2d
+
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        p = cfg.patch_size
+        if self.first:
+            x = carry["x"]
+            b = x.shape[0]
+            tokens = Conv(cfg.hidden_size, kernel_size=p, stride=p,
+                          padding=0, name="x_embedder_proj",
+                          **dd)(x.astype(cfg.dtype))
+            tokens = tokens.reshape(b, self.hp * self.wp, cfg.hidden_size)
+            pos = jnp.asarray(sincos_2d(cfg.hidden_size, self.hp, self.wp))
+            tokens = tokens + pos[None].astype(cfg.dtype)
+            t_emb = timestep_embedding(carry["t"], 256).astype(cfg.dtype)
+            t_vec = Dense(cfg.hidden_size, name="t_embedder_mlp_0",
+                          **dd)(t_emb)
+            t_vec = Dense(cfg.hidden_size, name="t_embedder_mlp_2",
+                          **dd)(silu(t_vec))
+            t6 = Dense(6 * cfg.hidden_size, name="t_block_1",
+                       **dd)(silu(t_vec))
+            t6 = t6.reshape(b, 6, cfg.hidden_size).astype(jnp.float32)
+            y = Dense(cfg.hidden_size, name="y_embedder_y_proj_fc1", **dd)(
+                carry["y"].astype(cfg.dtype))
+            y = nn.gelu(y, approximate=True)
+            y = Dense(cfg.hidden_size, name="y_embedder_y_proj_fc2",
+                      **dd)(y)
+        else:
+            tokens, y = carry["tokens"], carry["y"]
+            t6, t_vec = carry["t6"], carry["t_vec"]
+
+        for i in range(self.lo, self.hi):
+            tokens = PixArtBlock(cfg, name=f"blocks_{i}")(tokens, y, t6)
+
+        if self.last:
+            b = tokens.shape[0]
+            table = self.param("final_layer_scale_shift_table",
+                               nn.initializers.normal(0.02),
+                               (2, cfg.hidden_size), cfg.param_dtype)
+            t2 = table[None].astype(jnp.float32) + jnp.stack(
+                [t_vec.astype(jnp.float32)] * 2, axis=1)
+            shift, scale = t2[:, 0][:, None], t2[:, 1][:, None]
+            out = _ln(tokens) * (1 + scale.astype(tokens.dtype)) + \
+                shift.astype(tokens.dtype)
+            out = Dense(p * p * cfg.out_channels, name="final_layer_linear",
+                        **dd)(out)
+            out = out.reshape(b, self.hp, self.wp, p, p, cfg.out_channels)
+            return out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, self.hp * p, self.wp * p, cfg.out_channels)
+        return {"tokens": tokens, "y": y, "t6": t6, "t_vec": t_vec}
+
+
+def _pixart_stage_param_names(lo: int, hi: int, first: bool,
+                              last: bool) -> List[str]:
+    names = [f"blocks_{i}" for i in range(lo, hi)]
+    if first:
+        names += ["x_embedder_proj", "t_embedder_mlp_0", "t_embedder_mlp_2",
+                  "t_block_1", "y_embedder_y_proj_fc1",
+                  "y_embedder_y_proj_fc2"]
+    if last:
+        names += ["final_layer_scale_shift_table", "final_layer_linear"]
+    return names
+
+
+class PixArtPP:
+    """Pipeline-parallel PixArt-Σ forward over explicit devices (see
+    MMDiTPP; same deployment, eps-model output with the learned-sigma
+    half still attached — the caller slices like the monolithic path)."""
+
+    def __init__(self, model, params, devices: Sequence[Any],
+                 hp: int, wp: int, n_stages: Optional[int] = None):
+        cfg = model.cfg
+        if cfg.tome_ratio > 0:
+            raise ValueError(
+                "tome_ratio does not compose with pipeline parallelism "
+                "(the merge plan is stage-0-local); use tome without pp")
+        if cfg.sp_axis is not None:
+            raise ValueError("choose one of sequence parallelism "
+                             "(use_mesh_sp) or pipeline parallelism")
+        devices = list(devices)
+        n_stages = int(n_stages or len(devices))
+        if n_stages > len(devices):
+            raise ValueError(f"{n_stages} stages need {n_stages} devices, "
+                             f"got {len(devices)}")
+        self.cfg = cfg
+        self.n_stages = n_stages
+        self.stages: List[_BoundStage] = []
+        for si, (lo, hi) in enumerate(uniform_pp_plan(cfg.depth, n_stages)):
+            first, last = si == 0, si == n_stages - 1
+            mod = PixArtStage(cfg, lo, hi, hp=hp, wp=wp,
+                              first=first, last=last)
+            sub = _slice_params(
+                params, _pixart_stage_param_names(lo, hi, first, last))
+            dev = devices[si]
+            self.stages.append(_BoundStage(
+                fn=jax.jit(mod.apply),
+                params=jax.device_put(sub, dev),
+                freqs=None, device=dev))
+
+    @property
+    def out_device(self):
+        return self.stages[-1].device
+
+    def __call__(self, x, t, y,
+                 microbatch: Optional[int] = None) -> jnp.ndarray:
+        b = x.shape[0]
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (b,))
+        mb = int(microbatch or b)
+        if b % mb != 0:
+            raise ValueError(f"batch {b} must divide by microbatch {mb}")
+        outs = []
+        for lo in range(0, b, mb):
+            sl = slice(lo, lo + mb)
+            carry: Any = {"x": x[sl], "t": t[sl], "y": y[sl]}
+            for st in self.stages:
+                carry = jax.device_put(carry, st.device)
+                carry = st.fn(st.params, carry)
+            outs.append(carry)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(
+            [jax.device_put(o, self.out_device) for o in outs], axis=0)

@@ -245,3 +245,85 @@ def test_sd3_pipeline_pp_rejects_compositions(mesh8):
             pipe.generate(opts)
     with pytest.raises(ValueError, match="use_mesh_sp / use_mesh_pp"):
         pipe.use_mesh_sp(mesh8)
+
+
+# ---------------- PixArt-Σ pipeline parallelism ----------------
+
+
+@pytest.mark.parametrize("n_stages", [2, 3])
+def test_pixart_pp_matches_single_device(mesh8, n_stages):
+    """Stage decomposition (patch/t/y embedders + sincos on the first
+    stage, blocks across stages, final table layer + unpatchify on the
+    last, with (y, t6, t_vec) riding the carry) must reproduce the
+    monolithic PixArt forward, under microbatch streaming too."""
+    from cremage_tpu.models.pixart import PixArt, PixArtConfig
+    from cremage_tpu.parallel.pipeline import PixArtPP
+
+    cfg = PixArtConfig(hidden_size=64, depth=3, num_heads=4,
+                       context_dim=32, dtype=jnp.float32)
+    m = PixArt(cfg)
+    ks = jax.random.split(jax.random.key(11), 3)
+    args = (jax.random.normal(ks[0], (2, 32, 8, 4)),
+            jnp.full((2,), 500.0),
+            jax.random.normal(ks[1], (2, 20, 32)))
+    params = m.init(jax.random.key(0), *args)
+    want = np.asarray(m.apply(params, *args), np.float32)
+    pp = PixArtPP(m, params, jax.devices()[:n_stages], hp=16, wp=4,
+                  n_stages=n_stages)
+    for mb in (1, 2):
+        got = pp(*args, microbatch=mb)
+        np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                                   atol=3e-5, rtol=3e-5)
+
+
+def test_pixart_pipeline_pp_matches_plain(mesh8):
+    """PixArtPipeline.use_mesh_pp: host-stepped Euler around the
+    eagerly-wrapped EpsDenoiser/cfg_denoiser over the staged forward
+    must match the plain single-device scanned-Euler generation."""
+    from tests.test_pixart import T5D, tiny_pixart
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+    from cremage_tpu.pipelines.pixart import PixArtBundle, PixArtPipeline
+
+    def make_pipe():
+        m, params = tiny_pixart()
+        vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 1, 1, 1),
+                                      num_res_blocks=1, dtype=jnp.float32))
+        vp = vae.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))
+        return PixArtPipeline(PixArtBundle(
+            dit=m, dit_params=params, t5=None, t5_tokenize=None,
+            t5_len=10, vae=vae, vae_params=vp, t5_dim=T5D))
+
+    opts = GenerationOptions(prompt="a bird", H=64, W=64, sampling_steps=3,
+                             seed=2, sampler="Euler", scale=4.5,
+                             safety_check=False, watermark=False)
+    plain = make_pipe().generate(opts)[0][0]
+
+    pipe = make_pipe()
+    pipe.use_mesh_pp(jax.devices()[:2])
+    pp = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(pp, plain, atol=2e-5, rtol=2e-5)
+
+
+def test_pixart_pipeline_pp_rejects(mesh8):
+    from tests.test_pixart import T5D, tiny_pixart
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+    from cremage_tpu.pipelines.pixart import PixArtBundle, PixArtPipeline
+
+    m, params = tiny_pixart()
+    vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 1, 1, 1),
+                                  num_res_blocks=1, dtype=jnp.float32))
+    vp = vae.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))
+    pipe = PixArtPipeline(PixArtBundle(
+        dit=m, dit_params=params, t5=None, t5_tokenize=None,
+        t5_len=10, vae=vae, vae_params=vp, t5_dim=T5D))
+    pipe.use_mesh_pp(jax.devices()[:2])
+    base = dict(prompt="x", H=64, W=64, sampling_steps=2,
+                safety_check=False, watermark=False)
+    for bad in (dict(deep_cache=2), dict(tome_ratio=0.5),
+                dict(sampler="DPM++ 2M")):
+        with pytest.raises(ValueError):
+            pipe.generate(GenerationOptions(**base, **bad))
+    with pytest.raises(ValueError, match="use_mesh_sp / use_mesh_pp"):
+        pipe.use_mesh_sp(mesh8)
