@@ -592,3 +592,196 @@ class PixArtPP:
             outs.append(carry)
         return outs[0] if len(outs) == 1 else jnp.concatenate(
             [jax.device_put(o, self.out_device) for o in outs], axis=0)
+
+
+# ---------------- Hunyuan-DiT pipeline parallelism ----------------
+#
+# The U-ViT long skips are the twist: encoder block i's output is
+# consumed by decoder block depth-1-i, so the not-yet-consumed skip
+# stack rides the stage boundary (stacked along a leading axis; its
+# depth is static per boundary, largest at the encoder/decoder midline
+# — that is PP's activation-traffic cost on a U-ViT, and it is why TP/
+# SP are the first choice for this family unless weights must span
+# chips).  Each stage recomputes the 2D-RoPE table from its static
+# (hp, wp) — host numpy, constant-folded, never shipped.
+
+
+class HunyuanStage(nn.Module):
+    """One PP stage of Hunyuan-DiT.  Module/param names match
+    models/hunyuan.py HunyuanDiT exactly."""
+    cfg: Any                     # HunyuanConfig
+    lo: int
+    hi: int
+    hp: int
+    wp: int
+    first: bool = False
+    last: bool = False
+
+    @nn.compact
+    def __call__(self, carry: Dict[str, jnp.ndarray]):
+        from cremage_tpu.models.flux import rope_freqs as _rope_freqs
+        from cremage_tpu.models.hunyuan import HunyuanBlock, _silu_fp32
+        from cremage_tpu.models.layers import Conv
+        from cremage_tpu.ops.attention import attention
+
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        p = cfg.patch_size
+        c = cfg.hidden_size
+        d_head = c // cfg.num_heads
+        ys, xs = np.meshgrid(np.arange(self.hp), np.arange(self.wp),
+                             indexing="ij")
+        ids = np.stack([ys, xs], -1).reshape(-1, 2)
+        freqs = jnp.asarray(_rope_freqs(
+            ids, (d_head - d_head // 2, d_head // 2), 10000.0))
+
+        if self.first:
+            x = carry["x"]
+            b = x.shape[0]
+            tokens = Conv(c, kernel_size=p, stride=p, padding=0,
+                          name="x_embedder_proj", **dd)(x.astype(cfg.dtype))
+            tokens = tokens.reshape(b, self.hp * self.wp, c)
+            t_emb = timestep_embedding(carry["t"], 256).astype(cfg.dtype)
+            t_vec = Dense(c, name="t_embedder_mlp_0", **dd)(t_emb)
+            t_vec = Dense(c, name="t_embedder_mlp_2", **dd)(silu(t_vec))
+            ph = cfg.pooler_heads
+            pd = cfg.mt5_dim // ph
+            mt5 = carry["mt5_text"].astype(cfg.dtype)
+            lm = mt5.shape[1]
+            pooled_in = jnp.concatenate(
+                [mt5.mean(axis=1, keepdims=True), mt5], axis=1)
+            pool_pos = self.param(
+                "pooler_positional_embedding",
+                nn.initializers.normal(cfg.mt5_dim ** -0.5),
+                (cfg.text_len_t5 + 1, cfg.mt5_dim), cfg.param_dtype)
+            pooled_in = pooled_in + pool_pos[: lm + 1].astype(cfg.dtype)
+            pq = Dense(cfg.mt5_dim, name="pooler_q_proj", **dd)(
+                pooled_in[:, :1]).reshape(b, 1, ph, pd)
+            pk = Dense(cfg.mt5_dim, name="pooler_k_proj", **dd)(
+                pooled_in).reshape(b, lm + 1, ph, pd)
+            pv = Dense(cfg.mt5_dim, name="pooler_v_proj", **dd)(
+                pooled_in).reshape(b, lm + 1, ph, pd)
+            pooled = attention(pq, pk, pv).reshape(b, cfg.mt5_dim)
+            pooled = Dense(cfg.pooled_dim, name="pooler_c_proj",
+                           **dd)(pooled)
+            extra = Dense(4 * c, name="extra_embedder_fc1", **dd)(pooled)
+            extra = Dense(c, name="extra_embedder_fc2", **dd)(
+                _silu_fp32(extra, cfg.dtype))
+            t_vec = t_vec + extra
+            mt5_proj = Dense(4 * cfg.mt5_dim, name="text_embedder_linear_1",
+                             **dd)(mt5)
+            mt5_proj = Dense(cfg.clip_dim, name="text_embedder_linear_2",
+                             **dd)(_silu_fp32(mt5_proj, cfg.dtype))
+            text = jnp.concatenate(
+                [carry["clip_text"].astype(cfg.dtype), mt5_proj], axis=1)
+            skips: List[jnp.ndarray] = []
+        else:
+            tokens, text = carry["tokens"], carry["text"]
+            t_vec = carry["t_vec"]
+            skips = ([s for s in carry["skips"]]
+                     if "skips" in carry else [])
+
+        half = cfg.depth // 2
+        for i in range(self.lo, self.hi):
+            if i < half:
+                tokens = HunyuanBlock(cfg, name=f"blocks_{i}")(
+                    tokens, text, t_vec, freqs)
+                skips.append(tokens)
+            else:
+                tokens = HunyuanBlock(cfg, skip=True, name=f"blocks_{i}")(
+                    tokens, text, t_vec, freqs, skips.pop())
+
+        if self.last:
+            b = tokens.shape[0]
+            mod = Dense(2 * c, name="final_adaLN_1", **dd)(silu(t_vec))
+            scale, shift = jnp.split(mod, 2, axis=-1)
+            tf32 = tokens.astype(jnp.float32)
+            mean = tf32.mean(axis=-1, keepdims=True)
+            var = tf32.var(axis=-1, keepdims=True)
+            out = ((tf32 - mean) / jnp.sqrt(var + 1e-6)).astype(cfg.dtype)
+            out = out * (1 + scale[:, None]) + shift[:, None]
+            out = Dense(p * p * cfg.out_channels, name="final_linear",
+                        **dd)(out)
+            out = out.reshape(b, self.hp, self.wp, p, p, cfg.out_channels)
+            return out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, self.hp * p, self.wp * p, cfg.out_channels)
+        nxt = {"tokens": tokens, "text": text, "t_vec": t_vec}
+        if skips:
+            nxt["skips"] = jnp.stack(skips, axis=0)
+        return nxt
+
+
+def _hunyuan_stage_param_names(lo: int, hi: int, first: bool,
+                               last: bool) -> List[str]:
+    names = [f"blocks_{i}" for i in range(lo, hi)]
+    if first:
+        names += ["x_embedder_proj", "t_embedder_mlp_0", "t_embedder_mlp_2",
+                  "pooler_positional_embedding", "pooler_q_proj",
+                  "pooler_k_proj", "pooler_v_proj", "pooler_c_proj",
+                  "extra_embedder_fc1", "extra_embedder_fc2",
+                  "text_embedder_linear_1", "text_embedder_linear_2"]
+        # text_embedding_padding is carried for checkpoint parity only
+        # (never read) — no stage declares it, so it is not sliced
+    if last:
+        names += ["final_adaLN_1", "final_linear"]
+    return names
+
+
+class HunyuanPP:
+    """Pipeline-parallel Hunyuan-DiT forward over explicit devices (see
+    MMDiTPP; the U-ViT skip stack rides the stage boundaries, so prefer
+    TP/SP for this family unless weights must span chips)."""
+
+    def __init__(self, model, params, devices: Sequence[Any],
+                 hp: int, wp: int, n_stages: Optional[int] = None):
+        cfg = model.cfg
+        if cfg.tome_ratio > 0:
+            raise ValueError(
+                "tome_ratio does not compose with pipeline parallelism "
+                "(the merge plan is stage-0-local); use tome without pp")
+        if cfg.sp_axis is not None:
+            raise ValueError("choose one of sequence parallelism "
+                             "(use_mesh_sp) or pipeline parallelism")
+        devices = list(devices)
+        n_stages = int(n_stages or len(devices))
+        if n_stages > len(devices):
+            raise ValueError(f"{n_stages} stages need {n_stages} devices, "
+                             f"got {len(devices)}")
+        self.cfg = cfg
+        self.n_stages = n_stages
+        self.stages: List[_BoundStage] = []
+        for si, (lo, hi) in enumerate(uniform_pp_plan(cfg.depth, n_stages)):
+            first, last = si == 0, si == n_stages - 1
+            mod = HunyuanStage(cfg, lo, hi, hp=hp, wp=wp,
+                               first=first, last=last)
+            sub = _slice_params(
+                params, _hunyuan_stage_param_names(lo, hi, first, last))
+            dev = devices[si]
+            self.stages.append(_BoundStage(
+                fn=jax.jit(mod.apply),
+                params=jax.device_put(sub, dev),
+                freqs=None, device=dev))
+
+    @property
+    def out_device(self):
+        return self.stages[-1].device
+
+    def __call__(self, x, t, clip_text, mt5_text,
+                 microbatch: Optional[int] = None) -> jnp.ndarray:
+        b = x.shape[0]
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (b,))
+        mb = int(microbatch or b)
+        if b % mb != 0:
+            raise ValueError(f"batch {b} must divide by microbatch {mb}")
+        outs = []
+        for lo in range(0, b, mb):
+            sl = slice(lo, lo + mb)
+            carry: Any = {"x": x[sl], "t": t[sl],
+                          "clip_text": clip_text[sl],
+                          "mt5_text": mt5_text[sl]}
+            for st in self.stages:
+                carry = jax.device_put(carry, st.device)
+                carry = st.fn(st.params, carry)
+            outs.append(carry)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(
+            [jax.device_put(o, self.out_device) for o in outs], axis=0)

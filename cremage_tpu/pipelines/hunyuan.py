@@ -92,8 +92,32 @@ class HunyuanPipeline:
         self._current_status: Callable = _noop
         self.sp_mesh = None
         self.sp_axis = "data"
+        self.pp_devices = None
+        self.pp_n_stages = None
+        self.pp_microbatch = None
+        self._pp_cache: Dict[Tuple, Any] = {}
+
+    def use_mesh_pp(self, devices, n_stages: Optional[int] = None,
+                    microbatch: Optional[int] = None):
+        """Pipeline-parallel deployment (parallel/pipeline.py
+        HunyuanPP): contiguous block stages on committed devices with
+        the U-ViT skip stack riding the stage boundaries (prefer
+        use_mesh_sp unless weights must span chips).  Sampling is
+        host-stepped, so only the deterministic Euler sampler is
+        supported; excludes use_mesh_sp / tome_ratio / deep_cache."""
+        if self.sp_mesh is not None:
+            raise ValueError("choose one of use_mesh_sp / use_mesh_pp")
+        if hasattr(devices, "devices"):  # a Mesh
+            devices = list(np.asarray(devices.devices).flat)
+        self.pp_devices = list(devices)
+        self.pp_n_stages = n_stages
+        self.pp_microbatch = microbatch
+        self._cache.clear()
+        self._pp_cache.clear()
 
     def use_mesh_sp(self, mesh, axis: str = "data"):
+        if self.pp_devices is not None:
+            raise ValueError("choose one of use_mesh_sp / use_mesh_pp")
         """Sequence-parallel deployment: params replicated over `mesh`,
         latent patch rows of every DiT forward sharded over `mesh[axis]`
         (parallel/sequence.py hunyuan_sp_apply) — the batch=1 latency
@@ -136,6 +160,55 @@ class HunyuanPipeline:
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
+
+        if self.pp_devices is not None:
+            if use_dc:
+                raise ValueError(
+                    "deep_cache does not compose with use_mesh_pp (the "
+                    "Δ-cache boundary is stage-local)")
+            if tr > 0:
+                raise ValueError(
+                    "tome_ratio does not compose with use_mesh_pp (the "
+                    "merge plan is stage-0-local)")
+            if name != "Euler":
+                raise ValueError(
+                    "use_mesh_pp sampling is host-stepped and supports "
+                    f"the Euler sampler only, got {name!r}")
+            from cremage_tpu.parallel.pipeline import HunyuanPP
+
+            p = dit.cfg.patch_size
+            geom = (shape[1] // p, shape[2] // p)
+            pp = self._pp_cache.get(geom)
+            if pp is None:
+                pp = HunyuanPP(dit, b.dit_params, self.pp_devices,
+                               hp=geom[0], wp=geom[1],
+                               n_stages=self.pp_n_stages)
+                self._pp_cache[geom] = pp
+            mb = self.pp_microbatch
+            sig = np.asarray(sigmas, np.float64)
+
+            def run_pp(params, x, c_clip, uc_clip, c_t5, uc_t5, key):
+                # VDenoiser/cfg_denoiser are plain jax functions — they
+                # wrap the staged forward eagerly; the Euler update is
+                # host-stepped (exact: s_churn=0 k-diffusion Euler).
+                def v_model(xx, tt, cond):
+                    clip_t, mt5_t = cond
+                    out = pp(xx, tt, clip_t, mt5_t, microbatch=mb)
+                    return out[..., : xx.shape[-1]]
+
+                den_cfg = cfg_denoiser(VDenoiser(v_model, sched),
+                                       (c_clip, c_t5), (uc_clip, uc_t5),
+                                       scale)
+                xx = jax.device_put(x.astype(jnp.float32), pp.out_device)
+                for i in range(len(sig) - 1):
+                    den = den_cfg(xx, jnp.asarray(float(sig[i]),
+                                                  jnp.float32))
+                    d = (xx - den.astype(jnp.float32)) / float(sig[i])
+                    xx = xx + d * float(sig[i + 1] - sig[i])
+                    progress(i)
+                return xx
+
+            return run_pp, sigmas
 
         def run(params, x, c_clip, uc_clip, c_t5, uc_t5, key):
             def v_model(xx, tt, cond, **mk):

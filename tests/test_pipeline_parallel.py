@@ -327,3 +327,91 @@ def test_pixart_pipeline_pp_rejects(mesh8):
             pipe.generate(GenerationOptions(**base, **bad))
     with pytest.raises(ValueError, match="use_mesh_sp / use_mesh_pp"):
         pipe.use_mesh_sp(mesh8)
+
+
+# ---------------- Hunyuan-DiT pipeline parallelism ----------------
+
+
+@pytest.mark.parametrize("n_stages", [2, 3, 4])
+def test_hunyuan_pp_matches_single_device(mesh8, n_stages):
+    """The U-ViT twist: encoder block i's output is consumed by decoder
+    block depth-1-i, so the not-yet-consumed skip stack must ride the
+    stage boundaries.  depth=4 with 3/4 stages places boundaries inside
+    both halves and at the midline (largest stack)."""
+    from cremage_tpu.models.hunyuan import HunyuanConfig, HunyuanDiT
+    from cremage_tpu.parallel.pipeline import HunyuanPP
+
+    cfg = HunyuanConfig(hidden_size=64, depth=4, num_heads=4,
+                        clip_dim=32, mt5_dim=64, pooled_dim=32,
+                        pooler_heads=4, text_len=7, text_len_t5=12,
+                        dtype=jnp.float32)
+    m = HunyuanDiT(cfg)
+    ks = jax.random.split(jax.random.key(13), 4)
+    args = (jax.random.normal(ks[0], (2, 32, 8, 4)),
+            jnp.full((2,), 500.0),
+            jax.random.normal(ks[1], (2, 7, 32)),
+            jax.random.normal(ks[2], (2, 12, 64)))
+    params = m.init(jax.random.key(0), *args)
+    want = np.asarray(m.apply(params, *args), np.float32)
+    pp = HunyuanPP(m, params, jax.devices()[:n_stages], hp=16, wp=4,
+                   n_stages=n_stages)
+    for mb in (1, 2):
+        got = pp(*args, microbatch=mb)
+        np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                                   atol=3e-5, rtol=3e-5)
+
+
+def _make_hunyuan_pipe():
+    from tests.test_family_pipelines import tiny_vae
+    from cremage_tpu.models.hunyuan import HunyuanConfig, HunyuanDiT
+    from cremage_tpu.pipelines.hunyuan import HunyuanBundle, HunyuanPipeline
+
+    cfg = HunyuanConfig(hidden_size=32, depth=4, num_heads=4, clip_dim=24,
+                        mt5_dim=24, mlp_ratio=2.0, dtype=jnp.float32)
+    dit = HunyuanDiT(cfg)
+    dp = dit.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+                  jnp.zeros((1,)), jnp.zeros((1, 7, 24)),
+                  jnp.zeros((1, 7, 24)))
+
+    def text_encode(prompt):
+        rng = np.random.RandomState(abs(hash(prompt)) % (2**31))
+        return (rng.randn(7, 24).astype(np.float32),
+                rng.randn(7, 24).astype(np.float32))
+
+    vae, vp = tiny_vae()
+    return HunyuanPipeline(HunyuanBundle(
+        dit=dit, dit_params=dp, vae=vae, vae_params=vp,
+        text_encode=text_encode))
+
+
+def test_hunyuan_pipeline_pp_matches_plain(mesh8):
+    """HunyuanPipeline.use_mesh_pp: host-stepped Euler around the
+    eagerly-wrapped VDenoiser/cfg_denoiser over the staged forward must
+    match the plain single-device scanned-Euler generation."""
+    from cremage_tpu.core.config import GenerationOptions
+
+    opts = GenerationOptions(prompt="a crane", H=64, W=64,
+                             sampling_steps=3, seed=4, sampler="Euler",
+                             scale=4.0, safety_check=False,
+                             watermark=False)
+    plain = _make_hunyuan_pipe().generate(opts)[0][0]
+
+    pipe = _make_hunyuan_pipe()
+    pipe.use_mesh_pp(jax.devices()[:2])
+    pp = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(pp, plain, atol=2e-5, rtol=2e-5)
+
+
+def test_hunyuan_pipeline_pp_rejects(mesh8):
+    from cremage_tpu.core.config import GenerationOptions
+
+    pipe = _make_hunyuan_pipe()
+    pipe.use_mesh_pp(jax.devices()[:2])
+    base = dict(prompt="x", H=64, W=64, sampling_steps=2,
+                safety_check=False, watermark=False)
+    for bad in (dict(deep_cache=2, deep_cache_branch=2),
+                dict(tome_ratio=0.5), dict(sampler="DPM++ 2M")):
+        with pytest.raises(ValueError):
+            pipe.generate(GenerationOptions(**base, **bad))
+    with pytest.raises(ValueError, match="use_mesh_sp / use_mesh_pp"):
+        pipe.use_mesh_sp(mesh8)
