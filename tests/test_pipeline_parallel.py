@@ -415,3 +415,26 @@ def test_hunyuan_pipeline_pp_rejects(mesh8):
             pipe.generate(GenerationOptions(**base, **bad))
     with pytest.raises(ValueError, match="use_mesh_sp / use_mesh_pp"):
         pipe.use_mesh_sp(mesh8)
+
+
+def test_mmdit_pp_composes_with_quantized_tree(mesh8):
+    """Stage params are top-level slices of the full tree, so the
+    (code, weight_scale) tuple leaves of an 8-bit-quantized tree ride
+    along unchanged — PP output must match the monolithic forward on
+    the SAME quantized params (the FLUX PP memory story, on SD3)."""
+    from tests.test_sequence_parallel import _tiny_mmdit
+    from cremage_tpu.io.quantize import quantize_params_8bit
+    from cremage_tpu.parallel.pipeline import MMDiTPP
+
+    model, params, args = _tiny_mmdit()
+    x, t, ctx, pooled = args
+    qparams, rep = quantize_params_8bit(params, dtype="float8_e4m3",
+                                        min_size=0)
+    assert rep["tensors"] > 0
+    want = np.asarray(model.apply(qparams, *args), np.float32)
+    p = model.cfg.patch_size
+    pp = MMDiTPP(model, qparams, jax.devices()[:2],
+                 hp=x.shape[1] // p, wp=x.shape[2] // p, n_stages=2)
+    got = pp(x, t, ctx, pooled)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
