@@ -785,3 +785,331 @@ class HunyuanPP:
             outs.append(carry)
         return outs[0] if len(outs) == 1 else jnp.concatenate(
             [jax.device_put(o, self.out_device) for o in outs], axis=0)
+
+
+# ---------------- UNet (SD1.5 / SD2 / SDXL) pipeline parallelism ----------------
+#
+# The conv UNet is a linear chain once flattened (input conv, input
+# blocks + downsamples, middle, output blocks + upsamples, out head) —
+# but unlike the DiT chains it is heterogeneous (cost varies ~10x
+# between a 64x64x320 res block and a 8x8x1280 one) and skip-connected:
+# a skip produced by input block i is consumed by the mirror output
+# block, so skips produced in stage s must RIDE the pipe through every
+# intermediate stage (the Hunyuan U-ViT pattern, generalized to
+# per-skip shapes: the carry holds a tuple of differently-shaped
+# tensors instead of one stacked array).
+#
+# The stage plan is balanced by an analytic FLOP model per unit (convs
+# 9*H*W*Cin*Cout, attention 4*N^2*C + projections), computed for the
+# bound latent geometry — a uniform block count would put ~60% of the
+# work in the stage holding the high-res levels.
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetUnit:
+    """One unit of the flattened UNet chain (hashable/static — stage
+    modules take a tuple of these as a module attribute)."""
+    kind: str              # "in0" | "in" | "down" | "mid" | "out"
+    block_idx: int         # index inside input_blocks_* / output_blocks_*
+    level: int
+    ds: int                # spatial downsample factor while this unit runs
+    ch_in: int
+    ch: int                # output channels
+    attn_depth: int = 0    # transformer blocks (0 = no attention)
+    has_up: bool = False   # trailing Upsample (output blocks only)
+
+
+def unet_unit_list(cfg) -> List[UNetUnit]:
+    """Flatten a UNetConfig into the exact unit sequence UNetModel
+    executes (models/unet.py __call__ `mode=full`)."""
+    mc = cfg.model_channels
+    n_levels = len(cfg.channel_mult)
+    depths = cfg.transformer_depth
+    if isinstance(depths, int):
+        depths = (depths,) * n_levels
+    units = [UNetUnit("in0", 0, 0, 1, cfg.in_channels, mc)]
+    ch, ds, block_idx = mc, 1, 1
+    for level in range(n_levels):
+        out_ch = mc * cfg.channel_mult[level]
+        for _ in range(cfg.num_res_blocks):
+            ad = depths[level] if ds in cfg.attention_resolutions else 0
+            units.append(UNetUnit("in", block_idx, level, ds, ch, out_ch,
+                                  attn_depth=ad))
+            ch = out_ch
+            block_idx += 1
+        if level != n_levels - 1:
+            units.append(UNetUnit("down", block_idx, level, ds, ch, ch))
+            block_idx += 1
+            ds *= 2
+    units.append(UNetUnit("mid", 0, n_levels - 1, ds, ch, ch,
+                          attn_depth=cfg.transformer_depth_middle))
+    for level in range(n_levels - 1, -1, -1):
+        out_ch = mc * cfg.channel_mult[level]
+        ds = 2 ** level
+        block_idx = (n_levels - 1 - level) * (cfg.num_res_blocks + 1)
+        for i in range(cfg.num_res_blocks + 1):
+            ad = depths[level] if ds in cfg.attention_resolutions else 0
+            units.append(UNetUnit(
+                "out", block_idx, level, ds, ch, out_ch, attn_depth=ad,
+                has_up=(level > 0 and i == cfg.num_res_blocks)))
+            ch = out_ch
+            block_idx += 1
+    return units
+
+
+def _unet_unit_weight(u: UNetUnit, h: int, w: int, ctx_len: int = 77) -> float:
+    """Analytic FLOP estimate (relative scale only) for one unit at
+    latent geometry (h, w)."""
+    H, W = h // u.ds, w // u.ds
+    n = H * W
+    c = u.ch
+
+    def res(cin, cout, hh, ww):
+        f = 9 * hh * ww * (cin * cout + cout * cout)
+        if cin != cout:
+            f += hh * ww * cin * cout
+        return f
+
+    def attn(depth):
+        if depth <= 0:
+            return 0.0
+        per = 12 * n * c * c + 4 * n * n * c + 4 * n * ctx_len * c
+        return depth * per + 2 * n * c * c   # + proj_in/out
+
+    if u.kind == "in0":
+        return 9 * n * u.ch_in * c
+    if u.kind == "in":
+        return res(u.ch_in, c, H, W) + attn(u.attn_depth)
+    if u.kind == "down":
+        return 9 * (H // 2) * (W // 2) * c * c
+    if u.kind == "mid":
+        return 2 * res(c, c, H, W) + attn(u.attn_depth)
+    # "out": the concat doubles (or more) the res block input channels
+    f = res(u.ch_in + u.ch, c, H, W) + attn(u.attn_depth)
+    if u.has_up:
+        f += 9 * (2 * H) * (2 * W) * c * c
+    return f
+
+
+def unet_pp_plan(cfg, h: int, w: int, n_stages: int) -> List[tuple]:
+    """Contiguous (lo, hi) chunks over unet_unit_list(cfg), balanced by
+    the analytic FLOP weight at latent geometry (h, w)."""
+    units = unet_unit_list(cfg)
+    if not 1 <= n_stages <= len(units):
+        raise ValueError(
+            f"n_stages must be in [1, {len(units)}] for this UNet; "
+            f"got {n_stages}")
+    weights = [_unet_unit_weight(u, h, w) for u in units]
+    total = float(sum(weights))
+    plan = []
+    pos, acc = 0, 0.0
+    for s in range(n_stages):
+        target = total * (s + 1) / n_stages
+        hi = pos
+        while hi < len(units) and (
+                acc + weights[hi] <= target + 1e-9 or hi == pos) and (
+                len(units) - (hi + 1) >= n_stages - s - 1):
+            acc += weights[hi]
+            hi += 1
+        if s == n_stages - 1:
+            while hi < len(units):
+                acc += weights[hi]
+                hi += 1
+        plan.append((pos, hi))
+        pos = hi
+    assert pos == len(units), plan
+    return plan
+
+
+class UNetStage(nn.Module):
+    """One PP stage of the SD UNet.  Module/param names match
+    models/unet.py UNetModel exactly, so stage params are top-level
+    slices of the full tree (quantized weight_scale siblings included).
+    Skips produced here are appended to the carried tuple; skips
+    consumed here pop from its end (LIFO, exactly UNetModel's hs)."""
+    cfg: Any                       # UNetConfig
+    units: tuple                   # tuple of UNetUnit
+    first: bool = False
+    last: bool = False
+
+    @nn.compact
+    def __call__(self, carry: Dict[str, Any]):
+        from cremage_tpu.models.unet import (
+            Downsample, ResBlock, SpatialTransformer, Upsample, _heads_for,
+        )
+        from cremage_tpu.models.layers import Conv, GroupNorm
+
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        mc = cfg.model_channels
+
+        if self.first:
+            t_emb = timestep_embedding(carry["t"], mc).astype(cfg.dtype)
+            emb = Dense(mc * 4, name="time_embed_0", **dd)(t_emb)
+            emb = Dense(mc * 4, name="time_embed_2", **dd)(silu(emb))
+            if cfg.adm_identity:
+                emb = emb + carry["y"].astype(cfg.dtype)
+            elif cfg.adm_in_channels:
+                y_emb = Dense(mc * 4, name="label_emb_0_0", **dd)(
+                    carry["y"].astype(cfg.dtype))
+                y_emb = Dense(mc * 4, name="label_emb_0_2", **dd)(silu(y_emb))
+                emb = emb + y_emb
+            h = carry["x"].astype(cfg.dtype)
+            skips: List[jnp.ndarray] = []
+        else:
+            h, emb = carry["h"], carry["emb"]
+            skips = list(carry.get("skips", ()))
+        context = carry.get("context")
+        if context is not None:
+            context = context.astype(cfg.dtype)
+
+        for u in self.units:
+            if u.kind == "in0":
+                h = Conv(mc, name="input_blocks_0_0", **dd)(h)
+                skips.append(h)
+            elif u.kind == "in":
+                h = ResBlock(u.ch, name=f"input_blocks_{u.block_idx}_0",
+                             **dd)(h, emb)
+                if u.attn_depth:
+                    heads, dim_head = _heads_for(u.ch, cfg)
+                    h = SpatialTransformer(
+                        heads, dim_head, depth=u.attn_depth,
+                        use_linear=cfg.use_linear_in_transformer,
+                        name=f"input_blocks_{u.block_idx}_1",
+                        ipa_num_tokens=cfg.ipa_num_tokens,
+                        ipa_scale=cfg.ipa_scale, **dd)(h, context)
+                skips.append(h)
+            elif u.kind == "down":
+                h = Downsample(u.ch, name=f"input_blocks_{u.block_idx}_0",
+                               **dd)(h)
+                skips.append(h)
+            elif u.kind == "mid":
+                heads, dim_head = _heads_for(u.ch, cfg)
+                h = ResBlock(u.ch, name="middle_block_0", **dd)(h, emb)
+                h = SpatialTransformer(
+                    heads, dim_head, depth=u.attn_depth,
+                    use_linear=cfg.use_linear_in_transformer,
+                    name="middle_block_1",
+                    ipa_num_tokens=cfg.ipa_num_tokens,
+                    ipa_scale=cfg.ipa_scale, **dd)(h, context)
+                h = ResBlock(u.ch, name="middle_block_2", **dd)(h, emb)
+            else:  # "out"
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
+                h = ResBlock(u.ch, name=f"output_blocks_{u.block_idx}_0",
+                             **dd)(h, emb)
+                sub = 1
+                if u.attn_depth:
+                    heads, dim_head = _heads_for(u.ch, cfg)
+                    h = SpatialTransformer(
+                        heads, dim_head, depth=u.attn_depth,
+                        use_linear=cfg.use_linear_in_transformer,
+                        name=f"output_blocks_{u.block_idx}_1",
+                        ipa_num_tokens=cfg.ipa_num_tokens,
+                        ipa_scale=cfg.ipa_scale, **dd)(h, context)
+                    sub = 2
+                if u.has_up:
+                    h = Upsample(
+                        u.ch, name=f"output_blocks_{u.block_idx}_{sub}",
+                        **dd)(h)
+
+        if self.last:
+            h = GroupNorm(num_groups=32, fuse_silu=True, name="out_0")(h)
+            return Conv(cfg.out_channels, name="out_2", **dd)(h)
+        nxt: Dict[str, Any] = {"h": h, "emb": emb}
+        if context is not None:
+            nxt["context"] = context
+        if skips:
+            nxt["skips"] = tuple(skips)
+        return nxt
+
+
+def _unet_stage_param_names(cfg, units: Sequence[UNetUnit], first: bool,
+                            last: bool) -> List[str]:
+    names: List[str] = []
+    if first:
+        names += ["time_embed_0", "time_embed_2"]
+        if cfg.adm_in_channels and not cfg.adm_identity:
+            names += ["label_emb_0_0", "label_emb_0_2"]
+    for u in units:
+        if u.kind in ("in0", "in", "down"):
+            names.append(f"input_blocks_{u.block_idx}_0")
+            if u.kind == "in" and u.attn_depth:
+                names.append(f"input_blocks_{u.block_idx}_1")
+        elif u.kind == "mid":
+            names += ["middle_block_0", "middle_block_1", "middle_block_2"]
+        else:
+            names.append(f"output_blocks_{u.block_idx}_0")
+            sub = 1
+            if u.attn_depth:
+                names.append(f"output_blocks_{u.block_idx}_1")
+                sub = 2
+            if u.has_up:
+                names.append(f"output_blocks_{u.block_idx}_{sub}")
+    if last:
+        names += ["out_0", "out_2"]
+    return names
+
+
+class UNetPP:
+    """Pipeline-parallel SD-UNet forward over explicit devices (see
+    FluxPP for the schedule/microbatch contract).  Bound to one latent
+    geometry (h, w) — the stage plan is FLOP-balanced for it.
+
+    Unsupported compositions are rejected here or at the pipeline:
+    tome (the merge plan is stage-local), deep_cache (the boundary is
+    stage-local), ControlNet (residuals target blocks on every stage)."""
+
+    def __init__(self, model, params, devices: Sequence[Any],
+                 h: int, w: int, n_stages: Optional[int] = None):
+        cfg = model.cfg
+        if cfg.tome_ratio > 0:
+            raise ValueError(
+                "tome_ratio does not compose with pipeline parallelism "
+                "(the merge plan is stage-local); use tome without pp")
+        devices = list(devices)
+        n_stages = int(n_stages or len(devices))
+        if n_stages > len(devices):
+            raise ValueError(f"{n_stages} stages need {n_stages} devices, "
+                             f"got {len(devices)}")
+        self.cfg = cfg
+        self.n_stages = n_stages
+        units = unet_unit_list(cfg)
+        plan = unet_pp_plan(cfg, h, w, n_stages)
+        self.stages: List[_BoundStage] = []
+        for si, (lo, hi) in enumerate(plan):
+            first, last = si == 0, si == n_stages - 1
+            mod = UNetStage(cfg, tuple(units[lo:hi]), first=first, last=last)
+            sub = _slice_params(params, _unet_stage_param_names(
+                cfg, units[lo:hi], first, last))
+            dev = devices[si]
+            self.stages.append(_BoundStage(
+                fn=jax.jit(mod.apply), params=jax.device_put(sub, dev),
+                freqs=None, device=dev))
+
+    @property
+    def out_device(self):
+        return self.stages[-1].device
+
+    def __call__(self, x, t, context, y=None,
+                 microbatch: Optional[int] = None) -> jnp.ndarray:
+        b = x.shape[0]
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (b,))
+        needs_y = self.cfg.adm_identity or self.cfg.adm_in_channels
+        if needs_y and y is None:
+            raise ValueError("this UNet expects vector conditioning y")
+        mb = int(microbatch or b)
+        if b % mb != 0:
+            raise ValueError(f"batch {b} must divide by microbatch {mb}")
+        outs = []
+        for lo in range(0, b, mb):
+            sl = slice(lo, lo + mb)
+            carry: Any = {"x": x[sl], "t": t[sl], "context": context[sl]}
+            if needs_y:
+                carry["y"] = y[sl]
+            for st in self.stages:
+                carry = jax.device_put(carry, st.device)
+                carry = st.fn(st.params, carry)
+            outs.append(carry)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(
+            [jax.device_put(o, self.out_device) for o in outs], axis=0)

@@ -98,6 +98,10 @@ class SD15Pipeline:
         self.face_fixer = face_fixer
         self.mesh = None
         self._gen_cache: Dict[Tuple, Callable] = {}
+        self.pp_devices = None
+        self.pp_n_stages: Optional[int] = None
+        self.pp_microbatch: Optional[int] = None
+        self._pp_cache: Dict[Tuple, Any] = {}
         if mesh is not None:
             self.use_mesh(mesh)
 
@@ -109,6 +113,8 @@ class SD15Pipeline:
         at each jitted-program boundary.  XLA/GSPMD inserts the ICI
         collectives — the sampler/UNet code is unchanged (SURVEY §5
         distributed backend; the reference is single-GPU)."""
+        if self.pp_devices is not None:
+            raise ValueError("choose one of use_mesh / use_mesh_pp")
         from cremage_tpu.core.mesh import replicate_params
 
         if tensor_parallel:
@@ -126,6 +132,27 @@ class SD15Pipeline:
             self.bundle.controlnet = (cn, replicate_params(mesh, cn_params))
         self.mesh = mesh
         self._gen_cache.clear()
+        return self
+
+    def use_mesh_pp(self, devices, n_stages: Optional[int] = None,
+                    microbatch: Optional[int] = None):
+        """Pipeline-parallel deployment (parallel/pipeline.py UNetPP):
+        the flattened UNet chain partitioned into FLOP-balanced
+        contiguous stages on committed devices, skips riding the pipe,
+        microbatches streamed through the stage jits.  Sampling is
+        host-stepped (the staged forward cannot live inside one jit
+        program), so only the deterministic Euler sampler is supported;
+        excludes use_mesh / tome_ratio / deep_cache / ControlNet."""
+        if self.mesh is not None:
+            raise ValueError("choose one of use_mesh / use_mesh_pp")
+        import numpy as _np
+        if hasattr(devices, "devices"):  # a Mesh
+            devices = list(_np.asarray(devices.devices).flat)
+        self.pp_devices = list(devices)
+        self.pp_n_stages = n_stages
+        self.pp_microbatch = microbatch
+        self._gen_cache.clear()
+        self._pp_cache.clear()
         return self
 
     def _shard_batch_args(self, *arrays):
@@ -302,6 +329,65 @@ class SD15Pipeline:
         if use_dc and hint is not None:
             raise ValueError("deep_cache cannot be combined with ControlNet "
                              "(control residuals target the cached deep blocks)")
+
+        if self.pp_devices is not None:
+            if use_dc:
+                raise ValueError(
+                    "deep_cache does not compose with use_mesh_pp (the "
+                    "cache boundary is stage-local)")
+            if tr > 0:
+                raise ValueError(
+                    "tome_ratio does not compose with use_mesh_pp (the "
+                    "merge plan is stage-local)")
+            if hint is not None:
+                raise ValueError(
+                    "ControlNet does not compose with use_mesh_pp "
+                    "(control residuals target blocks on every stage)")
+            if name != "Euler":
+                raise ValueError(
+                    "use_mesh_pp sampling is host-stepped and supports "
+                    f"the Euler sampler only, got {name!r}")
+            if opts.sampler_s_churn:
+                raise ValueError(
+                    "use_mesh_pp runs the deterministic s_churn=0 Euler")
+            from cremage_tpu.parallel.pipeline import UNetPP
+
+            sigmas = self.bundle.schedule.get_sigmas(steps)
+            if t_enc is not None:
+                sigmas = S.truncate_for_img2img(sigmas, t_enc)
+            geom = (int(shape[1]), int(shape[2]))
+            pp = self._pp_cache.get(geom)
+            if pp is None:
+                pp = UNetPP(self.bundle.unet, self.bundle.unet_params,
+                            self.pp_devices, h=geom[0], w=geom[1],
+                            n_stages=self.pp_n_stages)
+                self._pp_cache[geom] = pp
+            mb = self.pp_microbatch
+
+            def eps_model(xx, tt, cond):
+                if extra_channels is not None:
+                    ec = extra_channels
+                    if ec.shape[0] != xx.shape[0]:
+                        ec = jnp.concatenate(
+                            [ec] * (xx.shape[0] // ec.shape[0]), axis=0)
+                    xx = jnp.concatenate([xx, ec.astype(xx.dtype)], axis=-1)
+                return pp(xx, tt, cond, microbatch=mb)
+
+            den_cfg = cfg_denoiser(
+                EpsDenoiser(eps_model, self.bundle.schedule), c, uc, scale)
+            x = init_latent if t_enc is not None else x_init
+            xx = jnp.asarray(x, jnp.float32)
+            if t_enc is not None:
+                # k-space stochastic encode, same as the jitted path
+                xx = xx + noise_like(key, xx.shape) * float(sigmas[0])
+            xx = jax.device_put(xx, pp.out_device)
+            sig = np.asarray(sigmas, np.float64)
+            for i in range(len(sig) - 1):
+                den = den_cfg(xx, jnp.asarray(float(sig[i]), jnp.float32))
+                d = (xx - den.astype(jnp.float32)) / float(sig[i])
+                xx = xx + d * float(sig[i + 1] - sig[i])
+                progress(i)
+            return xx
 
         if name in T_DRIVEN_SAMPLERS:
             # recover the model's alphas_cumprod from its sigma table

@@ -230,6 +230,28 @@ class SDXLPipeline:
         self.face_fixer = face_fixer
         self._cache: Dict[Tuple, Callable] = {}
         self._current_status: Callable = _noop_status
+        self.pp_devices = None
+        self.pp_n_stages: Optional[int] = None
+        self.pp_microbatch: Optional[int] = None
+        self._pp_cache: Dict[Tuple, Any] = {}
+
+    def use_mesh_pp(self, devices, n_stages: Optional[int] = None,
+                    microbatch: Optional[int] = None):
+        """Pipeline-parallel deployment (parallel/pipeline.py UNetPP):
+        the flattened UNet chain partitioned into FLOP-balanced
+        contiguous stages on committed devices — the base (and refiner,
+        if used) 2.6B-param SDXL UNet spans chips without quantization.
+        Sampling is host-stepped, so only the deterministic
+        EulerEDMSampler + VanillaCFG combination is supported; excludes
+        tome_ratio / deep_cache / LCM."""
+        if hasattr(devices, "devices"):  # a Mesh
+            devices = list(np.asarray(devices.devices).flat)
+        self.pp_devices = list(devices)
+        self.pp_n_stages = n_stages
+        self.pp_microbatch = microbatch
+        self._cache.clear()
+        self._pp_cache.clear()
+        return self
 
     def _sampler_program(
         self, unet: UNetModel, opts: GenerationOptions, shape, cond_shape,
@@ -309,6 +331,79 @@ class SDXLPipeline:
             total = (len(lsched.sigmas) if lsched is not None
                      else len(sigmas) - 1)
             self._current_status(f"Sampling {int(i) + 1} / {total}")
+
+        if self.pp_devices is not None:
+            if use_dc:
+                raise ValueError(
+                    "deep_cache does not compose with use_mesh_pp (the "
+                    "cache boundary is stage-local)")
+            if tr > 0:
+                raise ValueError(
+                    "tome_ratio does not compose with use_mesh_pp (the "
+                    "merge plan is stage-local)")
+            if sampler_name != "EulerEDMSampler":
+                raise ValueError(
+                    "use_mesh_pp sampling is host-stepped and supports "
+                    f"EulerEDMSampler only, got {sampler_name!r}")
+            if opts.guider != "VanillaCFG":
+                raise ValueError(
+                    "use_mesh_pp supports the VanillaCFG guider only, "
+                    f"got {opts.guider!r}")
+            if opts.sampler_s_churn:
+                raise ValueError(
+                    "use_mesh_pp runs the deterministic s_churn=0 Euler")
+            from cremage_tpu.parallel.pipeline import UNetPP
+
+            if unet is self.bundle.unet:
+                pp_params = self.bundle.unet_params
+            elif unet is self.bundle.refiner_unet:
+                pp_params = self.bundle.refiner_params
+            else:
+                raise ValueError("use_mesh_pp needs the bundle's UNet")
+            geom = (int(shape[1]), int(shape[2]))
+            ck = (unet_key, geom)
+            pp = self._pp_cache.get(ck)
+            if pp is None:
+                pp = UNetPP(unet, pp_params, self.pp_devices,
+                            h=geom[0], w=geom[1],
+                            n_stages=self.pp_n_stages)
+                self._pp_cache[ck] = pp
+            mb = self.pp_microbatch
+            sig = np.asarray(sigmas, np.float64)
+
+            def run_pp(params, x, c, uc, key, extra=None):
+                def network(xx, tt, cond):
+                    if extra is not None:
+                        ee = extra
+                        if ee.shape[0] != xx.shape[0]:
+                            ee = jnp.concatenate(
+                                [ee] * (xx.shape[0] // ee.shape[0]))
+                        xx = jnp.concatenate([xx, ee.astype(xx.dtype)],
+                                             axis=-1)
+                    return pp(xx, tt, cond["crossattn"], y=cond["vector"],
+                              microbatch=mb)
+
+                denoiser = EDM.DiscreteDenoiserSGM(
+                    network,
+                    EDM.LegacyDDPMDiscretization()(1000,
+                                                   do_append_zero=False),
+                )
+                denoise = guider(denoiser, c, uc, **guider_kwargs)
+                # mirror run_sgm_sampler's prepare_sampling_loop scaling
+                # + the s_churn=0 k-diffusion Euler body, host-stepped
+                xx = jnp.asarray(x, jnp.float32)
+                if t_enc is None:
+                    xx = xx * float(np.sqrt(1.0 + sig[0] ** 2))
+                xx = jax.device_put(xx, pp.out_device)
+                for i in range(len(sig) - 1):
+                    den = denoise(xx, jnp.asarray(float(sig[i]),
+                                                  jnp.float32))
+                    d = (xx - den.astype(jnp.float32)) / float(sig[i])
+                    xx = xx + d * float(sig[i + 1] - sig[i])
+                    progress(i)
+                return xx
+
+            return run_pp, sigmas
 
         def run(params, x, c, uc, key, extra=None):
             def network(xx, tt, cond, **unet_kwargs):

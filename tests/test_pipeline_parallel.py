@@ -438,3 +438,214 @@ def test_mmdit_pp_composes_with_quantized_tree(mesh8):
     got = pp(x, t, ctx, pooled)
     np.testing.assert_allclose(np.asarray(got, np.float32), want,
                                atol=3e-5, rtol=3e-5)
+
+
+# ---------------- UNet (SD1.5 / SDXL) pipeline parallelism ----------------
+
+
+def _tiny_unet_cfg(kind="sd15"):
+    from cremage_tpu.models.unet import UNetConfig
+
+    if kind == "sd15":
+        return UNetConfig(
+            in_channels=4, out_channels=4, model_channels=32,
+            num_res_blocks=2, attention_resolutions=(4, 2, 1),
+            channel_mult=(1, 2, 4, 4), num_heads=4,
+            transformer_depth=(1, 1, 1, 1), transformer_depth_middle=1,
+            context_dim=24, dtype=jnp.float32)
+    return UNetConfig(          # sdxl-shaped: adm vector + linear-in-tf
+        in_channels=4, out_channels=4, model_channels=32,
+        num_res_blocks=2, attention_resolutions=(4, 2),
+        channel_mult=(1, 2, 4), num_head_channels=8, num_heads=-1,
+        transformer_depth=(1, 2, 3), transformer_depth_middle=3,
+        context_dim=24, adm_in_channels=16,
+        use_linear_in_transformer=True, dtype=jnp.float32)
+
+
+def _tiny_unet(kind="sd15"):
+    from cremage_tpu.models.unet import UNetModel
+
+    cfg = _tiny_unet_cfg(kind)
+    model = UNetModel(cfg)
+    b, h, w = 2, 16, 16
+    x = jax.random.normal(jax.random.key(0), (b, h, w, cfg.in_channels))
+    t = jnp.array([3.0, 7.0])
+    ctx = jax.random.normal(jax.random.key(1), (b, 7, cfg.context_dim))
+    y = (jax.random.normal(jax.random.key(2), (b, cfg.adm_in_channels))
+         if cfg.adm_in_channels else None)
+    params = model.init(jax.random.key(3), x, t, ctx, y)
+    return model, params, (x, t, ctx, y)
+
+
+def test_unet_plan_covers_chain_weighted():
+    """The flattened unit list covers the chain exactly (skips pushed ==
+    skips popped, in0 first, mid between the halves) and the plan is
+    contiguous, complete and FLOP-balanced — NOT unit-count-balanced
+    (a 64x64x320 res block costs ~10x a 8x8x1280 one)."""
+    from cremage_tpu.models.unet import sd15_unet_config
+    from cremage_tpu.parallel.pipeline import (
+        _unet_unit_weight, unet_pp_plan, unet_unit_list,
+    )
+
+    cfg = sd15_unet_config()   # production SD1.5 geometry
+    units = unet_unit_list(cfg)
+    pushes = sum(1 for u in units if u.kind in ("in0", "in", "down"))
+    pops = sum(1 for u in units if u.kind == "out")
+    assert pushes == pops
+    assert units[0].kind == "in0"
+    kinds = [u.kind for u in units]
+    assert kinds.index("mid") == kinds.index("out") - 1
+    weights = [_unet_unit_weight(u, 64, 64) for u in units]
+    total = sum(weights)
+    for n_stages in (1, 2, 4, 8):
+        plan = unet_pp_plan(cfg, 64, 64, n_stages)
+        assert len(plan) == n_stages
+        assert plan[0][0] == 0 and plan[-1][1] == len(units)
+        for (a, b_), (c, d) in zip(plan, plan[1:]):
+            assert b_ == c
+        # balance: no stage above ~2.2x the ideal FLOP share (the
+        # high-res units are indivisible, so perfect balance is
+        # impossible at high stage counts)
+        shares = [sum(weights[lo:hi]) for lo, hi in plan]
+        assert max(shares) <= 2.2 * total / n_stages + max(weights)
+    with pytest.raises(ValueError, match="n_stages"):
+        unet_pp_plan(cfg, 64, 64, len(units) + 1)
+
+
+@pytest.mark.parametrize("kind", ["sd15", "sdxl"])
+@pytest.mark.parametrize("n_stages", [2, 3, 5])
+def test_unet_pp_matches_single_device(mesh8, kind, n_stages):
+    """Stage decomposition over distinct devices must reproduce the
+    monolithic UNet forward: time/label embedders on stage 0, skips
+    riding the pipe as a tuple of per-level shapes, LIFO consumption
+    across stage boundaries, out head on the last stage."""
+    from cremage_tpu.parallel.pipeline import UNetPP
+
+    model, params, (x, t, ctx, y) = _tiny_unet(kind)
+    want = np.asarray(model.apply(params, x, t, ctx, y), np.float32)
+    pp = UNetPP(model, params, jax.devices()[:n_stages],
+                h=x.shape[1], w=x.shape[2], n_stages=n_stages)
+    got = pp(x, t, ctx, y=y)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_unet_pp_microbatch_and_validation(mesh8):
+    from cremage_tpu.parallel.pipeline import UNetPP
+
+    model, params, (x, t, ctx, y) = _tiny_unet("sd15")
+    want = np.asarray(model.apply(params, x, t, ctx, y), np.float32)
+    pp = UNetPP(model, params, jax.devices()[:2],
+                h=x.shape[1], w=x.shape[2], n_stages=2)
+    got = pp(x, t, ctx, microbatch=1)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+    with pytest.raises(ValueError, match="divide"):
+        pp(x, t, ctx, microbatch=3)
+    with pytest.raises(ValueError, match="stages"):
+        UNetPP(model, params, jax.devices()[:1], h=16, w=16, n_stages=2)
+    import dataclasses as dc
+
+    tome_model = type(model)(dc.replace(model.cfg, tome_ratio=0.5))
+    with pytest.raises(ValueError, match="tome"):
+        UNetPP(tome_model, params, jax.devices()[:2], h=16, w=16)
+    sdxl_model, sdxl_params, (x2, t2, ctx2, y2) = _tiny_unet("sdxl")
+    pp2 = UNetPP(sdxl_model, sdxl_params, jax.devices()[:2], h=16, w=16)
+    with pytest.raises(ValueError, match="vector conditioning"):
+        pp2(x2, t2, ctx2)
+
+
+def test_unet_pp_composes_with_quantized_tree(mesh8):
+    """Stage params are top-level slices of the full tree, so the
+    (code, weight_scale) tuple leaves of an 8-bit-quantized tree ride
+    along unchanged — PP output must match the monolithic forward on
+    the SAME quantized params (the FLUX PP memory story, on the UNet)."""
+    from cremage_tpu.io.quantize import quantize_params_8bit
+    from cremage_tpu.parallel.pipeline import UNetPP
+
+    model, params, (x, t, ctx, y) = _tiny_unet("sd15")
+    qparams, rep = quantize_params_8bit(params, dtype="float8_e4m3",
+                                        min_size=0)
+    assert rep["tensors"] > 0
+    want = np.asarray(model.apply(qparams, x, t, ctx, y), np.float32)
+    pp = UNetPP(model, qparams, jax.devices()[:2],
+                h=x.shape[1], w=x.shape[2], n_stages=2)
+    got = pp(x, t, ctx)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_sd15_pipeline_pp_matches_plain(mesh8):
+    """SD15Pipeline.use_mesh_pp: host-stepped Euler + staged UNet + VAE
+    decode must match the plain single-device generate, txt2img and
+    img2img (stochastic encode uses the same per-image key)."""
+    from tests.test_pipeline_sd15 import base_opts, make_bundle
+    from cremage_tpu.core.config import MODE_IMAGE_TO_IMAGE
+    from cremage_tpu.pipelines.sd15 import SD15Pipeline
+
+    bundle = make_bundle()
+    opts = base_opts(sampler="Euler", sampling_steps=3)
+    plain = SD15Pipeline(bundle).generate(opts)[0][0]
+    pipe = SD15Pipeline(bundle).use_mesh_pp(jax.devices()[:3], n_stages=3)
+    got = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(got, plain, atol=2e-3)
+
+    img = np.random.default_rng(0).random((64, 64, 3)).astype(np.float32)
+    o2 = base_opts(sampler="Euler", sampling_steps=4,
+                   mode=MODE_IMAGE_TO_IMAGE, strength=0.6)
+    plain2 = SD15Pipeline(bundle).generate(o2, init_image=img)[0][0]
+    got2 = pipe.generate(o2, init_image=img)[0][0]
+    np.testing.assert_allclose(got2, plain2, atol=2e-3)
+
+
+def test_sd15_pipeline_pp_rejects(mesh8):
+    from tests.test_pipeline_sd15 import base_opts, make_bundle
+    from cremage_tpu.pipelines.sd15 import SD15Pipeline
+
+    bundle = make_bundle()
+    pipe = SD15Pipeline(bundle).use_mesh_pp(jax.devices()[:2])
+    for bad in (dict(deep_cache=2, sampler="Euler"),
+                dict(tome_ratio=0.5, sampler="Euler"),
+                dict(sampler="DDIM"),
+                dict(sampler="Euler", sampler_s_churn=1.0)):
+        with pytest.raises(ValueError):
+            pipe.generate(base_opts(**bad))
+    with pytest.raises(ValueError, match="one of"):
+        pipe.use_mesh(None)
+    pipe2 = SD15Pipeline(bundle)
+    pipe2.mesh = object()   # any active DP/TP mesh
+    with pytest.raises(ValueError, match="one of"):
+        pipe2.use_mesh_pp(jax.devices()[:2])
+
+
+def test_sdxl_pipeline_pp_matches_plain(mesh8):
+    """SDXLPipeline.use_mesh_pp: host-stepped EulerEDM + VanillaCFG +
+    staged UNet must match plain generate; the refiner leg builds its
+    own UNetPP from the refiner params."""
+    from tests.test_edm_sdxl import make_sdxl_bundle, xl_opts
+    from cremage_tpu.pipelines.sdxl import SDXLPipeline
+
+    bundle = make_sdxl_bundle(with_refiner=True)
+    opts = xl_opts(sampling_steps=3)
+    plain = SDXLPipeline(bundle).generate(opts)[0][0]
+    pipe = SDXLPipeline(bundle).use_mesh_pp(jax.devices()[:3], n_stages=3)
+    got = pipe.generate(opts)[0][0]
+    np.testing.assert_allclose(got, plain, atol=2e-3)
+
+    o2 = xl_opts(refiner_strength=0.3, sampling_steps=4)
+    plain2 = SDXLPipeline(bundle).generate(o2)[0][0]
+    got2 = pipe.generate(o2)[0][0]
+    np.testing.assert_allclose(got2, plain2, atol=2e-3)
+
+
+def test_sdxl_pipeline_pp_rejects(mesh8):
+    from tests.test_edm_sdxl import make_sdxl_bundle, xl_opts
+    from cremage_tpu.pipelines.sdxl import SDXLPipeline
+
+    pipe = SDXLPipeline(make_sdxl_bundle()).use_mesh_pp(jax.devices()[:2])
+    for bad in (dict(deep_cache=2), dict(tome_ratio=0.5),
+                dict(sampler="DPMPP2MSampler"),
+                dict(guider="IdentityGuider"),
+                dict(sampler_s_churn=1.0)):
+        with pytest.raises(ValueError):
+            pipe.generate(xl_opts(**bad))
