@@ -1113,3 +1113,465 @@ class UNetPP:
             outs.append(carry)
         return outs[0] if len(outs) == 1 else jnp.concatenate(
             [jax.device_put(o, self.out_device) for o in outs], axis=0)
+
+
+def _balanced_plan(weights: Sequence[float], n_stages: int) -> List[tuple]:
+    """Contiguous (lo, hi) chunks over a weighted unit chain, greedily
+    balanced by cumulative weight with >= 1 unit per stage."""
+    if not 1 <= n_stages <= len(weights):
+        raise ValueError(
+            f"n_stages must be in [1, {len(weights)}]; got {n_stages}")
+    total = float(sum(weights))
+    plan = []
+    pos, acc = 0, 0.0
+    for s in range(n_stages):
+        target = total * (s + 1) / n_stages
+        hi = pos
+        while hi < len(weights) and (
+                acc + weights[hi] <= target + 1e-9 or hi == pos) and (
+                len(weights) - (hi + 1) >= n_stages - s - 1):
+            acc += weights[hi]
+            hi += 1
+        if s == n_stages - 1:
+            while hi < len(weights):
+                acc += weights[hi]
+                hi += 1
+        plan.append((pos, hi))
+        pos = hi
+    assert pos == len(weights), plan
+    return plan
+
+
+# ---------------- Kandinsky 2.2 decoder pipeline parallelism ----------------
+#
+# Same shape as UNetPP: the decoder UNet flattens to a heterogeneous
+# chain with skips riding the pipe; differences are the module zoo
+# (ScaleShiftResBlock with in-block up/down sampling, AddedKVAttention)
+# and that skip-concat happens BEFORE the res block call.
+
+
+@dataclasses.dataclass(frozen=True)
+class KandinskyUnit:
+    kind: str          # "in0" | "in" | "down" | "mid" | "out" | "up"
+    level: int
+    idx: int           # i within the level (block naming)
+    ds: int
+    ch_in: int
+    ch: int
+    attn: bool = False
+
+
+def kandinsky_unit_list(cfg) -> List[KandinskyUnit]:
+    """Flatten a KandinskyUNetConfig into the exact unit sequence
+    KandinskyUNet executes (models/kandinsky_decoder.py, mode=full)."""
+    boc = cfg.block_out_channels
+    n = len(boc)
+    units = [KandinskyUnit("in0", 0, 0, 1, cfg.in_channels, boc[0])]
+    ch, ds = boc[0], 1
+    for lv in range(n):
+        plain = cfg.first_block_plain and lv == 0
+        for i in range(cfg.layers_per_block):
+            units.append(KandinskyUnit("in", lv, i, ds, ch, boc[lv],
+                                       attn=not plain))
+            ch = boc[lv]
+        if lv != n - 1:
+            units.append(KandinskyUnit("down", lv, 0, ds, ch, ch))
+            ds *= 2
+    units.append(KandinskyUnit("mid", n - 1, 0, ds, ch, ch, attn=True))
+    for lv in range(n - 1, -1, -1):
+        plain = cfg.first_block_plain and lv == 0
+        ds = 2 ** lv
+        for i in range(cfg.layers_per_block + 1):
+            units.append(KandinskyUnit("out", lv, i, ds, ch, boc[lv],
+                                       attn=not plain))
+            ch = boc[lv]
+        if lv != 0:
+            units.append(KandinskyUnit("up", lv, 0, ds, ch, ch))
+    return units
+
+
+def _kandinsky_unit_weight(u: KandinskyUnit, h: int, w: int,
+                           ctx_len: int = 8) -> float:
+    H, W = h // u.ds, w // u.ds
+    n = H * W
+    c = u.ch
+
+    def res(cin, cout, hh, ww):
+        f = 9 * hh * ww * (cin * cout + cout * cout)
+        if cin != cout:
+            f += hh * ww * cin * cout
+        return f
+
+    def attn():
+        # to_q/k/v/out at n tokens + add_k/v at ctx_len tokens
+        return (4 * n * c * c + 2 * ctx_len * c * c
+                + 4 * n * (n + ctx_len) * c)
+
+    if u.kind == "in0":
+        return 9 * n * u.ch_in * c
+    if u.kind == "down":
+        return res(c, c, H // 2, W // 2)
+    if u.kind == "up":
+        return res(c, c, 2 * H, 2 * W)
+    if u.kind == "mid":
+        return 2 * res(c, c, H, W) + attn()
+    cin = u.ch_in + (c if u.kind == "out" else 0)  # skip concat
+    f = res(cin, c, H, W)
+    if u.attn:
+        f += attn()
+    return f
+
+
+class KandinskyStage(nn.Module):
+    """One PP stage of the Kandinsky 2.2 decoder.  Module/param names
+    match models/kandinsky_decoder.py KandinskyUNet exactly."""
+    cfg: Any                       # KandinskyUNetConfig
+    units: tuple                   # tuple of KandinskyUnit
+    first: bool = False
+    last: bool = False
+
+    @nn.compact
+    def __call__(self, carry: Dict[str, Any]):
+        from cremage_tpu.models.kandinsky_decoder import (
+            AddedKVAttention, ScaleShiftResBlock,
+        )
+        from cremage_tpu.models.layers import Conv, GroupNorm
+
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        boc = cfg.block_out_channels
+        n = len(boc)
+
+        if self.first:
+            t_emb = timestep_embedding(carry["t"], boc[0]).astype(cfg.dtype)
+            emb = Dense(cfg.time_embed_dim, name="time_embedding_linear_1",
+                        **dd)(t_emb)
+            emb = Dense(cfg.time_embed_dim, name="time_embedding_linear_2",
+                        **dd)(silu(emb))
+            if "y" in carry:
+                emb = emb + carry["y"].astype(cfg.dtype)
+            h = carry["x"].astype(cfg.dtype)
+            skips: List[jnp.ndarray] = []
+        else:
+            h, emb = carry["h"], carry["emb"]
+            skips = list(carry.get("skips", ()))
+        context = carry["context"].astype(cfg.dtype)
+
+        def attn_mod(name, lv):
+            return AddedKVAttention(heads=boc[lv] // cfg.attention_head_dim,
+                                    name=name, **dd)
+
+        for u in self.units:
+            if u.kind == "in0":
+                h = Conv(boc[0], kernel_size=3, name="conv_in", **dd)(h)
+                skips.append(h)
+            elif u.kind == "in":
+                h = ScaleShiftResBlock(
+                    boc[u.level],
+                    name=f"down_blocks_{u.level}_resnets_{u.idx}",
+                    **dd)(h, emb)
+                if u.attn:
+                    h = attn_mod(
+                        f"down_blocks_{u.level}_attentions_{u.idx}",
+                        u.level)(h, context)
+                skips.append(h)
+            elif u.kind == "down":
+                h = ScaleShiftResBlock(
+                    boc[u.level], sample="down",
+                    name=f"down_blocks_{u.level}_downsamplers_0",
+                    **dd)(h, emb)
+                skips.append(h)
+            elif u.kind == "mid":
+                h = ScaleShiftResBlock(boc[-1], name="mid_block_resnets_0",
+                                       **dd)(h, emb)
+                h = attn_mod("mid_block_attentions_0", n - 1)(h, context)
+                h = ScaleShiftResBlock(boc[-1], name="mid_block_resnets_1",
+                                       **dd)(h, emb)
+            elif u.kind == "out":
+                pos = n - 1 - u.level
+                skip = skips.pop()
+                h = ScaleShiftResBlock(
+                    boc[u.level],
+                    name=f"up_blocks_{pos}_resnets_{u.idx}", **dd,
+                )(jnp.concatenate([h, skip], axis=-1), emb)
+                if u.attn:
+                    h = attn_mod(
+                        f"up_blocks_{pos}_attentions_{u.idx}",
+                        u.level)(h, context)
+            else:  # "up"
+                pos = n - 1 - u.level
+                h = ScaleShiftResBlock(
+                    boc[u.level], sample="up",
+                    name=f"up_blocks_{pos}_upsamplers_0", **dd)(h, emb)
+
+        if self.last:
+            h = silu(GroupNorm(32, name="conv_norm_out")(h))
+            return Conv(cfg.out_channels, kernel_size=3, name="conv_out",
+                        dtype=jnp.float32,
+                        param_dtype=cfg.param_dtype)(h)
+        nxt: Dict[str, Any] = {"h": h, "emb": emb, "context": context}
+        if skips:
+            nxt["skips"] = tuple(skips)
+        return nxt
+
+
+def _kandinsky_stage_param_names(cfg, units: Sequence[KandinskyUnit],
+                                 first: bool, last: bool) -> List[str]:
+    n = len(cfg.block_out_channels)
+    names: List[str] = []
+    if first:
+        names += ["time_embedding_linear_1", "time_embedding_linear_2"]
+    for u in units:
+        if u.kind == "in0":
+            names.append("conv_in")
+        elif u.kind == "in":
+            names.append(f"down_blocks_{u.level}_resnets_{u.idx}")
+            if u.attn:
+                names.append(f"down_blocks_{u.level}_attentions_{u.idx}")
+        elif u.kind == "down":
+            names.append(f"down_blocks_{u.level}_downsamplers_0")
+        elif u.kind == "mid":
+            names += ["mid_block_resnets_0", "mid_block_attentions_0",
+                      "mid_block_resnets_1"]
+        elif u.kind == "out":
+            pos = n - 1 - u.level
+            names.append(f"up_blocks_{pos}_resnets_{u.idx}")
+            if u.attn:
+                names.append(f"up_blocks_{pos}_attentions_{u.idx}")
+        else:
+            names.append(f"up_blocks_{n - 1 - u.level}_upsamplers_0")
+    if last:
+        names += ["conv_norm_out", "conv_out"]
+    return names
+
+
+class KandinskyPP:
+    """Pipeline-parallel Kandinsky 2.2 decoder forward over explicit
+    devices (see FluxPP for the schedule/microbatch contract)."""
+
+    def __init__(self, model, params, devices: Sequence[Any],
+                 h: int, w: int, n_stages: Optional[int] = None):
+        cfg = model.cfg
+        if cfg.tome_ratio > 0:
+            raise ValueError(
+                "tome_ratio does not compose with pipeline parallelism "
+                "(the merge plan is stage-local); use tome without pp")
+        devices = list(devices)
+        n_stages = int(n_stages or len(devices))
+        if n_stages > len(devices):
+            raise ValueError(f"{n_stages} stages need {n_stages} devices, "
+                             f"got {len(devices)}")
+        self.cfg = cfg
+        self.n_stages = n_stages
+        units = kandinsky_unit_list(cfg)
+        weights = [_kandinsky_unit_weight(u, h, w) for u in units]
+        plan = _balanced_plan(weights, n_stages)
+        self.stages: List[_BoundStage] = []
+        for si, (lo, hi) in enumerate(plan):
+            first, last = si == 0, si == n_stages - 1
+            mod = KandinskyStage(cfg, tuple(units[lo:hi]),
+                                 first=first, last=last)
+            sub = _slice_params(params, _kandinsky_stage_param_names(
+                cfg, units[lo:hi], first, last))
+            dev = devices[si]
+            self.stages.append(_BoundStage(
+                fn=jax.jit(mod.apply), params=jax.device_put(sub, dev),
+                freqs=None, device=dev))
+
+    @property
+    def out_device(self):
+        return self.stages[-1].device
+
+    def __call__(self, x, t, context, y=None,
+                 microbatch: Optional[int] = None) -> jnp.ndarray:
+        b = x.shape[0]
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (b,))
+        mb = int(microbatch or b)
+        if b % mb != 0:
+            raise ValueError(f"batch {b} must divide by microbatch {mb}")
+        outs = []
+        for lo in range(0, b, mb):
+            sl = slice(lo, lo + mb)
+            carry: Any = {"x": x[sl], "t": t[sl], "context": context[sl]}
+            if y is not None:
+                carry["y"] = y[sl]
+            for st in self.stages:
+                carry = jax.device_put(carry, st.device)
+                carry = st.fn(st.params, carry)
+            outs.append(carry)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(
+            [jax.device_put(o, self.out_device) for o in outs], axis=0)
+
+
+# ---------------- SVD video UNet pipeline parallelism ----------------
+#
+# The video UNet flattens to the SAME unit chain as the SD UNet
+# (unet_unit_list applies verbatim — block indices, skip push/pop and
+# naming are identical); only the module zoo differs (VideoResBlock,
+# SpatialVideoTransformer) and two extra per-microbatch operands ride
+# the carry: time_context (first-frame context) and the frame count
+# baked into the modules.  The batch axis is B*T frames and temporal
+# attention mixes frames within each num_frames group, so microbatches
+# must align to num_frames.
+
+
+class VideoUNetStage(nn.Module):
+    """One PP stage of the SVD video UNet.  Module/param names match
+    models/video_unet.py VideoUNet exactly."""
+    cfg: Any                       # UNetConfig
+    num_frames: int
+    units: tuple                   # tuple of UNetUnit
+    first: bool = False
+    last: bool = False
+
+    @nn.compact
+    def __call__(self, carry: Dict[str, Any]):
+        from cremage_tpu.models.unet import _heads_for
+        from cremage_tpu.models.video_unet import (
+            Downsample, SpatialVideoTransformer, VideoResBlock,
+        )
+        from cremage_tpu.models.layers import Conv, GroupNorm
+        from cremage_tpu.models.unet import Upsample
+
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        mc = cfg.model_channels
+        tf = self.num_frames
+
+        if self.first:
+            t_emb = timestep_embedding(carry["t"], mc).astype(cfg.dtype)
+            emb = Dense(mc * 4, name="time_embed_0", **dd)(t_emb)
+            emb = Dense(mc * 4, name="time_embed_2", **dd)(silu(emb))
+            if cfg.adm_in_channels:
+                y_emb = Dense(mc * 4, name="label_emb_0_0", **dd)(
+                    carry["y"].astype(cfg.dtype))
+                y_emb = Dense(mc * 4, name="label_emb_0_2",
+                              **dd)(silu(y_emb))
+                emb = emb + y_emb
+            h = carry["x"].astype(cfg.dtype)
+            skips: List[jnp.ndarray] = []
+        else:
+            h, emb = carry["h"], carry["emb"]
+            skips = list(carry.get("skips", ()))
+        context = carry["context"].astype(cfg.dtype)
+        time_context = context[::tf]
+
+        def svt(name, ch, depth):
+            heads, dim_head = _heads_for(ch, cfg)
+            return SpatialVideoTransformer(heads, dim_head, tf,
+                                           depth=depth, name=name, **dd)
+
+        for u in self.units:
+            if u.kind == "in0":
+                h = Conv(mc, name="input_blocks_0_0", **dd)(h)
+                skips.append(h)
+            elif u.kind == "in":
+                h = VideoResBlock(u.ch, tf,
+                                  name=f"input_blocks_{u.block_idx}_0",
+                                  **dd)(h, emb, None)
+                if u.attn_depth:
+                    h = svt(f"input_blocks_{u.block_idx}_1", u.ch,
+                            u.attn_depth)(h, context, time_context, None)
+                skips.append(h)
+            elif u.kind == "down":
+                h = Downsample(u.ch, name=f"input_blocks_{u.block_idx}_0",
+                               **dd)(h)
+                skips.append(h)
+            elif u.kind == "mid":
+                h = VideoResBlock(u.ch, tf, name="middle_block_0",
+                                  **dd)(h, emb, None)
+                h = svt("middle_block_1", u.ch,
+                        u.attn_depth)(h, context, time_context, None)
+                h = VideoResBlock(u.ch, tf, name="middle_block_2",
+                                  **dd)(h, emb, None)
+            else:  # "out"
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
+                h = VideoResBlock(u.ch, tf,
+                                  name=f"output_blocks_{u.block_idx}_0",
+                                  **dd)(h, emb, None)
+                sub = 1
+                if u.attn_depth:
+                    h = svt(f"output_blocks_{u.block_idx}_1", u.ch,
+                            u.attn_depth)(h, context, time_context, None)
+                    sub = 2
+                if u.has_up:
+                    h = Upsample(
+                        u.ch, name=f"output_blocks_{u.block_idx}_{sub}",
+                        **dd)(h)
+
+        if self.last:
+            h = GroupNorm(num_groups=32, fuse_silu=True, name="out_0")(h)
+            return Conv(cfg.out_channels, name="out_2", **dd)(h)
+        nxt: Dict[str, Any] = {"h": h, "emb": emb, "context": context}
+        if skips:
+            nxt["skips"] = tuple(skips)
+        return nxt
+
+
+class VideoUNetPP:
+    """Pipeline-parallel SVD video UNet forward over explicit devices.
+    The unit chain/plan is UNetPP's; microbatches must be multiples of
+    num_frames (temporal attention mixes frames within a group)."""
+
+    def __init__(self, model, params, devices: Sequence[Any],
+                 h: int, w: int, n_stages: Optional[int] = None):
+        cfg = model.cfg
+        if cfg.tome_ratio > 0:
+            raise ValueError(
+                "tome_ratio does not compose with pipeline parallelism "
+                "(the merge plan is stage-local); use tome without pp")
+        devices = list(devices)
+        n_stages = int(n_stages or len(devices))
+        if n_stages > len(devices):
+            raise ValueError(f"{n_stages} stages need {n_stages} devices, "
+                             f"got {len(devices)}")
+        self.cfg = cfg
+        self.num_frames = model.num_frames
+        self.n_stages = n_stages
+        units = unet_unit_list(cfg)
+        plan = unet_pp_plan(cfg, h, w, n_stages)
+        self.stages: List[_BoundStage] = []
+        for si, (lo, hi) in enumerate(plan):
+            first, last = si == 0, si == n_stages - 1
+            mod = VideoUNetStage(cfg, self.num_frames, tuple(units[lo:hi]),
+                                 first=first, last=last)
+            sub = _slice_params(params, _unet_stage_param_names(
+                cfg, units[lo:hi], first, last))
+            dev = devices[si]
+            self.stages.append(_BoundStage(
+                fn=jax.jit(mod.apply), params=jax.device_put(sub, dev),
+                freqs=None, device=dev))
+
+    @property
+    def out_device(self):
+        return self.stages[-1].device
+
+    def __call__(self, x, t, context, y=None,
+                 microbatch: Optional[int] = None) -> jnp.ndarray:
+        b = x.shape[0]
+        t = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (b,))
+        if b % self.num_frames != 0:
+            raise ValueError(
+                f"batch {b} must be a multiple of num_frames "
+                f"{self.num_frames} (frames ride the batch axis)")
+        mb = int(microbatch or b)
+        if b % mb != 0:
+            raise ValueError(f"batch {b} must divide by microbatch {mb}")
+        if mb % self.num_frames != 0:
+            raise ValueError(
+                f"microbatch {mb} must be a multiple of num_frames "
+                f"{self.num_frames} (temporal attention mixes frames "
+                "within a group)")
+        outs = []
+        for lo in range(0, b, mb):
+            sl = slice(lo, lo + mb)
+            carry: Any = {"x": x[sl], "t": t[sl], "context": context[sl]}
+            if self.cfg.adm_in_channels:
+                carry["y"] = y[sl]
+            for st in self.stages:
+                carry = jax.device_put(carry, st.device)
+                carry = st.fn(st.params, carry)
+            outs.append(carry)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(
+            [jax.device_put(o, self.out_device) for o in outs], axis=0)

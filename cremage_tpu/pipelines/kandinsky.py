@@ -82,6 +82,27 @@ class KandinskyPipeline:
         self.safety = safety or default_image_safety()
         self._cache: Dict[Tuple, Callable] = {}
         self._current_status: Callable = _noop
+        self.pp_devices = None
+        self.pp_n_stages: Optional[int] = None
+        self.pp_microbatch: Optional[int] = None
+        self._pp_cache: Dict[Tuple, Any] = {}
+
+    def use_mesh_pp(self, devices, n_stages: Optional[int] = None,
+                    microbatch: Optional[int] = None):
+        """Pipeline-parallel decoder deployment (parallel/pipeline.py
+        KandinskyPP): the flattened decoder UNet partitioned into
+        FLOP-balanced contiguous stages on committed devices.  The
+        prior (~3% of wall time) stays single-device.  Sampling is
+        host-stepped, so only the deterministic Euler sampler is
+        supported; excludes tome_ratio / deep_cache."""
+        if hasattr(devices, "devices"):  # a Mesh
+            devices = list(np.asarray(devices.devices).flat)
+        self.pp_devices = list(devices)
+        self.pp_n_stages = n_stages
+        self.pp_microbatch = microbatch
+        self._cache.clear()
+        self._pp_cache.clear()
+        return self
 
     # ---------------- prior ----------------
 
@@ -150,6 +171,60 @@ class KandinskyPipeline:
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
+
+        if self.pp_devices is not None:
+            if use_dc:
+                raise ValueError(
+                    "deep_cache does not compose with use_mesh_pp (the "
+                    "cache boundary is stage-local)")
+            if tr > 0:
+                raise ValueError(
+                    "tome_ratio does not compose with use_mesh_pp (the "
+                    "merge plan is stage-local)")
+            if name != "Euler":
+                raise ValueError(
+                    "use_mesh_pp sampling is host-stepped and supports "
+                    f"the Euler sampler only, got {name!r}")
+            from cremage_tpu.models.kandinsky_decoder import KandinskyUNet
+            from cremage_tpu.parallel.pipeline import KandinskyPP, UNetPP
+
+            geom = (int(shape[1]), int(shape[2]))
+            pp = self._pp_cache.get(geom)
+            if pp is None:
+                # the production decoder is a KandinskyUNet
+                # (loader.py:830); UNetModel stand-ins (tests / custom
+                # bundles) take the generic UNet staging
+                cls = (KandinskyPP if isinstance(b.decoder, KandinskyUNet)
+                       else UNetPP)
+                pp = cls(b.decoder, b.decoder_params,
+                         self.pp_devices, h=geom[0], w=geom[1],
+                         n_stages=self.pp_n_stages)
+                self._pp_cache[geom] = pp
+            mb = self.pp_microbatch
+            sig = np.asarray(sigmas, np.float64)
+
+            def run_pp(params, x, img_embed, neg_embed, key):
+                def eps_model(xx, tt, cond):
+                    if b.image_cond is not None:
+                        tvec, ctx = b.image_cond.apply(
+                            b.image_cond_params, cond)
+                    else:
+                        ctx, tvec = cond[:, None, :], cond
+                    out = pp(xx, tt, ctx, y=tvec, microbatch=mb)
+                    return out[..., : xx.shape[-1]]   # eps half
+
+                den = cfg_denoiser(EpsDenoiser(eps_model, sched),
+                                   img_embed, neg_embed, scale)
+                xx = jax.device_put(jnp.asarray(x, jnp.float32),
+                                    pp.out_device)
+                for i in range(len(sig) - 1):
+                    d_i = den(xx, jnp.asarray(float(sig[i]), jnp.float32))
+                    d = (xx - d_i.astype(jnp.float32)) / float(sig[i])
+                    xx = xx + d * float(sig[i + 1] - sig[i])
+                    progress(i)
+                return xx
+
+            return run_pp, sigmas
 
         def run(params, x, img_embed, neg_embed, key):
             def eps_model(xx, tt, cond, **mk):

@@ -79,6 +79,28 @@ class SVDPipeline:
     def __init__(self, bundle: SVDBundle):
         self.bundle = bundle
         self._cache: Dict[Tuple, Callable] = {}
+        self.pp_devices = None
+        self.pp_n_stages: Optional[int] = None
+        self.pp_microbatch: Optional[int] = None
+        self._pp_cache: Dict[Tuple, Any] = {}
+
+    def use_mesh_pp(self, devices, n_stages: Optional[int] = None,
+                    microbatch: Optional[int] = None):
+        """Pipeline-parallel deployment (parallel/pipeline.py
+        VideoUNetPP): the flattened video UNet partitioned into
+        FLOP-balanced contiguous stages on committed devices; the frame
+        axis is the batch, so microbatches align to num_frames (the
+        guider's [uc; c] doubling gives two frame-groups to stream).
+        Host-stepped deterministic EulerEDM; excludes tome_ratio /
+        deep_cache."""
+        if hasattr(devices, "devices"):  # a Mesh
+            devices = list(np.asarray(devices.devices).flat)
+        self.pp_devices = list(devices)
+        self.pp_n_stages = n_stages
+        self.pp_microbatch = microbatch
+        self._cache.clear()
+        self._pp_cache.clear()
+        return self
         self._current_status: Callable = _noop
 
     def _image_embedding(self, image01: np.ndarray) -> np.ndarray:
@@ -117,6 +139,72 @@ class SVDPipeline:
 
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
+
+        if self.pp_devices is not None:
+            if dc >= 2:
+                raise ValueError(
+                    "deep_cache does not compose with use_mesh_pp (the "
+                    "cache boundary is stage-local)")
+            if tr > 0:
+                raise ValueError(
+                    "tome_ratio does not compose with use_mesh_pp (the "
+                    "merge plan is stage-local)")
+            from cremage_tpu.parallel.pipeline import VideoUNetPP
+
+            pp_unet = unet
+            if pp_unet.num_frames != t_frames:
+                pp_unet = VideoUNet(pp_unet.cfg, num_frames=t_frames)
+            geom = (int(shape[1]), int(shape[2]), t_frames)
+            pp = self._pp_cache.get(geom)
+            if pp is None:
+                pp = VideoUNetPP(pp_unet, self.bundle.unet_params,
+                                 self.pp_devices, h=geom[0], w=geom[1],
+                                 n_stages=self.pp_n_stages)
+                self._pp_cache[geom] = pp
+            mb = self.pp_microbatch
+            sig = np.asarray(sigmas, np.float64)
+
+            def run_pp(params, x, ctx, vector, concat, key):
+                def network(xx, c_noise, cond):
+                    xin = jnp.concatenate(
+                        [xx, cond["concat"].astype(xx.dtype)], axis=-1)
+                    return pp(xin, c_noise, cond["crossattn"],
+                              y=cond["vector"], microbatch=mb)
+
+                def denoiser(xx, sigma, cond):
+                    sigma = jnp.broadcast_to(
+                        jnp.asarray(sigma, jnp.float32), (xx.shape[0],))
+                    s = sigma.reshape(-1, 1, 1, 1)
+                    c_skip = 1.0 / (s**2 + 1.0)
+                    c_out = -s / jnp.sqrt(s**2 + 1.0)
+                    c_in = 1.0 / jnp.sqrt(s**2 + 1.0)
+                    c_noise = 0.25 * jnp.log(sigma)
+                    v = network(xx * c_in, c_noise, cond)
+                    return v.astype(jnp.float32) * c_out + xx * c_skip
+
+                c = {"crossattn": ctx, "vector": vector, "concat": concat}
+                uc = {"crossattn": jnp.zeros_like(ctx), "vector": vector,
+                      "concat": jnp.zeros_like(concat)}
+                denoise = EDM.linear_prediction_guider(
+                    denoiser, c, uc, scale=opts.max_guidance_scale,
+                    num_frames=t_frames,
+                    min_scale=opts.min_guidance_scale,
+                    max_scale=opts.max_guidance_scale,
+                )
+                # run_sgm_sampler's prepare_sampling_loop scaling + the
+                # s_churn=0 Euler body, host-stepped
+                xx = jnp.asarray(x, jnp.float32) * float(
+                    np.sqrt(1.0 + sig[0] ** 2))
+                xx = jax.device_put(xx, pp.out_device)
+                for i in range(len(sig) - 1):
+                    den = denoise(xx, jnp.asarray(float(sig[i]),
+                                                  jnp.float32))
+                    d = (xx - den.astype(jnp.float32)) / float(sig[i])
+                    xx = xx + d * float(sig[i + 1] - sig[i])
+                    progress(i)
+                return xx
+
+            return run_pp
 
         def run(params, x, ctx, vector, concat, key):
             def network(xx, c_noise, cond, **uk):

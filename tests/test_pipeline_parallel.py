@@ -649,3 +649,131 @@ def test_sdxl_pipeline_pp_rejects(mesh8):
                 dict(sampler_s_churn=1.0)):
         with pytest.raises(ValueError):
             pipe.generate(xl_opts(**bad))
+
+
+# ---------- Kandinsky decoder + SVD video UNet pipeline parallelism ----------
+
+
+def _tiny_kandinsky_unet():
+    from cremage_tpu.models.kandinsky_decoder import (
+        KandinskyUNet, KandinskyUNetConfig,
+    )
+
+    cfg = KandinskyUNetConfig(in_channels=4, out_channels=8,
+                              block_out_channels=(32, 64, 96, 128),
+                              layers_per_block=2, context_dim=24,
+                              attention_head_dim=16, dtype=jnp.float32)
+    model = KandinskyUNet(cfg)
+    b, h, w = 2, 16, 16
+    x = jax.random.normal(jax.random.key(0), (b, h, w, 4))
+    t = jnp.array([3.0, 7.0])
+    ctx = jax.random.normal(jax.random.key(1), (b, 5, 24))
+    y = jax.random.normal(jax.random.key(2), (b, cfg.time_embed_dim))
+    params = model.init(jax.random.key(3), x, t, ctx, y)
+    return model, params, (x, t, ctx, y)
+
+
+@pytest.mark.parametrize("n_stages", [2, 3, 5])
+def test_kandinsky_pp_matches_single_device(mesh8, n_stages):
+    """KandinskyPP over the real decoder anatomy (ScaleShiftResBlocks
+    with in-block up/down sampling, AddedKVAttention, plain first
+    level): staged forward == monolithic."""
+    from cremage_tpu.parallel.pipeline import KandinskyPP
+
+    model, params, (x, t, ctx, y) = _tiny_kandinsky_unet()
+    want = np.asarray(model.apply(params, x, t, ctx, y), np.float32)
+    pp = KandinskyPP(model, params, jax.devices()[:n_stages],
+                     h=x.shape[1], w=x.shape[2], n_stages=n_stages)
+    got = pp(x, t, ctx, y=y, microbatch=1 if n_stages == 2 else None)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_kandinsky_pipeline_pp_matches_plain(mesh8):
+    """KandinskyPipeline.use_mesh_pp (UNetModel stand-in decoder routes
+    through UNetPP; the production KandinskyUNet through KandinskyPP):
+    host-stepped Euler == plain generate, txt2img + img2img."""
+    from tests.test_family_pipelines import make_kandinsky, opts
+    from cremage_tpu.core.config import MODE_IMAGE_TO_IMAGE
+    from cremage_tpu.pipelines.kandinsky import KandinskyPipeline
+
+    o = opts(sampler="Euler", sampling_steps=3)
+    plain = KandinskyPipeline(make_kandinsky()).generate(o)[0][0]
+    pipe = KandinskyPipeline(make_kandinsky()).use_mesh_pp(
+        jax.devices()[:2], n_stages=2)
+    got = pipe.generate(o)[0][0]
+    np.testing.assert_allclose(got, plain, atol=2e-3)
+
+    init = np.random.RandomState(0).uniform(
+        -1, 1, (64, 64, 3)).astype(np.float32)
+    o2 = opts(sampler="Euler", sampling_steps=4,
+              mode=MODE_IMAGE_TO_IMAGE, strength=0.5)
+    p2 = KandinskyPipeline(make_kandinsky()).generate(
+        o2, init_image=init)[0][0]
+    g2 = pipe.generate(o2, init_image=init)[0][0]
+    np.testing.assert_allclose(g2, p2, atol=2e-3)
+
+
+def test_kandinsky_pipeline_pp_rejects(mesh8):
+    from tests.test_family_pipelines import make_kandinsky, opts
+    from cremage_tpu.pipelines.kandinsky import KandinskyPipeline
+
+    pipe = KandinskyPipeline(make_kandinsky()).use_mesh_pp(
+        jax.devices()[:2])
+    for bad in (dict(deep_cache=2, sampler="Euler"),
+                dict(tome_ratio=0.5, sampler="Euler"),
+                dict(sampler="Euler A")):
+        with pytest.raises(ValueError):
+            pipe.generate(opts(**bad))
+
+
+def test_video_unet_pp_matches_single_device(mesh8):
+    """VideoUNetPP: the staged video UNet must reproduce the monolithic
+    forward including temporal attention whose frame groups ride whole
+    inside each microbatch."""
+    from tests.test_svd import T, tiny_video_unet
+    from cremage_tpu.parallel.pipeline import VideoUNetPP
+
+    model, params = tiny_video_unet()
+    bt = 2 * T
+    ks = jax.random.split(jax.random.key(5), 4)
+    x = jax.random.normal(ks[0], (bt, 8, 8, 8))
+    t = jnp.full((bt,), 0.4)
+    ctx = jax.random.normal(ks[1], (bt, 1, model.cfg.context_dim))
+    y = jax.random.normal(ks[2], (bt, model.cfg.adm_in_channels))
+    want = np.asarray(model.apply(params, x, t, ctx, y), np.float32)
+    for n_stages, mb in ((2, None), (3, T)):
+        pp = VideoUNetPP(model, params, jax.devices()[:n_stages],
+                         h=8, w=8, n_stages=n_stages)
+        got = pp(x, t, ctx, y=y, microbatch=mb)
+        np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                                   atol=3e-5, rtol=3e-5)
+    pp = VideoUNetPP(model, params, jax.devices()[:2], h=8, w=8)
+    with pytest.raises(ValueError, match="num_frames"):
+        pp(x, t, ctx, y=y, microbatch=2)   # T=3: breaks a frame group
+
+
+def test_svd_pipeline_pp_matches_plain(mesh8, tmp_path):
+    """SVDPipeline.use_mesh_pp: host-stepped EulerEDM + frame-axis
+    microbatching == plain sample()."""
+    from tests.test_svd import T, tiny_video_unet
+    from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+    from cremage_tpu.pipelines.svd import SVDBundle, SVDOptions, SVDPipeline
+
+    m, params = tiny_video_unet()
+    vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 1, 1, 1),
+                                  num_res_blocks=1, dtype=jnp.float32))
+    vp = vae.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)))
+    bundle = SVDBundle(unet=m, unet_params=params, vae=vae, vae_params=vp)
+    img = np.random.RandomState(0).uniform(
+        0, 1, (64, 64, 3)).astype(np.float32)
+    so = SVDOptions(num_frames=T, num_steps=2, seed=4)
+    plain = SVDPipeline(bundle).sample(img, so)
+    pipe = SVDPipeline(bundle).use_mesh_pp(jax.devices()[:2], n_stages=2,
+                                           microbatch=T)
+    got = pipe.sample(img, so)
+    np.testing.assert_allclose(got, plain, atol=2e-3)
+    for bad in (dict(deep_cache=2), dict(tome_ratio=0.5)):
+        with pytest.raises(ValueError):
+            pipe.sample(img, SVDOptions(num_frames=T, num_steps=2,
+                                        seed=4, **bad))
