@@ -1575,3 +1575,428 @@ class VideoUNetPP:
             outs.append(carry)
         return outs[0] if len(outs) == 1 else jnp.concatenate(
             [jax.device_put(o, self.out_device) for o in outs], axis=0)
+
+
+# ---------------- Stable Cascade (Würstchen B/C) pipeline parallelism ----------------
+#
+# The Würstchen trunks are flat chains of (Res, Time[, Attn]) groups
+# with ONE skip per resolution level, consumed by index (not LIFO) on
+# the way up — and levels with repeat-mappers re-run the same groups,
+# so those levels are atomic units (their params cannot be split
+# without re-entering the stage).  All group params are root-level
+# names (the trunk runs in the caller's compact scope), so stage params
+# remain top-level slices.
+
+
+@dataclasses.dataclass(frozen=True)
+class CascadeUnit:
+    kind: str          # "dscale" | "dgroup" | "dlevel" | "ugroup" | "ulevel" | "uscale"
+    level: int         # lv for down units, pos for up units
+    idx: int = 0
+    push_skip: bool = False
+    take_skip: bool = False
+
+
+def _cascade_attn_levels(cfg) -> tuple:
+    return tuple(getattr(cfg, "attn_levels", range(len(cfg.c_hidden))))
+
+
+def cascade_unit_list(cfg) -> List[CascadeUnit]:
+    """Flatten a StageB/StageC config into the exact unit sequence
+    _run_trunk executes (models/cascade.py:248, mode=full).  Skips are
+    pushed after the last unit of each down level (deepest level's skip
+    is never consumed — not pushed) and taken by the first group of the
+    matching up level."""
+    n = len(cfg.c_hidden)
+    units: List[CascadeUnit] = []
+    for lv in range(n):
+        if lv > 0:
+            units.append(CascadeUnit("dscale", lv))
+        reps = cfg.down_repeats[lv]
+        pushes = lv < n - 1
+        if reps == 1:
+            for i in range(cfg.blocks[lv]):
+                units.append(CascadeUnit(
+                    "dgroup", lv, i,
+                    push_skip=pushes and i == cfg.blocks[lv] - 1))
+        else:
+            units.append(CascadeUnit("dlevel", lv, push_skip=pushes))
+    blocks_up = cfg.blocks[::-1]
+    for pos in range(n):
+        lv = n - 1 - pos
+        reps = cfg.up_repeats[pos]
+        take = pos > 0
+        if reps == 1:
+            for i in range(blocks_up[pos]):
+                units.append(CascadeUnit("ugroup", pos, i,
+                                         take_skip=take and i == 0))
+        else:
+            units.append(CascadeUnit("ulevel", pos, take_skip=take))
+        if lv > 0:
+            units.append(CascadeUnit("uscale", pos))
+    return units
+
+
+def _cascade_unit_weight(u: CascadeUnit, cfg, h: int, w: int) -> float:
+    n = len(cfg.c_hidden)
+    attn_levels = _cascade_attn_levels(cfg)
+    p = cfg.patch_size
+    h, w = h // p, w // p
+
+    def group_w(lv):
+        c = cfg.c_hidden[lv]
+        H, W = h // 2 ** lv, w // 2 ** lv
+        N = H * W
+        f = 9 * N * c + 8 * N * c * c        # depthwise conv + GRN mlp
+        if lv in attn_levels:
+            M = 12                           # cond tokens (approx)
+            f += 4 * N * c * c + 4 * N * (N + M) * c + 2 * M * c * c
+        return f
+
+    if u.kind == "dscale":
+        lv = u.level
+        H, W = h // 2 ** lv, w // 2 ** lv
+        return H * W * cfg.c_hidden[lv - 1] * cfg.c_hidden[lv]
+    if u.kind == "uscale":
+        lv = n - 1 - u.level
+        H, W = h // 2 ** lv, w // 2 ** lv
+        return 4 * H * W * cfg.c_hidden[lv] * cfg.c_hidden[lv - 1]
+    if u.kind == "dgroup":
+        return group_w(u.level)
+    if u.kind == "dlevel":
+        return cfg.down_repeats[u.level] * cfg.blocks[u.level] * \
+            group_w(u.level)
+    lv = n - 1 - u.level
+    if u.kind == "ugroup":
+        return group_w(lv)
+    return cfg.up_repeats[u.level] * cfg.blocks[::-1][u.level] * group_w(lv)
+
+
+class CascadeStage(nn.Module):
+    """One PP stage of a Würstchen trunk.  Module/param names match
+    models/cascade.py StageB/StageC exactly (root-level)."""
+    kind: str                     # "b" | "c"
+    cfg: Any
+    units: tuple                  # tuple of CascadeUnit
+    first: bool = False
+    last: bool = False
+
+    @nn.compact
+    def __call__(self, carry: Dict[str, Any]):
+        from cremage_tpu.models.cascade import (
+            CascadeAttnBlock, CascadeResBlock, CascadeTimestepBlock,
+            ConvTranspose2x2, _channel_ln, _pixel_shuffle, _pixel_unshuffle,
+            _resize_bilinear_ac,
+        )
+        from cremage_tpu.models.layers import Conv
+
+        cfg = self.cfg
+        dd = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        n = len(cfg.c_hidden)
+        attn_levels = _cascade_attn_levels(cfg)
+
+        if self.first:
+            r = carry["r"]
+            b = carry["x"].shape[0]
+            if self.kind == "c":
+                txt = Dense(cfg.c_cond, name="clip_txt_mapper", **dd)(
+                    carry["clip_text"].astype(cfg.dtype))
+                pooled = Dense(4 * cfg.c_cond, name="clip_txt_pooled_mapper",
+                               **dd)(carry["clip_text_pooled"].astype(
+                                   cfg.dtype)).reshape(b, 4, cfg.c_cond)
+                streams = [txt, pooled]
+                if "clip_img" in carry:
+                    img = Dense(4 * cfg.c_cond, name="clip_img_mapper",
+                                **dd)(carry["clip_img"].astype(
+                                    cfg.dtype)).reshape(b, 4, cfg.c_cond)
+                    streams.append(img)
+                cond = _channel_ln(jnp.concatenate(streams, axis=1))
+            else:
+                pooled = Dense(4 * cfg.c_cond, name="clip_txt_pooled_mapper",
+                               **dd)(carry["clip_text_pooled"].astype(
+                                   cfg.dtype)).reshape(b, 4, cfg.c_cond)
+                cond = _channel_ln(pooled)
+            zeros = jnp.zeros_like(r)
+            parts = [timestep_embedding(r, cfg.c_r)]
+            for cname in cfg.conds:
+                parts.append(timestep_embedding(carry.get(cname, zeros),
+                                                cfg.c_r))
+            r_embed = jnp.concatenate(parts, axis=-1)
+            p = cfg.patch_size
+            h = carry["x"].astype(cfg.dtype)
+            if p > 1:
+                h = _pixel_unshuffle(h, p)
+            h = Conv(cfg.c_hidden[0], kernel_size=1, padding=0,
+                     name="embedding_1", **dd)(h)
+            h = _channel_ln(h)
+            if self.kind == "b":
+                hh, ww = h.shape[1], h.shape[2]
+                eff = _resize_bilinear_ac(
+                    carry["effnet"].astype(cfg.dtype), hh, ww)
+                eff = Conv(4 * cfg.c_hidden[0], kernel_size=1, padding=0,
+                           name="effnet_mapper_0", **dd)(eff)
+                eff = nn.gelu(eff, approximate=False)
+                eff = Conv(cfg.c_hidden[0], kernel_size=1, padding=0,
+                           name="effnet_mapper_2", **dd)(eff)
+                h = h + _channel_ln(eff)
+                pixels = carry.get("pixels")
+                if pixels is None:
+                    pixels = jnp.zeros((b, 8, 8, cfg.pixels_channels),
+                                       cfg.dtype)
+                px = Conv(4 * cfg.c_hidden[0], kernel_size=1, padding=0,
+                          name="pixels_mapper_0",
+                          **dd)(pixels.astype(cfg.dtype))
+                px = nn.gelu(px, approximate=False)
+                px = Conv(cfg.c_hidden[0], kernel_size=1, padding=0,
+                          name="pixels_mapper_2", **dd)(px)
+                h = h + _resize_bilinear_ac(_channel_ln(px), hh, ww)
+            skips: Dict[str, jnp.ndarray] = {}
+        else:
+            h, r_embed, cond = carry["h"], carry["r_embed"], carry["cond"]
+            skips = dict(carry.get("skips", {}))
+
+        def group(pre, c, skip_channels, with_attn, lv):
+            res = CascadeResBlock(c, skip_channels=skip_channels,
+                                  name=pre + "_res", **dd)
+            tim = CascadeTimestepBlock(c, cfg.c_r, cfg.conds,
+                                       name=pre + "_time", **dd)
+            att = (CascadeAttnBlock(c, cfg.c_cond, cfg.num_heads,
+                                    name=pre + "_attn", **dd)
+                   if with_attn else None)
+            return res, tim, att
+
+        for u in self.units:
+            if u.kind == "dscale":
+                lv = u.level
+                h = Conv(cfg.c_hidden[lv], kernel_size=2, stride=2,
+                         padding=0, name=f"downscalers_{lv}_1",
+                         **dd)(_channel_ln(h))
+            elif u.kind == "dgroup":
+                lv = u.level
+                res, tim, att = group(f"down_blocks_{lv}_{u.idx}",
+                                      cfg.c_hidden[lv], 0,
+                                      lv in attn_levels, lv)
+                h = res(h)
+                h = tim(h, r_embed)
+                if att is not None:
+                    h = att(h, cond)
+                if u.push_skip:
+                    skips[str(lv)] = h
+            elif u.kind == "dlevel":
+                lv = u.level
+                c = cfg.c_hidden[lv]
+                groups = [group(f"down_blocks_{lv}_{i}", c, 0,
+                                lv in attn_levels, lv)
+                          for i in range(cfg.blocks[lv])]
+                reps = cfg.down_repeats[lv]
+                mappers = [Conv(c, kernel_size=1, padding=0,
+                                name=f"down_repeat_mappers_{lv}_{j}", **dd)
+                           for j in range(reps - 1)]
+                for j in range(reps):
+                    for res, tim, att in groups:
+                        h = res(h)
+                        h = tim(h, r_embed)
+                        if att is not None:
+                            h = att(h, cond)
+                    if j < reps - 1:
+                        h = mappers[j](h)
+                if u.push_skip:
+                    skips[str(lv)] = h
+            elif u.kind == "ugroup":
+                pos = u.level
+                lv = n - 1 - pos
+                c = cfg.c_hidden[lv]
+                skip = skips.pop(str(lv)) if u.take_skip else None
+                res, tim, att = group(f"up_blocks_{pos}_{u.idx}", c,
+                                      c if skip is not None else 0,
+                                      lv in attn_levels, lv)
+                h = res(h, skip)
+                h = tim(h, r_embed)
+                if att is not None:
+                    h = att(h, cond)
+            elif u.kind == "ulevel":
+                pos = u.level
+                lv = n - 1 - pos
+                c = cfg.c_hidden[lv]
+                skip = skips.pop(str(lv)) if u.take_skip else None
+                nblocks = cfg.blocks[::-1][pos]
+                groups = [group(f"up_blocks_{pos}_{i}", c,
+                                c if (skip is not None and i == 0) else 0,
+                                lv in attn_levels, lv)
+                          for i in range(nblocks)]
+                reps = cfg.up_repeats[pos]
+                mappers = [Conv(c, kernel_size=1, padding=0,
+                                name=f"up_repeat_mappers_{pos}_{j}", **dd)
+                           for j in range(reps - 1)]
+                for j in range(reps):
+                    for i, (res, tim, att) in enumerate(groups):
+                        # the first res block re-concats the skip on
+                        # EVERY repeat (_up_decode semantics)
+                        h = res(h, skip if i == 0 else None)
+                        h = tim(h, r_embed)
+                        if att is not None:
+                            h = att(h, cond)
+                    if j < reps - 1:
+                        h = mappers[j](h)
+            else:  # "uscale"
+                pos = u.level
+                lv = n - 1 - pos
+                h = ConvTranspose2x2(cfg.c_hidden[lv - 1],
+                                     name=f"upscalers_{pos}_1",
+                                     **dd)(_channel_ln(h))
+
+        if self.last:
+            p = cfg.patch_size
+            out = Conv(cfg.out_channels * p * p, kernel_size=1, padding=0,
+                       name="clf_1", dtype=jnp.float32,
+                       param_dtype=cfg.param_dtype)(_channel_ln(h))
+            if p > 1:
+                out = _pixel_shuffle(out, p)
+            return out
+        nxt: Dict[str, Any] = {"h": h, "r_embed": r_embed, "cond": cond}
+        if skips:
+            nxt["skips"] = skips
+        return nxt
+
+
+def _cascade_stage_param_names(kind: str, cfg,
+                               units: Sequence[CascadeUnit],
+                               first: bool, last: bool) -> List[str]:
+    n = len(cfg.c_hidden)
+    names: List[str] = []
+    if first:
+        names += ["clip_txt_pooled_mapper", "embedding_1"]
+        if kind == "c":
+            # clip_img_mapper exists only when the checkpoint carries it;
+            # _slice_params skips absent keys
+            names += ["clip_txt_mapper", "clip_img_mapper"]
+        else:
+            names += ["effnet_mapper_0", "effnet_mapper_2",
+                      "pixels_mapper_0", "pixels_mapper_2"]
+    attn_levels = _cascade_attn_levels(cfg)
+
+    def group_names(pre, lv):
+        out = [pre + "_res", pre + "_time"]
+        if lv in attn_levels:
+            out.append(pre + "_attn")
+        return out
+
+    for u in units:
+        if u.kind == "dscale":
+            names.append(f"downscalers_{u.level}_1")
+        elif u.kind == "dgroup":
+            names += group_names(f"down_blocks_{u.level}_{u.idx}", u.level)
+        elif u.kind == "dlevel":
+            for i in range(cfg.blocks[u.level]):
+                names += group_names(f"down_blocks_{u.level}_{i}", u.level)
+            names += [f"down_repeat_mappers_{u.level}_{j}"
+                      for j in range(cfg.down_repeats[u.level] - 1)]
+        elif u.kind == "ugroup":
+            names += group_names(f"up_blocks_{u.level}_{u.idx}",
+                                 n - 1 - u.level)
+        elif u.kind == "ulevel":
+            for i in range(cfg.blocks[::-1][u.level]):
+                names += group_names(f"up_blocks_{u.level}_{i}",
+                                     n - 1 - u.level)
+            names += [f"up_repeat_mappers_{u.level}_{j}"
+                      for j in range(cfg.up_repeats[u.level] - 1)]
+        else:
+            names.append(f"upscalers_{u.level}_1")
+    if last:
+        names.append("clf_1")
+    return names
+
+
+class _CascadePPBase:
+    kind = "c"
+
+    def __init__(self, model, params, devices: Sequence[Any],
+                 h: int, w: int, n_stages: Optional[int] = None):
+        cfg = model.cfg
+        if cfg.tome_ratio > 0:
+            raise ValueError(
+                "tome_ratio does not compose with pipeline parallelism "
+                "(the merge plan is stage-local); use tome without pp")
+        devices = list(devices)
+        n_stages = int(n_stages or len(devices))
+        if n_stages > len(devices):
+            raise ValueError(f"{n_stages} stages need {n_stages} devices, "
+                             f"got {len(devices)}")
+        self.cfg = cfg
+        self.n_stages = n_stages
+        units = cascade_unit_list(cfg)
+        weights = [_cascade_unit_weight(u, cfg, h, w) for u in units]
+        plan = _balanced_plan(weights, n_stages)
+        self.stages: List[_BoundStage] = []
+        for si, (lo, hi) in enumerate(plan):
+            first, last = si == 0, si == n_stages - 1
+            mod = CascadeStage(self.kind, cfg, tuple(units[lo:hi]),
+                               first=first, last=last)
+            sub = _slice_params(params, _cascade_stage_param_names(
+                self.kind, cfg, units[lo:hi], first, last))
+            dev = devices[si]
+            self.stages.append(_BoundStage(
+                fn=jax.jit(mod.apply), params=jax.device_put(sub, dev),
+                freqs=None, device=dev))
+
+    @property
+    def out_device(self):
+        return self.stages[-1].device
+
+    def _run(self, carry0: Dict[str, Any], b: int,
+             microbatch: Optional[int]) -> jnp.ndarray:
+        mb = int(microbatch or b)
+        if b % mb != 0:
+            raise ValueError(f"batch {b} must divide by microbatch {mb}")
+        outs = []
+        for lo in range(0, b, mb):
+            sl = slice(lo, lo + mb)
+            carry: Any = {k: v[sl] for k, v in carry0.items()}
+            for st in self.stages:
+                carry = jax.device_put(carry, st.device)
+                carry = st.fn(st.params, carry)
+            outs.append(carry)
+        return outs[0] if len(outs) == 1 else jnp.concatenate(
+            [jax.device_put(o, self.out_device) for o in outs], axis=0)
+
+
+class StageCPP(_CascadePPBase):
+    """Pipeline-parallel Würstchen Stage C forward (see FluxPP for the
+    schedule/microbatch contract)."""
+    kind = "c"
+
+    def __call__(self, x, r, clip_text, clip_text_pooled, clip_img=None,
+                 sca=None, crp=None,
+                 microbatch: Optional[int] = None) -> jnp.ndarray:
+        b = x.shape[0]
+        r = jnp.broadcast_to(jnp.asarray(r, jnp.float32), (b,))
+        carry = {"x": x, "r": r, "clip_text": clip_text,
+                 "clip_text_pooled": clip_text_pooled}
+        if clip_img is not None:
+            carry["clip_img"] = clip_img
+        if sca is not None:
+            carry["sca"] = jnp.broadcast_to(jnp.asarray(sca, jnp.float32),
+                                            (b,))
+        if crp is not None:
+            carry["crp"] = jnp.broadcast_to(jnp.asarray(crp, jnp.float32),
+                                            (b,))
+        return self._run(carry, b, microbatch)
+
+
+class StageBPP(_CascadePPBase):
+    """Pipeline-parallel Würstchen Stage B forward."""
+    kind = "b"
+
+    def __call__(self, x, r, effnet, clip_text_pooled, sca=None,
+                 pixels=None,
+                 microbatch: Optional[int] = None) -> jnp.ndarray:
+        b = x.shape[0]
+        r = jnp.broadcast_to(jnp.asarray(r, jnp.float32), (b,))
+        carry = {"x": x, "r": r, "effnet": effnet,
+                 "clip_text_pooled": clip_text_pooled}
+        if sca is not None:
+            carry["sca"] = jnp.broadcast_to(jnp.asarray(sca, jnp.float32),
+                                            (b,))
+        if pixels is not None:
+            carry["pixels"] = pixels
+        return self._run(carry, b, microbatch)

@@ -95,6 +95,28 @@ class CascadePipeline:
         self.safety = safety or default_image_safety()
         self._cache: Dict[Tuple, Callable] = {}
         self._current_status: Callable = _noop
+        self.pp_devices = None
+        self.pp_n_stages: Optional[int] = None
+        self.pp_microbatch: Optional[int] = None
+        self._pp_cache: Dict[Tuple, Any] = {}
+
+    def use_mesh_pp(self, devices, n_stages: Optional[int] = None,
+                    microbatch: Optional[int] = None):
+        """Pipeline-parallel deployment (parallel/pipeline.py
+        StageCPP/StageBPP): both Würstchen trunks partitioned into
+        FLOP-balanced contiguous stages on committed devices (repeat-
+        mapper levels stay atomic).  Sampling is host-stepped Euler
+        Ancestral with the SAME per-step key schedule as the jitted
+        sampler; requires the real StageB/StageC cores; excludes
+        tome_ratio / deep_cache."""
+        if hasattr(devices, "devices"):  # a Mesh
+            devices = list(np.asarray(devices.devices).flat)
+        self.pp_devices = list(devices)
+        self.pp_n_stages = n_stages
+        self.pp_microbatch = microbatch
+        self._cache.clear()
+        self._pp_cache.clear()
+        return self
 
     def _stage_program(self, tag, model, opts, steps, shape, extra_sig):
         sched = self.bundle.schedule
@@ -120,6 +142,70 @@ class CascadePipeline:
             self._current_status(f"{tag} {int(i) + 1} / {steps}")
 
         from cremage_tpu.models.cascade import StageB as _StageB
+
+        if self.pp_devices is not None:
+            if use_dc:
+                raise ValueError(
+                    "deep_cache does not compose with use_mesh_pp (the "
+                    "cache boundary is stage-local)")
+            if float(opts.tome_ratio) > 0:
+                raise ValueError(
+                    "tome_ratio does not compose with use_mesh_pp (the "
+                    "merge plan is stage-local)")
+            from cremage_tpu.models.cascade import StageC as _StageC
+            from cremage_tpu.parallel.pipeline import StageBPP, StageCPP
+
+            if isinstance(model, _StageC):
+                cls = StageCPP
+            elif isinstance(model, _StageB):
+                cls = StageBPP
+            else:
+                raise ValueError(
+                    "use_mesh_pp needs the real Würstchen StageB/StageC "
+                    "cores (UNet stand-ins: use the single-device path)")
+            geom = (tag, int(shape[1]), int(shape[2]))
+            pp = self._pp_cache.get(geom)
+            if pp is None:
+                pp = cls(model, (self.bundle.stage_c_params
+                                 if cls is StageCPP
+                                 else self.bundle.stage_b_params),
+                         self.pp_devices, h=int(shape[1]), w=int(shape[2]),
+                         n_stages=self.pp_n_stages)
+                self._pp_cache[geom] = pp
+            mb = self.pp_microbatch
+            sig = np.asarray(sigmas, np.float64)
+            n_steps = len(sig) - 1
+            downs, ups = zip(*[K._ancestral_step_np(sig[i], sig[i + 1], 1.0)
+                               for i in range(n_steps)])
+
+            def run_pp(params, x, c_ctx, uc_ctx, c_vec, uc_vec, concat,
+                       key):
+                def eps_model(xx, tt, cond):
+                    ctx, vec = cond
+                    cc = concat
+                    if cc is not None and cc.shape[0] != xx.shape[0]:
+                        cc = jnp.concatenate(
+                            [cc] * (xx.shape[0] // cc.shape[0]))
+                    if isinstance(pp, StageBPP):
+                        return pp(xx, tt, cc, vec, microbatch=mb)
+                    return pp(xx, tt, ctx, vec, microbatch=mb)
+
+                den = cfg_denoiser(EpsDenoiser(eps_model, sched),
+                                   (c_ctx, c_vec), (uc_ctx, uc_vec), scale)
+                # host-stepped mirror of K.sample_euler_ancestral
+                # (same _keys schedule and eta=1 down/up split)
+                keys = K._keys(key, n_steps)
+                xx = jax.device_put(jnp.asarray(x, jnp.float32),
+                                    pp.out_device)
+                for i in range(n_steps):
+                    d_i = den(xx, jnp.asarray(float(sig[i]), jnp.float32))
+                    d = (xx - d_i.astype(jnp.float32)) / float(sig[i])
+                    xx = xx + d * float(downs[i] - sig[i])
+                    xx = xx + K._noise(keys[i][0], xx) * float(ups[i])
+                    progress(i)
+                return xx
+
+            return run_pp, sigmas
 
         def run(params, x, c_ctx, uc_ctx, c_vec, uc_vec, concat, key):
             def eps_model(xx, tt, cond, **mk):

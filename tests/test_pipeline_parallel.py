@@ -777,3 +777,143 @@ def test_svd_pipeline_pp_matches_plain(mesh8, tmp_path):
         with pytest.raises(ValueError):
             pipe.sample(img, SVDOptions(num_frames=T, num_steps=2,
                                         seed=4, **bad))
+
+
+# ---------------- Stable Cascade (Würstchen B/C) pipeline parallelism --------
+
+
+def _tiny_stage_c():
+    from cremage_tpu.models.cascade import StageC, StageCConfig
+
+    cfg = StageCConfig(c_hidden=(32, 64), blocks=(2, 3), num_heads=4,
+                       c_cond=32, clip_text_dim=24,
+                       clip_text_pooled_dim=24, dtype=jnp.float32)
+    sc = StageC(cfg)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 16))
+    r = jnp.array([0.3, 0.7])
+    ct = jax.random.normal(jax.random.key(1), (2, 7, 24))
+    cp = jax.random.normal(jax.random.key(2), (2, 24))
+    ci = jax.random.normal(jax.random.key(3), (2, cfg.clip_img_dim))
+    params = sc.init(jax.random.key(4), x, r, ct, cp, ci)
+    return sc, params, (x, r, ct, cp, ci)
+
+
+@pytest.mark.parametrize("n_stages", [2, 3])
+def test_stage_c_pp_matches_single_device(mesh8, n_stages):
+    """StageCPP: group-granular staging of the Würstchen trunk (one
+    skip per level consumed by index, conditioning stream riding the
+    carry) == monolithic, with and without the CLIP image stream."""
+    from cremage_tpu.parallel.pipeline import StageCPP
+
+    sc, params, (x, r, ct, cp, ci) = _tiny_stage_c()
+    want = np.asarray(sc.apply(params, x, r, ct, cp, ci), np.float32)
+    pp = StageCPP(sc, params, jax.devices()[:n_stages], h=8, w=8,
+                  n_stages=n_stages)
+    got = pp(x, r, ct, cp, clip_img=ci)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+    want2 = np.asarray(sc.apply(params, x, r, ct, cp), np.float32)
+    got2 = pp(x, r, ct, cp, microbatch=1)
+    np.testing.assert_allclose(np.asarray(got2, np.float32), want2,
+                               atol=3e-5, rtol=3e-5)
+
+
+@pytest.mark.parametrize("n_stages", [2, 4])
+def test_stage_b_pp_matches_single_device(mesh8, n_stages):
+    """StageBPP: repeat-mapper up levels stay atomic (the skip re-concats
+    on every repeat), effnet/pixels mappers on stage 0, patch-2
+    unshuffle/shuffle on the first/last stages."""
+    from cremage_tpu.models.cascade import StageB, StageBConfig
+    from cremage_tpu.parallel.pipeline import StageBPP
+
+    cfg = StageBConfig(c_hidden=(16, 32, 48), blocks=(1, 2, 3),
+                       down_repeats=(1, 1, 1), up_repeats=(2, 2, 1),
+                       num_heads=4, c_cond=32, clip_text_pooled_dim=24,
+                       attn_levels=(1, 2), dtype=jnp.float32)
+    sb = StageB(cfg)
+    x = jax.random.normal(jax.random.key(5), (2, 16, 16, 4))
+    r = jnp.array([0.3, 0.7])
+    eff = jax.random.normal(jax.random.key(6), (2, 8, 8, 16))
+    cp = jax.random.normal(jax.random.key(2), (2, 24))
+    params = sb.init(jax.random.key(7), x, r, eff, cp)
+    want = np.asarray(sb.apply(params, x, r, eff, cp,
+                               sca=jnp.array([0.2, 0.2])), np.float32)
+    pp = StageBPP(sb, params, jax.devices()[:n_stages], h=16, w=16,
+                  n_stages=n_stages)
+    got = pp(x, r, eff, cp, sca=0.2, microbatch=1)
+    np.testing.assert_allclose(np.asarray(got, np.float32), want,
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_cascade_pipeline_pp_matches_plain(mesh8):
+    """CascadePipeline.use_mesh_pp: BOTH trunks staged; the host-stepped
+    Euler Ancestral uses the jitted sampler's exact key schedule, so
+    the full C -> B -> decode chain is reproduced."""
+    from tests.test_family_pipelines import fake_text_encode, opts, tiny_vae
+    from cremage_tpu.models.cascade import (
+        StageB, StageBConfig, StageC, StageCConfig,
+    )
+    from cremage_tpu.pipelines.cascade import CascadeBundle, CascadePipeline
+
+    TD = 32
+    sc = StageC(StageCConfig(c_hidden=(32, 64), blocks=(1, 1), num_heads=4,
+                             c_cond=32, clip_text_dim=TD,
+                             clip_text_pooled_dim=TD, dtype=jnp.float32))
+    scp = sc.init(jax.random.key(0), jnp.zeros((1, 2, 2, 16)),
+                  jnp.zeros((1,)), jnp.zeros((1, 7, TD)),
+                  jnp.zeros((1, TD)))
+    sb = StageB(StageBConfig(c_hidden=(16, 32), blocks=(1, 1), num_heads=4,
+                             c_cond=32, clip_text_pooled_dim=TD,
+                             attn_levels=(1,), down_repeats=(1, 1),
+                             up_repeats=(1, 1), dtype=jnp.float32))
+    sbp = sb.init(jax.random.key(1), jnp.zeros((1, 8, 8, 4)),
+                  jnp.zeros((1,)), jnp.zeros((1, 8, 8, 16)),
+                  jnp.zeros((1, TD)))
+    vae, vp = tiny_vae()
+    bundle = CascadeBundle(stage_c=sc, stage_c_params=scp, stage_b=sb,
+                           stage_b_params=sbp, vqgan=vae, vqgan_params=vp,
+                           text_encode=fake_text_encode,
+                           c_compression=32, b_compression=8)
+    o = opts(sampling_steps=2)
+    plain = CascadePipeline(bundle).generate(o)[0][0]
+    pipe = CascadePipeline(bundle).use_mesh_pp(jax.devices()[:2],
+                                               n_stages=2)
+    got = pipe.generate(o)[0][0]
+    np.testing.assert_allclose(got, plain, atol=2e-3)
+    for bad in (dict(deep_cache=2), dict(tome_ratio=0.5)):
+        with pytest.raises(ValueError):
+            pipe.generate(opts(sampling_steps=2, **bad))
+
+
+def test_cascade_pipeline_pp_rejects_standin(mesh8):
+    """UNet stand-in cores have no Würstchen staging — actionable error,
+    not a key mismatch."""
+    from tests.test_family_pipelines import (
+        TD, fake_text_encode, opts, tiny_vae,
+    )
+    from cremage_tpu.models.unet import UNetModel
+    from cremage_tpu.pipelines.cascade import (
+        CascadeBundle, CascadePipeline, stage_b_config, stage_c_config,
+    )
+
+    ccfg = stage_c_config(text_dim=TD, dtype=jnp.float32,
+                          model_channels=32, num_res_blocks=1, num_heads=4)
+    sc = UNetModel(ccfg)
+    scp = sc.init(jax.random.key(0), jnp.zeros((1, 2, 2, 16)),
+                  jnp.zeros((1,)), jnp.zeros((1, 7, TD)),
+                  jnp.zeros((1, TD)))
+    bcfg = stage_b_config(dtype=jnp.float32, model_channels=32,
+                          num_res_blocks=1, num_heads=4,
+                          attention_resolutions=(2,), channel_mult=(1, 2),
+                          transformer_depth=(1, 1), context_dim=TD)
+    sb = UNetModel(bcfg)
+    sbp = sb.init(jax.random.key(1), jnp.zeros((1, 16, 16, 20)),
+                  jnp.zeros((1,)), jnp.zeros((1, 7, TD)))
+    vae, vp = tiny_vae()
+    bundle = CascadeBundle(stage_c=sc, stage_c_params=scp, stage_b=sb,
+                           stage_b_params=sbp, vqgan=vae, vqgan_params=vp,
+                           text_encode=fake_text_encode,
+                           c_compression=32, b_compression=8)
+    pipe = CascadePipeline(bundle).use_mesh_pp(jax.devices()[:2])
+    with pytest.raises(ValueError, match="StageB/StageC"):
+        pipe.generate(opts(sampling_steps=2))
