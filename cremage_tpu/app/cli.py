@@ -86,6 +86,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "one merge for the whole block stack (excludes "
                         "--deep_cache/SP there). 0.5 = the paper's "
                         "near-lossless setting; 0 = off (exact).")
+    p.add_argument("--cfg_interval_low", type=float, default=0.0,
+                   help="guidance interval (Kynkäänniemi 2024): apply CFG "
+                        "only at noise levels low <= sigma <= high; the "
+                        "uncond half of the batch is skipped elsewhere "
+                        "(~1.3-1.6x on CFG families). Off when high <= "
+                        "low. Sigma space: k-sigmas (SD1.5 ~0.03-14.6), "
+                        "EDM sigmas (SDXL), flow time (SD3). k-diffusion/"
+                        "EDM/flow samplers only.")
+    p.add_argument("--cfg_interval_high", type=float, default=0.0)
     p.add_argument("--discretization", type=str,
                    default="LegacyDDPMDiscretization")
     p.add_argument("--guider", type=str, default="VanillaCFG")
@@ -170,6 +179,8 @@ def main(argv=None) -> int:
         face_strength=args.face_strength,
         deep_cache=args.deep_cache, deep_cache_branch=args.deep_cache_branch,
         tome_ratio=args.tome_ratio,
+        cfg_interval_low=args.cfg_interval_low,
+        cfg_interval_high=args.cfg_interval_high,
     )
 
     if args.use_generation_info:

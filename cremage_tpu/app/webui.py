@@ -110,7 +110,10 @@ INDEX_HTML = """<!doctype html>
     flux_quantize, unet_quantize, dit_quantize, control_net,
     deep_cache — e.g. {"deep_cache": 2} for ~1.5-2x faster
     sampling, any family; tome_ratio — e.g. {"tome_ratio": 0.5}
-    token merging for SD1.5/SDXL, composes with deep_cache)</label>
+    token merging for SD1.5/SDXL, composes with deep_cache;
+    cfg_interval_low/high — e.g. {"cfg_interval_low": 0.3,
+    "cfg_interval_high": 6.0} skips the uncond pass outside that
+    sigma window, k-diffusion/EDM/flow samplers)</label>
   <textarea id="advanced" rows="2" placeholder='{"prior_ckpt": "..."}'></textarea>
   <button class="small" id="paint_btn" onclick="paintOpen()">Paint mask on init image</button>
   <div id="paintbox" style="display:none">

@@ -281,6 +281,17 @@ class GenerationOptions:
     #   self-attention; composes with deep_cache.  DiTs (SD3/FLUX/
     #   PixArt/Hunyuan): ONE merge for the whole block stack (attention
     #   + MLPs); excludes deep_cache and use_mesh_sp there.
+    cfg_interval_low: float = 0.0   # Guidance interval (Kynkäänniemi et
+    cfg_interval_high: float = 0.0  # al. 2024): apply CFG only at noise
+    #   levels low <= sigma <= high; elsewhere run the conditional model
+    #   alone (the uncond half of the doubled batch is skipped via
+    #   lax.cond). Off when high <= low (default — bit-exact CFG at
+    #   every step). Units are the sampler's sigma space: k-sigmas for
+    #   SD1.5/PixArt/Hunyuan/Kandinsky/Cascade (SD1.5 range ~0.03-14.6),
+    #   EDM sigmas for SDXL, flow time in (0, 1] for SD3.  Supported on
+    #   the sigma-space samplers (k-diffusion + EDM menus and flow
+    #   Euler); t-driven samplers (DDIM/PLMS/DPM Solver/LCM) and
+    #   deep_cache reject it with actionable errors.
     # Output
     outdir: str = "outputs"
     generator_model_type: str = GMT_SD_1_5

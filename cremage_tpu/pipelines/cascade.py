@@ -31,7 +31,8 @@ from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
 from cremage_tpu.samplers.deepcache import max_cache_levels as _max_cache_levels
-from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
+from cremage_tpu.samplers.denoiser import (EpsDenoiser, cfg_denoiser,
+                                           cfg_interval_of)
 from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
 
@@ -137,6 +138,17 @@ class CascadePipeline:
         if tr > 0:
             model = type(model)(dataclasses.replace(
                 model.cfg, tome_ratio=tr))
+        cfgi = cfg_interval_of(opts)
+        if cfgi is not None:
+            if use_dc:
+                raise ValueError(
+                    "cfg_interval does not compose with deep_cache (the "
+                    "capture aux batch would change across the guidance "
+                    "boundary)")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "cfg_interval does not compose with use_mesh_pp (the "
+                    "microbatch stream is sized by the doubled CFG batch)")
 
         def progress(i):
             self._current_status(f"{tag} {int(i) + 1} / {steps}")
@@ -221,7 +233,8 @@ class CascadePipeline:
                 return model.apply(params, xx, tt, ctx, vec, **mk)
 
             denoise = EpsDenoiser(eps_model, sched)
-            den = cfg_denoiser(denoise, (c_ctx, c_vec), (uc_ctx, uc_vec), scale)
+            den = cfg_denoiser(denoise, (c_ctx, c_vec), (uc_ctx, uc_vec),
+                               scale, interval=cfgi)
             if use_dc:
                 den_cap = lambda xx, ss: den(xx, ss, mode="capture",
                                              cache_levels=dcb)
@@ -237,7 +250,7 @@ class CascadePipeline:
                                             progress_cb=progress)
 
         bucket = (tag, steps, tuple(shape), extra_sig, scale,
-                  dc if use_dc else 0, dcb, tr)
+                  dc if use_dc else 0, dcb, tr, cfgi)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

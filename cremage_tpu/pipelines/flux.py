@@ -29,6 +29,7 @@ from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import flow as F
+from cremage_tpu.samplers.denoiser import cfg_interval_of
 from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
 
@@ -147,6 +148,11 @@ class FluxPipeline:
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
         use_dc = dc >= 2
+        if cfg_interval_of(opts) is not None:
+            raise ValueError(
+                "cfg_interval does not apply to FLUX: guidance is "
+                "distilled into the guidance embedding (no doubled CFG "
+                "batch to skip)")
         tr = float(opts.tome_ratio)
         if tr > 0:
             _check_dit_tome(self.sp_mesh)

@@ -21,7 +21,8 @@ from cremage_tpu.ops.tome import check_dit_options as _check_dit_tome
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
-from cremage_tpu.samplers.denoiser import VDenoiser, cfg_denoiser
+from cremage_tpu.samplers.denoiser import (VDenoiser, cfg_denoiser,
+                                           cfg_interval_of)
 from cremage_tpu.core.registry import SAMPLERS
 from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
@@ -157,6 +158,17 @@ class HunyuanPipeline:
             # ToMe has no params — a config-swapped module runs on the
             # same param tree (ops/tome.py)
             dit = type(dit)(dataclasses.replace(dit.cfg, tome_ratio=tr))
+        cfgi = cfg_interval_of(opts)
+        if cfgi is not None:
+            if use_dc:
+                raise ValueError(
+                    "cfg_interval does not compose with deep_cache (the "
+                    "capture aux batch would change across the guidance "
+                    "boundary)")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "cfg_interval does not compose with use_mesh_pp (the "
+                    "microbatch stream is sized by the doubled CFG batch)")
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
@@ -229,7 +241,8 @@ class HunyuanPipeline:
                 return out if aux is None else (out, aux)
 
             denoise = VDenoiser(v_model, sched)
-            den = cfg_denoiser(denoise, (c_clip, c_t5), (uc_clip, uc_t5), scale)
+            den = cfg_denoiser(denoise, (c_clip, c_t5), (uc_clip, uc_t5),
+                               scale, interval=cfgi)
             if use_dc:
                 den_cap = lambda xx, ss: den(xx, ss, mode="capture",
                                              cache_depth=dcb)
@@ -244,7 +257,7 @@ class HunyuanPipeline:
             return sampler_fn(den, x, sigmas, key=key, progress_cb=progress)
 
         bucket = ("hunyuan", name, steps, tuple(shape), dims, scale,
-                  sp_mesh is not None, dc if use_dc else 0, dcb, tr)
+                  sp_mesh is not None, dc if use_dc else 0, dcb, tr, cfgi)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -27,7 +27,8 @@ from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
 from cremage_tpu.samplers.deepcache import max_cache_levels as _max_cache_levels
-from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
+from cremage_tpu.samplers.denoiser import (EpsDenoiser, cfg_denoiser,
+                                           cfg_interval_of)
 from cremage_tpu.core.registry import SAMPLERS
 from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
@@ -168,6 +169,19 @@ class KandinskyPipeline:
         if tr > 0:
             decoder = type(decoder)(dataclasses.replace(
                 decoder.cfg, tome_ratio=tr))
+        # guidance interval applies to the decoder stage (the prior is
+        # ~3% of wall time and keeps full CFG)
+        cfgi = cfg_interval_of(opts)
+        if cfgi is not None:
+            if use_dc:
+                raise ValueError(
+                    "cfg_interval does not compose with deep_cache (the "
+                    "capture aux batch would change across the guidance "
+                    "boundary)")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "cfg_interval does not compose with use_mesh_pp (the "
+                    "microbatch stream is sized by the doubled CFG batch)")
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {steps}")
@@ -242,7 +256,8 @@ class KandinskyPipeline:
                 return out if aux is None else (out, aux)
 
             denoise = EpsDenoiser(eps_model, sched)
-            den = cfg_denoiser(denoise, img_embed, neg_embed, scale)
+            den = cfg_denoiser(denoise, img_embed, neg_embed, scale,
+                               interval=cfgi)
             if use_dc:
                 den_cap = lambda xx, ss: den(xx, ss, mode="capture",
                                              cache_levels=dcb)
@@ -257,7 +272,7 @@ class KandinskyPipeline:
             return sampler_fn(den, x, sigmas, key=key, progress_cb=progress)
 
         bucket = ("kandinsky", name, steps, tuple(shape), dim, scale,
-                  dc if use_dc else 0, dcb, tr)
+                  dc if use_dc else 0, dcb, tr, cfgi)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -39,7 +39,8 @@ from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import ldm_extra as LDMX
 from cremage_tpu.samplers import lcm as LCM
 from cremage_tpu.samplers import schedules as S
-from cremage_tpu.samplers.denoiser import EpsDenoiser, cfg_denoiser
+from cremage_tpu.samplers.denoiser import (EpsDenoiser, cfg_denoiser,
+                                           cfg_interval_of)
 from cremage_tpu.core.registry import SAMPLERS
 from cremage_tpu.prompt.wildcards import resolve_wildcards
 from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
@@ -313,14 +314,31 @@ class SD15Pipeline:
             raise ValueError(
                 f"tome_ratio must be in [0, 0.75), got {tr} (a 2x2 dst "
                 "grid leaves only 3N/4 mergeable src tokens)")
+        cfgi = cfg_interval_of(opts)
         bucket = (name, steps, t_enc, tuple(shape), tuple(c.shape), scale,
                   has_extra, float(opts.ddim_eta), churn,
                   hint is not None, float(control_weight),
-                  int(opts.deep_cache), int(opts.deep_cache_branch), tr)
+                  int(opts.deep_cache), int(opts.deep_cache_branch), tr,
+                  cfgi)
 
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
         use_dc = dc >= 2
+        if cfgi is not None:
+            if use_dc:
+                raise ValueError(
+                    "cfg_interval does not compose with deep_cache (the "
+                    "capture aux batch would change across the guidance "
+                    "boundary)")
+            if name in T_DRIVEN_SAMPLERS:
+                raise ValueError(
+                    "cfg_interval is defined in sigma space and supports "
+                    "the k-diffusion sampler menu only, got "
+                    f"{name!r} (t-driven)")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "cfg_interval does not compose with use_mesh_pp (the "
+                    "microbatch stream is sized by the doubled CFG batch)")
         if use_dc and name not in DC.DC_SAMPLERS:
             raise ValueError(
                 "deep_cache requires a supported sampler "
@@ -506,7 +524,7 @@ class SD15Pipeline:
                 eps = self._eps_model(params, extra, cn_params, hint_arr,
                                       control_weight, tome_ratio=tr)
                 denoise = EpsDenoiser(eps, self.bundle.schedule)
-                den_cfg = cfg_denoiser(denoise, c, uc, scale)
+                den_cfg = cfg_denoiser(denoise, c, uc, scale, interval=cfgi)
                 if t_enc is not None:
                     x0 = x.astype(jnp.float32) + noise_like(
                         key, x.shape

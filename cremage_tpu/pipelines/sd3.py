@@ -36,6 +36,7 @@ from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import flow as F
+from cremage_tpu.samplers.denoiser import cfg_interval_of
 from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
 
@@ -209,6 +210,17 @@ class SD3Pipeline:
             # same param tree (ops/tome.py)
             mmdit = type(mmdit)(dataclasses.replace(
                 mmdit.cfg, tome_ratio=tr))
+        cfgi = cfg_interval_of(opts)
+        if cfgi is not None:
+            if use_dc:
+                raise ValueError(
+                    "cfg_interval does not compose with deep_cache (the "
+                    "capture aux batch would change across the guidance "
+                    "boundary)")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "cfg_interval does not compose with use_mesh_pp (the "
+                    "microbatch stream is sized by the doubled CFG batch)")
 
         def progress(i):
             self._current_status(f"{int(i) + 1} / {len(sigmas) - 1}")
@@ -280,7 +292,7 @@ class SD3Pipeline:
                 return mmdit.apply(params, xx, tt * 1000.0,
                                    cond["crossattn"], cond["pooled"], **mk)
 
-            v = F.cfg_velocity(v_model, c, uc, scale)
+            v = F.cfg_velocity(v_model, c, uc, scale, interval=cfgi)
             if use_dc:
                 v_cap = lambda xx, ss: v(xx, ss, mode="capture",
                                          cache_depth=dcb)
@@ -296,7 +308,8 @@ class SD3Pipeline:
                                        progress_cb=progress)
 
         bucket = ("sd3", opts.sampling_steps, tuple(shape), cond_shapes,
-                  scale, sp_mesh is not None, dc if use_dc else 0, dcb, tr)
+                  scale, sp_mesh is not None, dc if use_dc else 0, dcb, tr,
+                  cfgi)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

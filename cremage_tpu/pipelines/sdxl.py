@@ -46,6 +46,7 @@ from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import edm as EDM
 from cremage_tpu.samplers import lcm as LCM
 from cremage_tpu.samplers import schedules as S
+from cremage_tpu.samplers.denoiser import cfg_interval_of
 from cremage_tpu.core.registry import GUIDERS
 from cremage_tpu.services.safety import ImageSafetyChecker, default_image_safety
 from cremage_tpu.services.watermark import embed_watermark
@@ -277,6 +278,17 @@ class SDXLPipeline:
         )
         guider = GUIDERS.get(opts.guider)
         sampler_name = opts.sampler
+        cfgi = cfg_interval_of(opts)
+        if cfgi is not None:
+            if opts.guider != "VanillaCFG":
+                raise ValueError(
+                    "cfg_interval supports the VanillaCFG guider only, "
+                    f"got {opts.guider!r}")
+            if sampler_name == "LCM":
+                raise ValueError(
+                    "cfg_interval is not supported with the LCM sampler "
+                    "(consistency steps are guidance-distilled)")
+            guider_kwargs["interval"] = cfgi
 
         unet_key = id(unet)
         tr = float(opts.tome_ratio)
@@ -303,6 +315,11 @@ class SDXLPipeline:
             raise ValueError(
                 "deep_cache supports the VanillaCFG guider only, got "
                 f"{opts.guider!r}")
+        if use_dc and cfgi is not None:
+            raise ValueError(
+                "cfg_interval does not compose with deep_cache (the "
+                "capture aux batch would change across the guidance "
+                "boundary)")
 
         # LCM (samplers/lcm.py): pairs with SDXL LCM-LoRA weights
         # merged through the normal loader; the grid/boundary math runs
@@ -352,6 +369,10 @@ class SDXLPipeline:
             if opts.sampler_s_churn:
                 raise ValueError(
                     "use_mesh_pp runs the deterministic s_churn=0 Euler")
+            if cfgi is not None:
+                raise ValueError(
+                    "cfg_interval does not compose with use_mesh_pp (the "
+                    "microbatch stream is sized by the doubled CFG batch)")
             from cremage_tpu.parallel.pipeline import UNetPP
 
             if unet is self.bundle.unet:
@@ -469,7 +490,7 @@ class SDXLPipeline:
                   tuple(cond_shape), float(opts.scale), opts.guider,
                   opts.discretization, float(opts.sampler_eta),
                   float(opts.sampler_s_churn), num_frames,
-                  self.bundle.inpaint, dc, dcb, tr)
+                  self.bundle.inpaint, dc, dcb, tr, cfgi)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -19,8 +19,9 @@ workload (2B batch) instead of two sequential ones.
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any, Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from cremage_tpu.samplers.schedules import DiscreteSchedule
@@ -122,16 +123,37 @@ class VDenoiser:
         return den if aux is None else (den, aux)
 
 
+def cfg_interval_of(opts) -> Optional[Tuple[float, float]]:
+    """Read the guidance-interval knob off a GenerationOptions: active
+    (returns (lo, hi)) only when cfg_interval_high > cfg_interval_low."""
+    lo = float(getattr(opts, "cfg_interval_low", 0.0))
+    hi = float(getattr(opts, "cfg_interval_high", 0.0))
+    if hi <= lo:
+        return None
+    if lo < 0:
+        raise ValueError(f"cfg_interval_low must be >= 0, got {lo}")
+    return (lo, hi)
+
+
 def cfg_denoiser(
     denoise: Callable,
     cond: Any,
     uncond: Any,
     scale: float,
+    interval: Optional[Tuple[float, float]] = None,
 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Close a conditional denoiser over (cond, uncond, scale).
 
     Returns `denoise(x, sigma) -> denoised`. Batches [uncond; cond] in one
     model call (uncond first — reference ordering, ldm_wrapper:72-99).
+
+    `interval=(lo, hi)` restricts guidance to noise levels lo <= sigma <= hi
+    (Kynkäänniemi et al. 2024, "Applying Guidance in a Limited Interval").
+    Outside the interval the wrapper runs the *conditional model alone* on
+    the single batch — a `lax.cond` picks per step, so the uncond half of
+    the work is genuinely skipped, not masked. Excludes deep-cache modes
+    (the capture aux would change batch shape across the cond branches);
+    pipelines enforce that.
     """
     if uncond is None or scale == 1.0:
         def fn_nocfg(x, sigma, **kw):
@@ -152,17 +174,35 @@ def cfg_denoiser(
     def fn(x, sigma, **kw):
         b = x.shape[0]
         sigma = _bcast_sigma(sigma, b)
-        x_in = jnp.concatenate([x, x], axis=0)
-        sigma_in = jnp.concatenate([sigma, sigma], axis=0)
-        d = denoise(x_in, sigma_in, cond_in, **kw)
-        # aux (e.g. a deep-cache capture tensor) stays at the doubled
-        # [uncond; cond] batch — it is fed back to the model unsplit.
-        aux = None
-        if isinstance(d, tuple):
-            d, aux = d
-        d_u, d_c = d[:b], d[b:]
-        out = d_u + scale * (d_c - d_u)
-        return out if aux is None else (out, aux)
+
+        def with_cfg(xx):
+            x_in = jnp.concatenate([xx, xx], axis=0)
+            sigma_in = jnp.concatenate([sigma, sigma], axis=0)
+            d = denoise(x_in, sigma_in, cond_in, **kw)
+            # aux (e.g. a deep-cache capture tensor) stays at the doubled
+            # [uncond; cond] batch — it is fed back to the model unsplit.
+            aux = None
+            if isinstance(d, tuple):
+                d, aux = d
+            d_u, d_c = d[:b], d[b:]
+            out = d_u + scale * (d_c - d_u)
+            return out if aux is None else (out, aux)
+
+        if interval is None:
+            return with_cfg(x)
+
+        def cond_only(xx):
+            d = denoise(xx, sigma, cond, **kw)
+            if isinstance(d, tuple):
+                raise ValueError(
+                    "cfg interval does not compose with aux-returning "
+                    "model modes (deep_cache)")
+            return d
+
+        lo, hi = float(interval[0]), float(interval[1])
+        s = jnp.max(sigma)
+        pred = jnp.logical_and(s >= lo, s <= hi)
+        return jax.lax.cond(pred, with_cfg, cond_only, x)
 
     return fn
 

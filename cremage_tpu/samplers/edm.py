@@ -184,20 +184,43 @@ def _cat_conds(uc: Dict, c: Dict) -> Dict:
 
 @GUIDERS.register("VanillaCFG")
 def vanilla_cfg(denoiser: Callable, c: Dict, uc: Dict, scale: float,
-                **_ignored) -> Callable:
+                interval=None, **_ignored) -> Callable:
+    """sgm VanillaCFG (guiders.py:24). `interval=(lo, hi)` restricts
+    guidance to lo <= sigma <= hi (Kynkäänniemi et al. 2024); outside, a
+    lax.cond runs the conditional model alone on the single batch, so the
+    uncond half of the EDM step is genuinely skipped."""
     cond_in = _cat_conds(uc, c)
 
     def denoise(x, sigma, **kw):
         b = x.shape[0]
         sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
-        d = denoiser(jnp.concatenate([x, x], axis=0),
-                     jnp.concatenate([sigma, sigma], axis=0), cond_in, **kw)
-        aux = None
-        if isinstance(d, tuple):  # deep-cache capture aux rides along
-            d, aux = d
-        d_u, d_c = d[:b], d[b:]
-        out = d_u + scale * (d_c - d_u)
-        return out if aux is None else (out, aux)
+
+        def with_cfg(xx):
+            d = denoiser(jnp.concatenate([xx, xx], axis=0),
+                         jnp.concatenate([sigma, sigma], axis=0),
+                         cond_in, **kw)
+            aux = None
+            if isinstance(d, tuple):  # deep-cache capture aux rides along
+                d, aux = d
+            d_u, d_c = d[:b], d[b:]
+            out = d_u + scale * (d_c - d_u)
+            return out if aux is None else (out, aux)
+
+        if interval is None:
+            return with_cfg(x)
+
+        def cond_only(xx):
+            d = denoiser(xx, sigma, c, **kw)
+            if isinstance(d, tuple):
+                raise ValueError(
+                    "cfg interval does not compose with aux-returning "
+                    "model modes (deep_cache)")
+            return d
+
+        lo, hi = float(interval[0]), float(interval[1])
+        s = jnp.max(sigma)
+        pred = jnp.logical_and(s >= lo, s <= hi)
+        return jax.lax.cond(pred, with_cfg, cond_only, x)
 
     return denoise
 

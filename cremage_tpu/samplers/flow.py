@@ -87,13 +87,18 @@ def sample_flow_euler(
     return x
 
 
-def cfg_velocity(v_fn: Callable, c, uc, scale: float) -> Callable:
+def cfg_velocity(v_fn: Callable, c, uc, scale: float,
+                 interval=None) -> Callable:
     """CFG for velocity models: batched [uc, c] like the eps samplers.
 
     Extra keyword args pass through to the model; a (v, aux) tuple
     return (e.g. the DiT deep-cache "capture" mode,
     samplers/deepcache.py) keeps aux at the doubled batch — it is fed
-    back to the model unsplit."""
+    back to the model unsplit.
+
+    `interval=(lo, hi)` restricts guidance to flow-sigma lo <= t <= hi
+    (Kynkäänniemi et al. 2024); outside, a lax.cond runs the conditional
+    model alone on the single batch. Excludes aux-returning modes."""
     if uc is None or scale == 1.0:
         def fn_nocfg(x, sigma, **kw):
             return v_fn(x, sigma, c, **kw)
@@ -108,13 +113,33 @@ def cfg_velocity(v_fn: Callable, c, uc, scale: float) -> Callable:
 
     def fn(x, sigma, **kw):
         b = x.shape[0]
-        sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (2 * b,))
-        v = v_fn(jnp.concatenate([x, x], axis=0), sigma_b, cond, **kw)
-        aux = None
-        if isinstance(v, tuple):
-            v, aux = v
-        vu, vc = v[:b], v[b:]
-        out = vu + scale * (vc - vu)
-        return out if aux is None else (out, aux)
+
+        def with_cfg(xx):
+            sigma_b = jnp.broadcast_to(
+                jnp.asarray(sigma, jnp.float32), (2 * b,))
+            v = v_fn(jnp.concatenate([xx, xx], axis=0), sigma_b, cond, **kw)
+            aux = None
+            if isinstance(v, tuple):
+                v, aux = v
+            vu, vc = v[:b], v[b:]
+            out = vu + scale * (vc - vu)
+            return out if aux is None else (out, aux)
+
+        if interval is None:
+            return with_cfg(x)
+
+        def cond_only(xx):
+            sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
+            v = v_fn(xx, sigma_b, c, **kw)
+            if isinstance(v, tuple):
+                raise ValueError(
+                    "cfg interval does not compose with aux-returning "
+                    "model modes (deep_cache)")
+            return v
+
+        lo, hi = float(interval[0]), float(interval[1])
+        s = jnp.max(jnp.asarray(sigma, jnp.float32))
+        pred = jnp.logical_and(s >= lo, s <= hi)
+        return jax.lax.cond(pred, with_cfg, cond_only, x)
 
     return fn
