@@ -106,7 +106,16 @@ def quantized_unet_zeros(model, *example_args):
     return quantized_zeros(shapes, dtype="int8", include_convs=True)
 
 
-def bench_sd15(quant_dtype=None, deep_cache=0, tome=0.0):
+def _cfgi_env():
+    """Guidance interval for the *_cfgi lanes: BENCH_CFGI="lo,hi"
+    (default the Kynkäänniemi et al. 2024 interval, sigma in
+    [0.28, 5.42] — 14/20 SD1.5 karras steps / 22/30 SDXL EDM steps
+    run CFG; the rest run the conditional model alone)."""
+    lo, hi = os.environ.get("BENCH_CFGI", "0.28,5.42").split(",")
+    return (float(lo), float(hi))
+
+
+def bench_sd15(quant_dtype=None, deep_cache=0, tome=0.0, cfgi=None):
     from cremage_tpu.models.unet import UNetModel, sd15_unet_config
     from cremage_tpu.models.vae import AutoencoderKL, VAEConfig, decode_from_latent
     from cremage_tpu.samplers import deepcache as DCmod
@@ -149,7 +158,8 @@ def bench_sd15(quant_dtype=None, deep_cache=0, tome=0.0):
             return unet.apply(params, xx, tt, cc, **uk)
 
         denoise = EpsDenoiser(eps_model, sched)
-        cfg_fn = cfg_denoiser(denoise, c, uc, scale=7.5)
+        cfg_fn = cfg_denoiser(denoise, c, uc, scale=7.5,
+                              interval=None if deep_cache >= 2 else cfgi)
         x0 = jax.random.normal(key, (batch, h, w, 4), jnp.float32) * float(sigmas[0])
         if deep_cache >= 2:
             den_cap = lambda xx, ss: cfg_fn(
@@ -158,7 +168,18 @@ def bench_sd15(quant_dtype=None, deep_cache=0, tome=0.0):
                 xx, ss, mode="shallow", cache_levels=dc_branch, deep=deep)
             _, dsd = jax.eval_shape(den_cap, x0,
                                     jnp.asarray(1.0, jnp.float32))
-            carry = DCmod.make_dc_denoise(den_cap, den_sh, deep_cache)
+            if cfgi is not None:
+                den_c = cfg_denoiser(denoise, c, None, 7.5)
+                c_cap = lambda xx, ss: den_c(
+                    xx, ss, mode="capture", cache_levels=dc_branch)
+                c_sh = lambda xx, ss, deep: den_c(
+                    xx, ss, mode="shallow", cache_levels=dc_branch,
+                    deep=deep)
+                carry = DCmod.make_dc_denoise_windowed(
+                    den_cap, den_sh, c_cap, c_sh, deep_cache,
+                    DCmod.window_flags(sigmas, cfgi), batch)
+            else:
+                carry = DCmod.make_dc_denoise(den_cap, den_sh, deep_cache)
             lat = DCmod.sample_euler_ancestral_dc(
                 carry, jnp.zeros(dsd.shape, dsd.dtype), x0, sigmas, key=key)
         else:
@@ -183,11 +204,13 @@ def bench_sd15(quant_dtype=None, deep_cache=0, tome=0.0):
         tag += f"_deepcache{deep_cache}"
     if tome > 0:
         tag += f"_tome{int(tome * 100)}"
+    if cfgi is not None:
+        tag += "_cfgi"
     _emit(f"sd15_txt2img_512_20step_euler_a{tag}_images_per_sec_per_chip",
           batch * n_rounds / dt, "images/s", FLUX_4090_ANCHOR)
 
 
-def bench_sdxl(quant_dtype=None, deep_cache=0, tome=0.0):
+def bench_sdxl(quant_dtype=None, deep_cache=0, tome=0.0, cfgi=None):
     """SDXL 1024^2 30-step EulerEDM with CFG + VAE decode — the
     BASELINE.json north-star configuration.  deep_cache >= 2 adds the
     DeepCache lane (full UNet every N-th step, shallow in between —
@@ -233,7 +256,8 @@ def bench_sdxl(quant_dtype=None, deep_cache=0, tome=0.0):
 
         denoiser = EDM.DiscreteDenoiserSGM(
             network, EDM.LegacyDDPMDiscretization()(1000, do_append_zero=False))
-        denoise = EDM.vanilla_cfg(denoiser, c, uc, scale=7.0)
+        denoise = EDM.vanilla_cfg(denoiser, c, uc, scale=7.0,
+                                  interval=None if deep_cache >= 2 else cfgi)
         x = jax.random.normal(key, (batch, h, w, 4), jnp.float32)
         if deep_cache >= 2:
             sig = np.asarray(sigmas, np.float64)
@@ -244,7 +268,18 @@ def bench_sdxl(quant_dtype=None, deep_cache=0, tome=0.0):
                 xx, ss, mode="shallow", cache_levels=dc_branch, deep=deep)
             _, dsd = jax.eval_shape(den_cap, x0,
                                     jnp.asarray(1.0, jnp.float32))
-            carry = DCmod.make_dc_denoise(den_cap, den_sh, deep_cache)
+            if cfgi is not None:
+                den_c = EDM.identity_guider(denoiser, c, uc)
+                c_cap = lambda xx, ss: den_c(
+                    xx, ss, mode="capture", cache_levels=dc_branch)
+                c_sh = lambda xx, ss, deep: den_c(
+                    xx, ss, mode="shallow", cache_levels=dc_branch,
+                    deep=deep)
+                carry = DCmod.make_dc_denoise_windowed(
+                    den_cap, den_sh, c_cap, c_sh, deep_cache,
+                    DCmod.window_flags(sig, cfgi), batch)
+            else:
+                carry = DCmod.make_dc_denoise(den_cap, den_sh, deep_cache)
             lat = DCmod.sample_euler_dc(
                 carry, jnp.zeros(dsd.shape, dsd.dtype), x0, sig, key=key)
         else:
@@ -265,6 +300,8 @@ def bench_sdxl(quant_dtype=None, deep_cache=0, tome=0.0):
         tag += f"_deepcache{deep_cache}"
     if tome > 0:
         tag += f"_tome{int(tome * 100)}"
+    if cfgi is not None:
+        tag += "_cfgi"
     _emit(f"sdxl_txt2img_1024_30step_euler_edm{tag}_images_per_sec_per_chip",
           batch * n_rounds / dt, "images/s", SDXL_NORTH_STAR)
 
@@ -631,6 +668,29 @@ LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
          # flux fp8+tome 0.7497 img/s (= 6.0x the reference's published
          # 0.125 on a 4090), int8+tome 0.8953 (= 7.2x) — vs 0.3956 /
          # 0.4959 unmerged.  Both in the default lane set.
+         # Guidance-interval lanes (quality grade: the paper argues the
+         # limited interval IMPROVES FID — Kynkäänniemi et al. 2024;
+         # sigma window from BENCH_CFGI, default [0.28, 5.42]; the
+         # uncond half of the batch is skipped outside it).  MEASURED
+         # (v5e, round 3): sd15 2.93->3.18 img/s, +tome 3.63; sdxl
+         # 0.286->0.315, +tome 0.326.  Composes with ToMe AND DeepCache
+         # (windowed carry denoiser).
+         "sd15_cfgi": lambda: bench_sd15(cfgi=_cfgi_env()),
+         "sdxl_cfgi": lambda: bench_sdxl(cfgi=_cfgi_env()),
+         "sd15_cfgi_tome": lambda: bench_sd15(
+             cfgi=_cfgi_env(),
+             tome=float(os.environ.get("BENCH_TOME_RATIO", "0.5"))),
+         "sdxl_cfgi_tome": lambda: bench_sdxl(
+             cfgi=_cfgi_env(),
+             tome=float(os.environ.get("BENCH_TOME_RATIO", "0.5"))),
+         "sd15_dc_tome_cfgi": lambda: bench_sd15(
+             deep_cache=int(os.environ.get("BENCH_DC_INTERVAL", "2")),
+             tome=float(os.environ.get("BENCH_TOME_RATIO", "0.5")),
+             cfgi=_cfgi_env()),
+         "sdxl_dc_tome_cfgi": lambda: bench_sdxl(
+             deep_cache=int(os.environ.get("BENCH_DC_INTERVAL", "2")),
+             tome=float(os.environ.get("BENCH_TOME_RATIO", "0.5")),
+             cfgi=_cfgi_env()),
          "flux_tome": lambda: bench_flux(tome=float(
              os.environ.get("BENCH_TOME_RATIO", "0.5"))),
          "flux_int8_tome": lambda: bench_flux(

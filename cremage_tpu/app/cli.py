@@ -90,10 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="guidance interval (Kynkäänniemi 2024): apply CFG "
                         "only at noise levels low <= sigma <= high; the "
                         "uncond half of the batch is skipped elsewhere "
-                        "(~1.3-1.6x on CFG families). Off when high <= "
-                        "low. Sigma space: k-sigmas (SD1.5 ~0.03-14.6), "
-                        "EDM sigmas (SDXL), flow time (SD3). k-diffusion/"
-                        "EDM/flow samplers only.")
+                        "(measured v5e at [0.28, 5.42]: sd15 +8%%, sdxl "
+                        "+10%%; composes with deep_cache/tome_ratio). "
+                        "Off when high <= low. Sigma space: k-sigmas "
+                        "(SD1.5 ~0.03-14.6), EDM sigmas (SDXL), flow "
+                        "time (SD3). k-diffusion/EDM/flow samplers only.")
     p.add_argument("--cfg_interval_high", type=float, default=0.0)
     p.add_argument("--discretization", type=str,
                    default="LegacyDDPMDiscretization")

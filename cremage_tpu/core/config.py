@@ -290,8 +290,11 @@ class GenerationOptions:
     #   SD1.5/PixArt/Hunyuan/Kandinsky/Cascade (SD1.5 range ~0.03-14.6),
     #   EDM sigmas for SDXL, flow time in (0, 1] for SD3.  Supported on
     #   the sigma-space samplers (k-diffusion + EDM menus and flow
-    #   Euler); t-driven samplers (DDIM/PLMS/DPM Solver/LCM) and
-    #   deep_cache reject it with actionable errors.
+    #   Euler); t-driven samplers (DDIM/PLMS/DPM Solver/LCM) reject it
+    #   with actionable errors.  Composes with deep_cache (the windowed
+    #   carry denoiser, samplers/deepcache.py) and tome_ratio; excludes
+    #   use_mesh_pp.  Measured v5e at [0.28, 5.42]: SD1.5 2.93->3.18
+    #   img/s alone, 3.63 with ToMe 0.5.
     # Output
     outdir: str = "outputs"
     generator_model_type: str = GMT_SD_1_5

@@ -173,11 +173,6 @@ class KandinskyPipeline:
         # ~3% of wall time and keeps full CFG)
         cfgi = cfg_interval_of(opts)
         if cfgi is not None:
-            if use_dc:
-                raise ValueError(
-                    "cfg_interval does not compose with deep_cache (the "
-                    "capture aux batch would change across the guidance "
-                    "boundary)")
             if self.pp_devices is not None:
                 raise ValueError(
                     "cfg_interval does not compose with use_mesh_pp (the "
@@ -256,8 +251,10 @@ class KandinskyPipeline:
                 return out if aux is None else (out, aux)
 
             denoise = EpsDenoiser(eps_model, sched)
+            # under DeepCache the guidance interval is handled by the
+            # windowed carry denoiser (host-static step flags)
             den = cfg_denoiser(denoise, img_embed, neg_embed, scale,
-                               interval=cfgi)
+                               interval=None if use_dc else cfgi)
             if use_dc:
                 den_cap = lambda xx, ss: den(xx, ss, mode="capture",
                                              cache_levels=dcb)
@@ -266,7 +263,18 @@ class KandinskyPipeline:
                 _, deep_sd = jax.eval_shape(
                     den_cap, x, jnp.asarray(1.0, jnp.float32))
                 cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
-                carry = DC.make_dc_denoise(den_cap, den_sh, dc)
+                if cfgi is not None:
+                    den_c = cfg_denoiser(denoise, img_embed, None, scale)
+                    c_cap = lambda xx, ss: den_c(xx, ss, mode="capture",
+                                                 cache_levels=dcb)
+                    c_sh = lambda xx, ss, deep: den_c(
+                        xx, ss, mode="shallow", cache_levels=dcb,
+                        deep=deep)
+                    carry = DC.make_dc_denoise_windowed(
+                        den_cap, den_sh, c_cap, c_sh, dc,
+                        DC.window_flags(sigmas, cfgi), x.shape[0])
+                else:
+                    carry = DC.make_dc_denoise(den_cap, den_sh, dc)
                 return DC.DC_SAMPLERS[name](carry, cache0, x, sigmas,
                                             key=key, progress_cb=progress)
             return sampler_fn(den, x, sigmas, key=key, progress_cb=progress)

@@ -144,11 +144,6 @@ class PixArtPipeline:
             dit = type(dit)(dataclasses.replace(dit.cfg, tome_ratio=tr))
         cfgi = cfg_interval_of(opts)
         if cfgi is not None:
-            if use_dc:
-                raise ValueError(
-                    "cfg_interval does not compose with deep_cache (the "
-                    "capture aux batch would change across the guidance "
-                    "boundary)")
             if self.pp_devices is not None:
                 raise ValueError(
                     "cfg_interval does not compose with use_mesh_pp (the "
@@ -222,7 +217,10 @@ class PixArtPipeline:
                 return out if aux is None else (out, aux)
 
             denoise = EpsDenoiser(eps_model, sched)
-            den_cfg = cfg_denoiser(denoise, c, uc, scale, interval=cfgi)
+            # under DeepCache the guidance interval is handled by the
+            # windowed carry denoiser (host-static step flags)
+            den_cfg = cfg_denoiser(denoise, c, uc, scale,
+                                   interval=None if use_dc else cfgi)
             if use_dc:
                 den_cap = lambda xx, ss: den_cfg(xx, ss, mode="capture",
                                                  cache_depth=dcb)
@@ -231,7 +229,17 @@ class PixArtPipeline:
                 _, deep_sd = jax.eval_shape(
                     den_cap, x, jnp.asarray(1.0, jnp.float32))
                 cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
-                carry = DC.make_dc_denoise(den_cap, den_sh, dc)
+                if cfgi is not None:
+                    den_c = cfg_denoiser(denoise, c, None, scale)
+                    c_cap = lambda xx, ss: den_c(xx, ss, mode="capture",
+                                                 cache_depth=dcb)
+                    c_sh = lambda xx, ss, deep: den_c(
+                        xx, ss, mode="shallow", cache_depth=dcb, deep=deep)
+                    carry = DC.make_dc_denoise_windowed(
+                        den_cap, den_sh, c_cap, c_sh, dc,
+                        DC.window_flags(sigmas, cfgi), x.shape[0])
+                else:
+                    carry = DC.make_dc_denoise(den_cap, den_sh, dc)
                 return DC.DC_SAMPLERS[name](carry, cache0, x, sigmas,
                                             key=key, progress_cb=progress)
             return sampler_fn(den_cfg, x, sigmas, key=key,

@@ -325,11 +325,6 @@ class SD15Pipeline:
         dcb = int(opts.deep_cache_branch)
         use_dc = dc >= 2
         if cfgi is not None:
-            if use_dc:
-                raise ValueError(
-                    "cfg_interval does not compose with deep_cache (the "
-                    "capture aux batch would change across the guidance "
-                    "boundary)")
             if name in T_DRIVEN_SAMPLERS:
                 raise ValueError(
                     "cfg_interval is defined in sigma space and supports "
@@ -524,7 +519,11 @@ class SD15Pipeline:
                 eps = self._eps_model(params, extra, cn_params, hint_arr,
                                       control_weight, tome_ratio=tr)
                 denoise = EpsDenoiser(eps, self.bundle.schedule)
-                den_cfg = cfg_denoiser(denoise, c, uc, scale, interval=cfgi)
+                # under DeepCache the guidance interval is handled by
+                # the windowed carry denoiser (host-static step flags),
+                # not the per-call lax.cond wrapper
+                den_cfg = cfg_denoiser(denoise, c, uc, scale,
+                                       interval=None if use_dc else cfgi)
                 if t_enc is not None:
                     x0 = x.astype(jnp.float32) + noise_like(
                         key, x.shape
@@ -539,7 +538,18 @@ class SD15Pipeline:
                     _, deep_sd = jax.eval_shape(
                         den_cap, x0, jnp.asarray(1.0, jnp.float32))
                     cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
-                    carry_den = DC.make_dc_denoise(den_cap, den_sh, dc)
+                    if cfgi is not None:
+                        den_c = cfg_denoiser(denoise, c, None, scale)
+                        c_cap = lambda xx, ss: den_c(
+                            xx, ss, mode="capture", cache_levels=dcb)
+                        c_sh = lambda xx, ss, deep: den_c(
+                            xx, ss, mode="shallow", cache_levels=dcb,
+                            deep=deep)
+                        carry_den = DC.make_dc_denoise_windowed(
+                            den_cap, den_sh, c_cap, c_sh, dc,
+                            DC.window_flags(sigmas, cfgi), x0.shape[0])
+                    else:
+                        carry_den = DC.make_dc_denoise(den_cap, den_sh, dc)
                     return DC.DC_SAMPLERS[name](
                         carry_den, cache0, x0, sigmas, key=key,
                         progress_cb=progress, **kwargs)

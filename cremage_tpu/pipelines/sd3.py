@@ -212,11 +212,6 @@ class SD3Pipeline:
                 mmdit.cfg, tome_ratio=tr))
         cfgi = cfg_interval_of(opts)
         if cfgi is not None:
-            if use_dc:
-                raise ValueError(
-                    "cfg_interval does not compose with deep_cache (the "
-                    "capture aux batch would change across the guidance "
-                    "boundary)")
             if self.pp_devices is not None:
                 raise ValueError(
                     "cfg_interval does not compose with use_mesh_pp (the "
@@ -292,7 +287,10 @@ class SD3Pipeline:
                 return mmdit.apply(params, xx, tt * 1000.0,
                                    cond["crossattn"], cond["pooled"], **mk)
 
-            v = F.cfg_velocity(v_model, c, uc, scale, interval=cfgi)
+            # under DeepCache the guidance interval is handled by the
+            # windowed carry denoiser (host-static step flags)
+            v = F.cfg_velocity(v_model, c, uc, scale,
+                               interval=None if use_dc else cfgi)
             if use_dc:
                 v_cap = lambda xx, ss: v(xx, ss, mode="capture",
                                          cache_depth=dcb)
@@ -301,7 +299,17 @@ class SD3Pipeline:
                 _, deep_sd = jax.eval_shape(
                     v_cap, x, jnp.asarray(1.0, jnp.float32))
                 cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
-                carry = DC.make_dc_denoise(v_cap, v_sh, dc)
+                if cfgi is not None:
+                    v_c = F.cfg_velocity(v_model, c, None, scale)
+                    c_cap = lambda xx, ss: v_c(xx, ss, mode="capture",
+                                               cache_depth=dcb)
+                    c_sh = lambda xx, ss, deep: v_c(
+                        xx, ss, mode="shallow", cache_depth=dcb, deep=deep)
+                    carry = DC.make_dc_denoise_windowed(
+                        v_cap, v_sh, c_cap, c_sh, dc,
+                        DC.window_flags(sigmas, cfgi), x.shape[0])
+                else:
+                    carry = DC.make_dc_denoise(v_cap, v_sh, dc)
                 return DC.sample_flow_euler_dc(
                     carry, cache0, x, sigmas, key=key, progress_cb=progress)
             return F.sample_flow_euler(v, x, sigmas, key=key,

@@ -316,10 +316,9 @@ class SDXLPipeline:
                 "deep_cache supports the VanillaCFG guider only, got "
                 f"{opts.guider!r}")
         if use_dc and cfgi is not None:
-            raise ValueError(
-                "cfg_interval does not compose with deep_cache (the "
-                "capture aux batch would change across the guidance "
-                "boundary)")
+            # composed via the windowed carry denoiser (host-static step
+            # flags) rather than the guider's per-call lax.cond
+            guider_kwargs.pop("interval", None)
 
         # LCM (samplers/lcm.py): pairs with SDXL LCM-LoRA weights
         # merged through the normal loader; the grid/boundary math runs
@@ -464,7 +463,18 @@ class SDXLPipeline:
                 _, deep_sd = jax.eval_shape(
                     den_cap, x0, jnp.asarray(1.0, jnp.float32))
                 cache0 = jnp.zeros(deep_sd.shape, deep_sd.dtype)
-                carry_den = DC.make_dc_denoise(den_cap, den_sh, dc)
+                if cfgi is not None:
+                    den_c = EDM.identity_guider(denoiser, c, uc)
+                    c_cap = lambda xx, ss: den_c(
+                        xx, ss, mode="capture", cache_levels=dcb)
+                    c_sh = lambda xx, ss, deep: den_c(
+                        xx, ss, mode="shallow", cache_levels=dcb,
+                        deep=deep)
+                    carry_den = DC.make_dc_denoise_windowed(
+                        den_cap, den_sh, c_cap, c_sh, dc,
+                        DC.window_flags(sig, cfgi), x0.shape[0])
+                else:
+                    carry_den = DC.make_dc_denoise(den_cap, den_sh, dc)
                 if sampler_name == "EulerEDMSampler":
                     kw = dict(s_churn=opts.sampler_s_churn,
                               s_tmin=opts.sampler_s_tmin,

@@ -69,6 +69,83 @@ def make_dc_denoise(
     return carry_denoise
 
 
+def window_flags(sigmas, cfg_window) -> np.ndarray:
+    """Per-step guidance-window membership from the HOST sigma schedule
+    (Kynkäänniemi et al. 2024 guidance interval): step i applies CFG iff
+    lo <= sigmas[i] <= hi.  Static at trace time — sigmas are always
+    host-precomputed numpy in this codebase, and they are monotonically
+    decreasing, so the in-window steps form one contiguous run."""
+    lo, hi = float(cfg_window[0]), float(cfg_window[1])
+    sig = np.asarray(sigmas, np.float64)[:-1]
+    return (sig >= lo) & (sig <= hi)
+
+
+def make_dc_denoise_windowed(
+    denoise_capture: Callable,   # CFG'd:       (x, sigma) -> (den, deep@2B)
+    denoise_shallow: Callable,   # CFG'd:       (x, sigma, deep=) -> den
+    cond_capture: Callable,      # cond-only:   (x, sigma) -> (den, deep@B)
+    cond_shallow: Callable,      # cond-only:   (x, sigma, deep=) -> den
+    interval: int,
+    window: np.ndarray,          # bool per step (window_flags)
+    batch: int,                  # undoubled batch B
+) -> Callable:
+    """DeepCache carry denoiser with a guidance interval: in-window
+    steps run the CFG'd capture/shallow pair on the doubled [uncond;
+    cond] batch; out-of-window steps run the conditional model ALONE on
+    the single batch (the Kynkäänniemi guidance-interval skip), reading/
+    writing only the cond half of the 2B cache.
+
+    Cache coherence: the carry stays at the doubled batch the whole run
+    ([uncond; cond] halves, uncond first — reference ordering).  A
+    cond-only capture refreshes the cond half and leaves the uncond half
+    stale — safe because it is only ever read by an in-window shallow
+    step, and the first in-window step is FORCED to be a capture (the
+    host-computed schedule below), which refreshes both halves.  All
+    flags are host-precomputed numpy indexed by the step counter, so the
+    whole run stays one scanned XLA program; exactly one of the four
+    branches executes per step.
+    """
+    assert interval >= 1
+    window = np.asarray(window, bool)
+    n = len(window)
+    cap_np = np.arange(n) % interval == 0
+    # force capture at window entry: the 2B capture refreshes the stale
+    # uncond cache half before any in-window shallow step can read it
+    prev_in = np.concatenate([[False], window[:-1]])
+    cap_np |= window & ~prev_in
+    in_w_arr = jnp.asarray(window)
+    cap_arr = jnp.asarray(cap_np)
+
+    def carry_denoise(x, sigma, cache, i):
+        def cfg_branch(_):
+            def full(_):
+                den, deep = denoise_capture(x, sigma)
+                return den.astype(jnp.float32), deep
+
+            def shallow(_):
+                den = denoise_shallow(x, sigma, deep=cache)
+                return den.astype(jnp.float32), cache
+
+            return jax.lax.cond(cap_arr[i], full, shallow, None)
+
+        def cond_branch(_):
+            def full(_):
+                den, deep_c = cond_capture(x, sigma)
+                new_cache = jnp.concatenate(
+                    [cache[:batch], deep_c.astype(cache.dtype)], axis=0)
+                return den.astype(jnp.float32), new_cache
+
+            def shallow(_):
+                den = cond_shallow(x, sigma, deep=cache[batch:])
+                return den.astype(jnp.float32), cache
+
+            return jax.lax.cond(cap_arr[i], full, shallow, None)
+
+        return jax.lax.cond(in_w_arr[i], cfg_branch, cond_branch, None)
+
+    return carry_denoise
+
+
 def sample_euler_dc(
     carry_denoise: Callable,
     cache0: Array,

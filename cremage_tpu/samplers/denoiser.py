@@ -151,9 +151,10 @@ def cfg_denoiser(
     (Kynkäänniemi et al. 2024, "Applying Guidance in a Limited Interval").
     Outside the interval the wrapper runs the *conditional model alone* on
     the single batch — a `lax.cond` picks per step, so the uncond half of
-    the work is genuinely skipped, not masked. Excludes deep-cache modes
-    (the capture aux would change batch shape across the cond branches);
-    pipelines enforce that.
+    the work is genuinely skipped, not masked. This per-call wrapper
+    excludes aux-returning deep-cache modes (the capture aux would change
+    batch shape across the cond branches); pipelines compose the two
+    features through `deepcache.make_dc_denoise_windowed` instead.
     """
     if uncond is None or scale == 1.0:
         def fn_nocfg(x, sigma, **kw):

@@ -228,10 +228,12 @@ def vanilla_cfg(denoiser: Callable, c: Dict, uc: Dict, scale: float,
 @GUIDERS.register("IdentityGuider")
 def identity_guider(denoiser: Callable, c: Dict, uc: Dict, scale: float = 1.0,
                     **_ignored) -> Callable:
-    def denoise(x, sigma):
+    def denoise(x, sigma, **kw):
         b = x.shape[0]
         sigma = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32), (b,))
-        return denoiser(x, sigma, c)
+        # kw (e.g. deep-cache mode/deep) passes through; a (den, aux)
+        # tuple return passes through unsplit (single batch, no CFG)
+        return denoiser(x, sigma, c, **kw)
 
     return denoise
 

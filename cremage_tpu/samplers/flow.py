@@ -98,10 +98,14 @@ def cfg_velocity(v_fn: Callable, c, uc, scale: float,
 
     `interval=(lo, hi)` restricts guidance to flow-sigma lo <= t <= hi
     (Kynkäänniemi et al. 2024); outside, a lax.cond runs the conditional
-    model alone on the single batch. Excludes aux-returning modes."""
+    model alone on the single batch. This per-call wrapper excludes
+    aux-returning modes; pipelines compose the interval with the Δ-cache
+    through `deepcache.make_dc_denoise_windowed`."""
     if uc is None or scale == 1.0:
         def fn_nocfg(x, sigma, **kw):
-            return v_fn(x, sigma, c, **kw)
+            sigma_b = jnp.broadcast_to(jnp.asarray(sigma, jnp.float32),
+                                       (x.shape[0],))
+            return v_fn(x, sigma_b, c, **kw)
         return fn_nocfg
 
     def _cat(u, cc):

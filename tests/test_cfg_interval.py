@@ -14,8 +14,9 @@ Invariants proven here:
    reproduces the exact no-interval image (same math, cond-routed);
    an interval excluding every sigma reproduces the scale=1.0
    (uncond-free) image.
-3. Composition rules: deep_cache, t-driven samplers (DDIM), use_mesh_pp
-   and FLUX reject the option with actionable errors.
+3. Composition rules: t-driven samplers (DDIM), use_mesh_pp and FLUX
+   reject the option with actionable errors.  deep_cache COMPOSES via
+   the windowed carry denoiser — covered in test_cfg_interval_dc.py.
 4. The option round-trips the job-dict/metadata path like any other
    GenerationOptions field.
 """
@@ -185,10 +186,6 @@ def test_sd15_interval_rejections():
     from cremage_tpu.pipelines.sd15 import SD15Pipeline
 
     pipe = SD15Pipeline(make_bundle())
-    with pytest.raises(ValueError, match="deep_cache"):
-        pipe.generate(base_opts(sampler="Euler", deep_cache=2,
-                                cfg_interval_low=0.5,
-                                cfg_interval_high=8.0))
     with pytest.raises(ValueError, match="t-driven"):
         pipe.generate(base_opts(sampler="DDIM", cfg_interval_low=0.5,
                                 cfg_interval_high=8.0))
@@ -287,6 +284,3 @@ def test_sdxl_interval_rejections():
     with pytest.raises(ValueError, match="VanillaCFG"):
         pipe.generate(xl_opts(guider="IdentityGuider",
                               cfg_interval_low=0.5, cfg_interval_high=8.0))
-    with pytest.raises(ValueError, match="deep_cache"):
-        pipe.generate(xl_opts(deep_cache=2, cfg_interval_low=0.5,
-                              cfg_interval_high=8.0))
