@@ -14,6 +14,10 @@ Lanes (BASELINE.json driver metric):
            v5e: sd15 3.31, sdxl 0.296, svd 0.571) — _dc_tome stacks
            both approximations (sd15 4.02 = +34% over exact, sdxl
            0.471, svd 0.729 = +35% over exact)
+  *_cfgi   Guidance-interval variants (Kynkäänniemi 2024, window
+           [0.28, 5.42]; measured v5e: sd15 3.18, sdxl 0.315) —
+           _dc_tome_cfgi stacks all three (sd15 4.336 = +48% over
+           exact, sdxl 0.548 = +92% over exact)
 
 Each line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
@@ -674,7 +678,9 @@ LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
          # uncond half of the batch is skipped outside it).  MEASURED
          # (v5e, round 3): sd15 2.93->3.18 img/s, +tome 3.63; sdxl
          # 0.286->0.315, +tome 0.326.  Composes with ToMe AND DeepCache
-         # (windowed carry denoiser).
+         # (windowed carry denoiser): the full three-way stacks measure
+         # sd15 4.336 img/s / sdxl 0.548 img/s (both in the default
+         # lane set).
          "sd15_cfgi": lambda: bench_sd15(cfgi=_cfgi_env()),
          "sdxl_cfgi": lambda: bench_sdxl(cfgi=_cfgi_env()),
          "sd15_cfgi_tome": lambda: bench_sd15(
@@ -718,9 +724,11 @@ def main() -> int:
     lanes = os.environ.get("BENCH_LANES",
                            os.environ.get(
                                "BENCH_MODEL",
-                               "sd15,sdxl,svd,flux_int8,sd15_dc_tome,"
-                               "sdxl_dc,svd_dc_tome,flux_int8_tome,"
-                               "flux,sd15_e2e,sd15_dc,svd_dc,flux_tome"))
+                               "sd15,sdxl,svd,flux_int8,"
+                               "sd15_dc_tome_cfgi,sdxl_dc_tome_cfgi,"
+                               "svd_dc_tome,flux_int8_tome,"
+                               "flux,sd15_e2e,sd15_dc_tome,sdxl_dc,"
+                               "sd15_dc,svd_dc,flux_tome"))
     names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
     if len(names) == 1:
         from cremage_tpu.core.cache import enable_compilation_cache
