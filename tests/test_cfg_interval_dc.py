@@ -198,6 +198,169 @@ def test_sdxl_dc_mid_interval_runs(tmp_path):
     assert np.abs(img1.astype(np.float32) - img0.astype(np.float32)).max() > 0
 
 
+def test_pixart_dc_covering_interval_equals_dc_and_plain_interval():
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+    from cremage_tpu.pipelines.pixart import PixArtBundle, PixArtPipeline
+    from tests.test_pixart import tiny_pixart, T5D
+
+    m, params = tiny_pixart()
+    vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 1, 1, 1),
+                                  num_res_blocks=1, dtype=jnp.float32))
+    vp = vae.init(jax.random.key(3), jnp.zeros((1, 64, 64, 3)))
+    pipe = PixArtPipeline(PixArtBundle(
+        dit=m, dit_params=params, t5=None, t5_tokenize=None, t5_len=10,
+        vae=vae, vae_params=vp, t5_dim=T5D))
+
+    # the t5-less bundle encodes every prompt to zeros, making CFG a
+    # no-op (cond == uncond) — substitute distinct fake encodings so
+    # the guidance interval has something to gate
+    def fake_encode(prompt):
+        rng = np.random.RandomState(abs(hash(prompt)) % (2**31))
+        return rng.randn(10, T5D).astype(np.float32)
+
+    pipe._encode_text = fake_encode
+
+    def opts(**kw):
+        d = dict(prompt="a cat", negative_prompt="bad", H=64, W=64,
+                 sampling_steps=4, seed=5, scale=4.0, safety_check=False,
+                 watermark=False, sampler="Euler A")
+        d.update(kw)
+        return GenerationOptions(**d)
+
+    # non-DC: covering interval == plain CFG
+    (img0, _), = pipe.generate(opts())
+    (img1, _), = pipe.generate(opts(cfg_interval_low=0.0,
+                                    cfg_interval_high=1000.0))
+    np.testing.assert_allclose(img1, img0, atol=2e-5)
+    # DC: covering interval == DC-only
+    (dc0, _), = pipe.generate(opts(deep_cache=2))
+    (dc1, _), = pipe.generate(opts(deep_cache=2, cfg_interval_low=0.0,
+                                   cfg_interval_high=1000.0))
+    np.testing.assert_allclose(dc1, dc0, atol=2e-5)
+    # mid-run interval with DC runs and differs
+    (dc2, _), = pipe.generate(opts(deep_cache=2, cfg_interval_low=0.5,
+                                   cfg_interval_high=8.0))
+    assert np.isfinite(dc2).all()
+    assert np.abs(dc2.astype(np.float32) - dc0.astype(np.float32)).max() > 0
+
+
+def test_hunyuan_dc_covering_interval_equals_dc():
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.models.hunyuan import HunyuanConfig, HunyuanDiT
+    from cremage_tpu.pipelines.hunyuan import HunyuanBundle, HunyuanPipeline
+    from tests.test_family_pipelines import tiny_vae
+
+    cfg = HunyuanConfig(hidden_size=32, depth=4, num_heads=4, clip_dim=24,
+                        mt5_dim=24, mlp_ratio=2.0, dtype=jnp.float32)
+    dit = HunyuanDiT(cfg)
+    dp = dit.init(jax.random.key(0), jnp.zeros((1, 8, 8, 4)),
+                  jnp.zeros((1,)), jnp.zeros((1, 7, 24)),
+                  jnp.zeros((1, 7, 24)))
+
+    def text_encode(prompt):
+        rng = np.random.RandomState(abs(hash(prompt)) % (2**31))
+        return (rng.randn(7, 24).astype(np.float32),
+                rng.randn(7, 24).astype(np.float32))
+
+    vae, vp = tiny_vae()
+    pipe = HunyuanPipeline(HunyuanBundle(dit=dit, dit_params=dp, vae=vae,
+                                         vae_params=vp,
+                                         text_encode=text_encode))
+
+    def opts(**kw):
+        d = dict(prompt="a cat", negative_prompt="bad", H=64, W=64,
+                 sampling_steps=4, seed=5, scale=4.0, safety_check=False,
+                 watermark=False, sampler="Euler A", deep_cache=2,
+                 deep_cache_branch=2)
+        d.update(kw)
+        return GenerationOptions(**d)
+
+    (img0, _), = pipe.generate(opts())
+    (img1, _), = pipe.generate(opts(cfg_interval_low=0.0,
+                                    cfg_interval_high=1000.0))
+    np.testing.assert_allclose(img1, img0, atol=2e-5)
+
+
+def test_kandinsky_dc_covering_interval_equals_dc():
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.pipelines.kandinsky import KandinskyPipeline
+    from tests.test_family_pipelines import make_kandinsky
+
+    pipe = KandinskyPipeline(make_kandinsky())
+
+    def opts(**kw):
+        d = dict(prompt="a cat", negative_prompt="bad", H=64, W=64,
+                 sampling_steps=4, n_samples=1, seed=7, scale=4.0,
+                 sampler="Euler A", safety_check=False, watermark=False,
+                 deep_cache=2, deep_cache_branch=2)
+        d.update(kw)
+        return GenerationOptions(**d)
+
+    # the kandinsky decoder's squaredcos schedule tops out at sigma
+    # ~2e4, so "covering" needs a much higher bound than the SD ranges
+    (img0, _), = pipe.generate(opts())
+    (img1, _), = pipe.generate(opts(cfg_interval_low=0.0,
+                                    cfg_interval_high=1e9))
+    np.testing.assert_allclose(img1, img0, atol=2e-5)
+    # non-DC covering interval == plain as well
+    (p0, _), = pipe.generate(opts(deep_cache=1))
+    (p1, _), = pipe.generate(opts(deep_cache=1, cfg_interval_low=0.0,
+                                  cfg_interval_high=1e9))
+    np.testing.assert_allclose(p1, p0, atol=2e-5)
+    # and a window excluding the huge first sigma genuinely differs
+    (m0, _), = pipe.generate(opts(cfg_interval_low=0.0,
+                                  cfg_interval_high=1000.0))
+    assert np.abs(m0.astype(np.float32) - img0.astype(np.float32)).max() > 0
+
+
+def test_cascade_dc_covering_interval_equals_dc():
+    from cremage_tpu.core.config import GenerationOptions
+    from cremage_tpu.models.cascade import (
+        StageB, StageBConfig, StageC, StageCConfig,
+    )
+    from cremage_tpu.pipelines.cascade import CascadeBundle, CascadePipeline
+    from tests.test_family_pipelines import tiny_vae
+
+    TD = 24
+    sc = StageC(StageCConfig(c_hidden=(32, 64), blocks=(1, 1), num_heads=4,
+                             c_cond=32, clip_text_dim=TD,
+                             clip_text_pooled_dim=TD, dtype=jnp.float32))
+    scp = sc.init(jax.random.key(0), jnp.zeros((1, 2, 2, 16)),
+                  jnp.zeros((1,)), jnp.zeros((1, 7, TD)), jnp.zeros((1, TD)))
+    sb = StageB(StageBConfig(c_hidden=(16, 32), blocks=(1, 1), num_heads=4,
+                             c_cond=32, clip_text_pooled_dim=TD,
+                             attn_levels=(1,), down_repeats=(1, 1),
+                             up_repeats=(1, 1), dtype=jnp.float32))
+    sbp = sb.init(jax.random.key(1), jnp.zeros((1, 8, 8, 4)),
+                  jnp.zeros((1,)), jnp.zeros((1, 8, 8, 16)),
+                  jnp.zeros((1, TD)))
+    vae, vp = tiny_vae()
+
+    def text_encode(prompt):
+        rng = np.random.RandomState(abs(hash(prompt)) % (2**31))
+        return (rng.randn(7, TD).astype(np.float32),
+                rng.randn(TD).astype(np.float32))
+
+    pipe = CascadePipeline(CascadeBundle(
+        stage_c=sc, stage_c_params=scp, stage_b=sb, stage_b_params=sbp,
+        vqgan=vae, vqgan_params=vp, text_encode=text_encode,
+        c_compression=32, b_compression=8))
+
+    def opts(**kw):
+        d = dict(prompt="a cat", negative_prompt="bad", H=64, W=64,
+                 sampling_steps=4, n_samples=1, seed=7, scale=4.0,
+                 sampler="Euler A", safety_check=False, watermark=False,
+                 deep_cache=2, deep_cache_branch=2)
+        d.update(kw)
+        return GenerationOptions(**d)
+
+    (img0, _), = pipe.generate(opts())
+    (img1, _), = pipe.generate(opts(cfg_interval_low=0.0,
+                                    cfg_interval_high=1000.0))
+    np.testing.assert_allclose(img1, img0, atol=2e-5)
+
+
 def test_sd3_dc_covering_interval_equals_dc():
     from cremage_tpu.core.config import GenerationOptions
     from cremage_tpu.pipelines.sd3 import SD3Pipeline
