@@ -86,6 +86,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "one merge for the whole block stack (excludes "
                         "--deep_cache/SP there). 0.5 = the paper's "
                         "near-lossless setting; 0 = off (exact).")
+    p.add_argument("--ada_cache", type=float, default=0.0,
+                   help="adaptive step caching (TeaCache family): skip "
+                        "the whole denoiser on steps where the "
+                        "accumulated relative input change stays below "
+                        "this threshold, reusing the previous noise "
+                        "prediction (~0.1-0.3 typical; schedule decided "
+                        "at runtime per trajectory). 0 = off (exact). "
+                        "Same sampler menu as --deep_cache; excludes "
+                        "--deep_cache itself.")
     p.add_argument("--cfg_interval_low", type=float, default=0.0,
                    help="guidance interval (Kynkäänniemi 2024): apply CFG "
                         "only at noise levels low <= sigma <= high; the "
@@ -179,7 +188,7 @@ def main(argv=None) -> int:
         face_input_img=args.face_input_img, face_model=args.face_model,
         face_strength=args.face_strength,
         deep_cache=args.deep_cache, deep_cache_branch=args.deep_cache_branch,
-        tome_ratio=args.tome_ratio,
+        tome_ratio=args.tome_ratio, ada_cache=args.ada_cache,
         cfg_interval_low=args.cfg_interval_low,
         cfg_interval_high=args.cfg_interval_high,
     )

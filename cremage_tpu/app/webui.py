@@ -113,7 +113,10 @@ INDEX_HTML = """<!doctype html>
     token merging for SD1.5/SDXL, composes with deep_cache;
     cfg_interval_low/high — e.g. {"cfg_interval_low": 0.3,
     "cfg_interval_high": 6.0} skips the uncond pass outside that
-    sigma window, k-diffusion/EDM/flow samplers)</label>
+    sigma window, k-diffusion/EDM/flow samplers; ada_cache — e.g.
+    {"ada_cache": 0.2} adaptive step caching: skip whole denoiser
+    steps while the accumulated input change stays below the
+    threshold, any image family, excludes deep_cache)</label>
   <textarea id="advanced" rows="2" placeholder='{"prior_ckpt": "..."}'></textarea>
   <button class="small" id="paint_btn" onclick="paintOpen()">Paint mask on init image</button>
   <div id="paintbox" style="display:none">

@@ -281,6 +281,17 @@ class GenerationOptions:
     #   self-attention; composes with deep_cache.  DiTs (SD3/FLUX/
     #   PixArt/Hunyuan): ONE merge for the whole block stack (attention
     #   + MLPs); excludes deep_cache and use_mesh_sp there.
+    ada_cache: float = 0.0       # Adaptive step caching (TeaCache
+    #   family, Liu et al. 2024; samplers/adacache.py): skip the ENTIRE
+    #   denoiser on steps where the accumulated relative change of the
+    #   model input stays below this threshold, reusing the previous
+    #   noise prediction (k-space) or velocity (flow).  0 = off
+    #   (bit-exact default); ~0.1-0.3 trades quality for speed — the
+    #   skip schedule is decided at runtime per trajectory (lax.cond in
+    #   the scanned sampler), unlike deep_cache's fixed interval.
+    #   Same sampler menu as deep_cache; excludes deep_cache itself
+    #   (one step-cache at a time) and use_mesh_pp; composes with
+    #   tome_ratio, cfg_interval, ControlNet and use_mesh_sp.
     cfg_interval_low: float = 0.0   # Guidance interval (Kynkäänniemi et
     cfg_interval_high: float = 0.0  # al. 2024): apply CFG only at noise
     #   levels low <= sigma <= high; elsewhere run the conditional model

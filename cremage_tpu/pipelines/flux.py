@@ -27,6 +27,7 @@ from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
 from cremage_tpu.ops.tome import check_dit_options as _check_dit_tome
 from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
+from cremage_tpu.samplers import adacache as AC
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import flow as F
 from cremage_tpu.samplers.denoiser import cfg_interval_of
@@ -148,6 +149,17 @@ class FluxPipeline:
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
         use_dc = dc >= 2
+        ada = float(getattr(opts, "ada_cache", 0.0))
+        use_ada = ada > 0.0
+        if use_ada:
+            if use_dc:
+                raise ValueError(
+                    "ada_cache and deep_cache are both step caches — "
+                    "enable at most one")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "ada_cache does not compose with use_mesh_pp (the "
+                    "cache rides the jitted sampler scan carry)")
         if cfg_interval_of(opts) is not None:
             raise ValueError(
                 "cfg_interval does not apply to FLUX: guidance is "
@@ -239,11 +251,17 @@ class FluxPipeline:
                 return DC.sample_flow_euler_dc(
                     carry, cache0, x_tokens, sigmas, key=key,
                     progress_cb=progress)
+            if use_ada:
+                carry = AC.make_ada_denoise(
+                    v_fn, ada, len(sigmas) - 1, kind="flow")
+                return DC.sample_flow_euler_dc(
+                    carry, AC.ada_cache0(x_tokens), x_tokens, sigmas,
+                    key=key, progress_cb=progress)
             return F.sample_flow_euler(v_fn, x_tokens, sigmas, key=key,
                                        progress_cb=progress)
 
         bucket = ("flux", steps, hp, wp, txt_len, b, guidance_scale,
-                  sp_mesh is not None, dc if use_dc else 0, dcb, tr)
+                  sp_mesh is not None, dc if use_dc else 0, dcb, tr, ada)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

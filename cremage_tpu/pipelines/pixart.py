@@ -21,6 +21,7 @@ from cremage_tpu.models.pixart import PixArt
 from cremage_tpu.models.t5 import T5Encoder
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
 from cremage_tpu.ops.tome import check_dit_options as _check_dit_tome
+from cremage_tpu.samplers import adacache as AC
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
@@ -135,6 +136,22 @@ class PixArtPipeline:
                 "deep_cache requires a supported sampler "
                 f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
                 f"got {name!r}")
+        ada = float(getattr(opts, "ada_cache", 0.0))
+        use_ada = ada > 0.0
+        if use_ada:
+            if use_dc:
+                raise ValueError(
+                    "ada_cache and deep_cache are both step caches — "
+                    "enable at most one")
+            if name not in DC.DC_SAMPLERS:
+                raise ValueError(
+                    "ada_cache requires a supported sampler "
+                    f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
+                    f"got {name!r}")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "ada_cache does not compose with use_mesh_pp (the "
+                    "cache rides the jitted sampler scan carry)")
         sp_mesh, sp_axis = self.sp_mesh, self.sp_axis
         tr = float(opts.tome_ratio)
         if tr > 0:
@@ -242,12 +259,18 @@ class PixArtPipeline:
                     carry = DC.make_dc_denoise(den_cap, den_sh, dc)
                 return DC.DC_SAMPLERS[name](carry, cache0, x, sigmas,
                                             key=key, progress_cb=progress)
+            if use_ada:
+                carry = AC.make_ada_denoise(
+                    den_cfg, ada, len(sigmas) - 1, kind="den")
+                return DC.DC_SAMPLERS[name](carry, AC.ada_cache0(x), x,
+                                            sigmas, key=key,
+                                            progress_cb=progress)
             return sampler_fn(den_cfg, x, sigmas, key=key,
                               progress_cb=progress)
 
         bucket = ("pixart", name, steps, tuple(shape), tuple(cond_shape),
                   scale, sp_mesh is not None, dc if use_dc else 0, dcb, tr,
-                  cfgi)
+                  cfgi, ada)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

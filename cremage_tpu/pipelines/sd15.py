@@ -34,6 +34,7 @@ from cremage_tpu.models.unet import UNetModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_latent
 from cremage_tpu.pipelines.conditioning import TextEncoder, tile_batch
 from cremage_tpu.samplers import ddim as DDIM
+from cremage_tpu.samplers import adacache as AC
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import ldm_extra as LDMX
@@ -315,15 +316,31 @@ class SD15Pipeline:
                 f"tome_ratio must be in [0, 0.75), got {tr} (a 2x2 dst "
                 "grid leaves only 3N/4 mergeable src tokens)")
         cfgi = cfg_interval_of(opts)
+        ada = float(getattr(opts, "ada_cache", 0.0))
+        use_ada = ada > 0.0
         bucket = (name, steps, t_enc, tuple(shape), tuple(c.shape), scale,
                   has_extra, float(opts.ddim_eta), churn,
                   hint is not None, float(control_weight),
                   int(opts.deep_cache), int(opts.deep_cache_branch), tr,
-                  cfgi)
+                  cfgi, ada)
 
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
         use_dc = dc >= 2
+        if use_ada:
+            if use_dc:
+                raise ValueError(
+                    "ada_cache and deep_cache are both step caches — "
+                    "enable at most one")
+            if name not in DC.DC_SAMPLERS:
+                raise ValueError(
+                    "ada_cache requires a supported sampler "
+                    f"({', '.join(sorted(set(DC.DC_SAMPLERS) & set(SAMPLERS.names())))}), "
+                    f"got {name!r}")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "ada_cache does not compose with use_mesh_pp (the "
+                    "cache rides the jitted sampler scan carry)")
         if cfgi is not None:
             if name in T_DRIVEN_SAMPLERS:
                 raise ValueError(
@@ -552,6 +569,12 @@ class SD15Pipeline:
                         carry_den = DC.make_dc_denoise(den_cap, den_sh, dc)
                     return DC.DC_SAMPLERS[name](
                         carry_den, cache0, x0, sigmas, key=key,
+                        progress_cb=progress, **kwargs)
+                if use_ada:
+                    carry_den = AC.make_ada_denoise(
+                        den_cfg, ada, len(sigmas) - 1, kind="den")
+                    return DC.DC_SAMPLERS[name](
+                        carry_den, AC.ada_cache0(x0), x0, sigmas, key=key,
                         progress_cb=progress, **kwargs)
                 return sampler_fn(den_cfg, x0, sigmas, key=key,
                                   progress_cb=progress, **kwargs)

@@ -34,6 +34,7 @@ from cremage_tpu.prompt.chunking import generate_weighted_chunks, make_ti_fetch
 from cremage_tpu.prompt.parser import compute_prompt_score
 from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
+from cremage_tpu.samplers import adacache as AC
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import flow as F
 from cremage_tpu.samplers.denoiser import cfg_interval_of
@@ -203,6 +204,17 @@ class SD3Pipeline:
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
         use_dc = dc >= 2
+        ada = float(getattr(opts, "ada_cache", 0.0))
+        use_ada = ada > 0.0
+        if use_ada:
+            if use_dc:
+                raise ValueError(
+                    "ada_cache and deep_cache are both step caches — "
+                    "enable at most one")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "ada_cache does not compose with use_mesh_pp (the "
+                    "cache rides the jitted sampler scan carry)")
         tr = float(opts.tome_ratio)
         if tr > 0:
             _check_dit_tome(sp_mesh)
@@ -312,12 +324,18 @@ class SD3Pipeline:
                     carry = DC.make_dc_denoise(v_cap, v_sh, dc)
                 return DC.sample_flow_euler_dc(
                     carry, cache0, x, sigmas, key=key, progress_cb=progress)
+            if use_ada:
+                carry = AC.make_ada_denoise(
+                    v, ada, len(sigmas) - 1, kind="flow")
+                return DC.sample_flow_euler_dc(
+                    carry, AC.ada_cache0(x), x, sigmas, key=key,
+                    progress_cb=progress)
             return F.sample_flow_euler(v, x, sigmas, key=key,
                                        progress_cb=progress)
 
         bucket = ("sd3", opts.sampling_steps, tuple(shape), cond_shapes,
                   scale, sp_mesh is not None, dc if use_dc else 0, dcb, tr,
-                  cfgi)
+                  cfgi, ada)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

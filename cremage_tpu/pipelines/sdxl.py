@@ -42,6 +42,7 @@ from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_
 from cremage_tpu.prompt.chunking import generate_weighted_chunks, make_ti_fetch
 from cremage_tpu.prompt.parser import compute_prompt_score
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
+from cremage_tpu.samplers import adacache as AC
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import edm as EDM
 from cremage_tpu.samplers import lcm as LCM
@@ -319,6 +320,26 @@ class SDXLPipeline:
             # composed via the windowed carry denoiser (host-static step
             # flags) rather than the guider's per-call lax.cond
             guider_kwargs.pop("interval", None)
+        ada = float(getattr(opts, "ada_cache", 0.0))
+        use_ada = ada > 0.0
+        if use_ada:
+            if use_dc:
+                raise ValueError(
+                    "ada_cache and deep_cache are both step caches — "
+                    "enable at most one")
+            if sampler_name not in DC.DC_SAMPLERS:
+                raise ValueError(
+                    "ada_cache requires EulerEDMSampler, "
+                    "EulerAncestralSampler or DPMPP2MSampler, got "
+                    f"{sampler_name!r}")
+            if opts.guider != "VanillaCFG":
+                raise ValueError(
+                    "ada_cache supports the VanillaCFG guider only, got "
+                    f"{opts.guider!r}")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "ada_cache does not compose with use_mesh_pp (the "
+                    "cache rides the jitted sampler scan carry)")
 
         # LCM (samplers/lcm.py): pairs with SDXL LCM-LoRA weights
         # merged through the normal loader; the grid/boundary math runs
@@ -488,6 +509,26 @@ class SDXLPipeline:
                 return DC.DC_SAMPLERS[sampler_name](
                     carry_den, cache0, x0, sig, key=key,
                     progress_cb=progress, **kw)
+            if use_ada:
+                sig = np.asarray(sigmas, np.float64)
+                x0 = x.astype(jnp.float32)
+                if t_enc is None:
+                    x0 = x0 * float(np.sqrt(1.0 + sig[0] ** 2))
+                carry_den = AC.make_ada_denoise(
+                    denoise, ada, len(sig) - 1, kind="den")
+                if sampler_name == "EulerEDMSampler":
+                    kw = dict(s_churn=opts.sampler_s_churn,
+                              s_tmin=opts.sampler_s_tmin,
+                              s_tmax=opts.sampler_s_tmax,
+                              s_noise=opts.sampler_s_noise)
+                elif sampler_name == "DPMPP2MSampler":
+                    kw = {}           # deterministic multistep: no churn/eta
+                else:
+                    kw = dict(eta=opts.sampler_eta,
+                              s_noise=opts.sampler_s_noise)
+                return DC.DC_SAMPLERS[sampler_name](
+                    carry_den, AC.ada_cache0(x0), x0, sig, key=key,
+                    progress_cb=progress, **kw)
             return EDM.run_sgm_sampler(
                 sampler_name, denoise, x, sigmas, key=key,
                 s_churn=opts.sampler_s_churn, s_tmin=opts.sampler_s_tmin,
@@ -500,7 +541,7 @@ class SDXLPipeline:
                   tuple(cond_shape), float(opts.scale), opts.guider,
                   opts.discretization, float(opts.sampler_eta),
                   float(opts.sampler_s_churn), num_frames,
-                  self.bundle.inpaint, dc, dcb, tr, cfgi)
+                  self.bundle.inpaint, dc, dcb, tr, cfgi, ada)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)
