@@ -392,6 +392,7 @@ def svd_factory(prefs: Preferences) -> Callable:
             deep_cache=int(params.get("deep_cache", 1)),
             deep_cache_branch=int(params.get("deep_cache_branch", 1)),
             tome_ratio=float(params.get("tome_ratio", 0.0)),
+            ada_cache=float(params.get("ada_cache", 0.0)),
         )
         quantize = params.get("unet_quantize") or None
         pipe = cached_instance(

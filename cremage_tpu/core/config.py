@@ -289,9 +289,11 @@ class GenerationOptions:
     #   (bit-exact default); ~0.1-0.3 trades quality for speed — the
     #   skip schedule is decided at runtime per trajectory (lax.cond in
     #   the scanned sampler), unlike deep_cache's fixed interval.
-    #   Same sampler menu as deep_cache; excludes deep_cache itself
-    #   (one step-cache at a time) and use_mesh_pp; composes with
-    #   tome_ratio, cfg_interval, ControlNet and use_mesh_sp.
+    #   Same sampler menu as deep_cache and the same all-nine-family
+    #   coverage (SVD takes it via SVDOptions.ada_cache); excludes
+    #   deep_cache itself (one step-cache at a time) and use_mesh_pp;
+    #   composes with tome_ratio, cfg_interval, ControlNet and
+    #   use_mesh_sp.
     cfg_interval_low: float = 0.0   # Guidance interval (Kynkäänniemi et
     cfg_interval_high: float = 0.0  # al. 2024): apply CFG only at noise
     #   levels low <= sigma <= high; elsewhere run the conditional model

@@ -27,6 +27,7 @@ from cremage_tpu.core.config import GenerationOptions
 from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.unet import UNetConfig, UNetModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
+from cremage_tpu.samplers import adacache as AC
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
@@ -129,6 +130,17 @@ class CascadePipeline:
         dcb = max(1, min(int(opts.deep_cache_branch),
                          _max_cache_levels(model)))
         use_dc = dc >= 2
+        ada = float(getattr(opts, "ada_cache", 0.0))
+        use_ada = ada > 0.0
+        if use_ada:
+            if use_dc:
+                raise ValueError(
+                    "ada_cache and deep_cache are both step caches — "
+                    "enable at most one")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "ada_cache does not compose with use_mesh_pp (the "
+                    "cache rides the jitted sampler scan carry)")
         # ToMe: config-swapped module on the same param tree (ops/tome.py).
         # Stage C is excluded: measured a wash on v5e (0.99x — its 24x24
         # latents leave too few tokens for the plan build + unmerge to pay
@@ -255,11 +267,17 @@ class CascadePipeline:
                     carry = DC.make_dc_denoise(den_cap, den_sh, dc)
                 return DC.sample_euler_ancestral_dc(
                     carry, cache0, x, sigmas, key=key, progress_cb=progress)
+            if use_ada:
+                carry = AC.make_ada_denoise(
+                    den, ada, len(sigmas) - 1, kind="den")
+                return DC.sample_euler_ancestral_dc(
+                    carry, AC.ada_cache0(x), x, sigmas, key=key,
+                    progress_cb=progress)
             return K.sample_euler_ancestral(den, x, sigmas, key=key,
                                             progress_cb=progress)
 
         bucket = (tag, steps, tuple(shape), extra_sig, scale,
-                  dc if use_dc else 0, dcb, tr, cfgi)
+                  dc if use_dc else 0, dcb, tr, cfgi, ada)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

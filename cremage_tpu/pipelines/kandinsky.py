@@ -23,6 +23,7 @@ from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.kandinsky import DiffusionPrior
 from cremage_tpu.models.unet import UNetModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_latent
+from cremage_tpu.samplers import adacache as AC
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
@@ -162,6 +163,22 @@ class KandinskyPipeline:
                 "deep_cache requires a supported sampler "
                 f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
                 f"got {name!r}")
+        ada = float(getattr(opts, "ada_cache", 0.0))
+        use_ada = ada > 0.0
+        if use_ada:
+            if use_dc:
+                raise ValueError(
+                    "ada_cache and deep_cache are both step caches — "
+                    "enable at most one")
+            if name not in DC.DC_SAMPLERS:
+                raise ValueError(
+                    "ada_cache requires a supported sampler "
+                    f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
+                    f"got {name!r}")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "ada_cache does not compose with use_mesh_pp (the "
+                    "cache rides the jitted sampler scan carry)")
         # ToMe: config-swapped decoder on the same param tree; the prior
         # diffuses a single embedding vector (no spatial tokens to merge)
         tr = float(opts.tome_ratio)
@@ -277,10 +294,16 @@ class KandinskyPipeline:
                     carry = DC.make_dc_denoise(den_cap, den_sh, dc)
                 return DC.DC_SAMPLERS[name](carry, cache0, x, sigmas,
                                             key=key, progress_cb=progress)
+            if use_ada:
+                carry = AC.make_ada_denoise(
+                    den, ada, len(sigmas) - 1, kind="den")
+                return DC.DC_SAMPLERS[name](carry, AC.ada_cache0(x), x,
+                                            sigmas, key=key,
+                                            progress_cb=progress)
             return sampler_fn(den, x, sigmas, key=key, progress_cb=progress)
 
         bucket = ("kandinsky", name, steps, tuple(shape), dim, scale,
-                  dc if use_dc else 0, dcb, tr, cfgi)
+                  dc if use_dc else 0, dcb, tr, cfgi, ada)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

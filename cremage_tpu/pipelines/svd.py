@@ -33,6 +33,7 @@ from cremage_tpu.models.clip_vision import CLIPVisionModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
 from cremage_tpu.models.video_unet import VideoUNet
 from cremage_tpu.pipelines.sdxl import fourier_vector_embedding
+from cremage_tpu.samplers import adacache as AC
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import edm as EDM
 
@@ -60,6 +61,10 @@ class SVDOptions:
     deep_cache_branch: int = 1
     tome_ratio: float = 0.0   # Token merging on the spatial attn1
     #   (ops/tome.py; per-frame token grids). 0 = off (exact).
+    ada_cache: float = 0.0    # Adaptive step caching (samplers/
+    #   adacache.py, TeaCache family): skip the whole video UNet on
+    #   steps whose accumulated input change stays below the threshold.
+    #   0 = off (exact); excludes deep_cache.
 
 
 @dataclasses.dataclass
@@ -139,6 +144,16 @@ class SVDPipeline:
 
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
+        ada = float(opts.ada_cache)
+        if ada > 0.0:
+            if dc >= 2:
+                raise ValueError(
+                    "ada_cache and deep_cache are both step caches — "
+                    "enable at most one")
+            if self.pp_devices is not None:
+                raise ValueError(
+                    "ada_cache does not compose with use_mesh_pp (the "
+                    "cache rides the jitted sampler scan carry)")
 
         if self.pp_devices is not None:
             if dc >= 2:
@@ -250,13 +265,22 @@ class SVDPipeline:
                 return DC.sample_euler_dc(
                     carry_den, jnp.zeros(dsd.shape, dsd.dtype), x0, sig,
                     key=key, progress_cb=progress)
+            if ada > 0.0:
+                sig = np.asarray(sigmas, np.float64)
+                x0 = x.astype(jnp.float32) * float(
+                    np.sqrt(1.0 + sig[0] ** 2))
+                carry_den = AC.make_ada_denoise(
+                    denoise, ada, len(sig) - 1, kind="den")
+                return DC.sample_euler_dc(
+                    carry_den, AC.ada_cache0(x0), x0, sig,
+                    key=key, progress_cb=progress)
             return EDM.run_sgm_sampler(
                 "EulerEDMSampler", denoise, x, sigmas, key=key,
                 progress_cb=progress,
             )
 
         bucket = ("svd", opts.num_steps, t_frames, tuple(shape), ctx_dim,
-                  dc, dcb, tr)
+                  dc, dcb, tr, ada)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

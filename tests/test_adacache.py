@@ -233,6 +233,75 @@ def test_sd3_pipeline_ada_cache():
         pipe.generate(_gen_opts(ada_cache=0.2, deep_cache=2))
 
 
+def test_svd_pipeline_ada_cache():
+    from tests.test_svd import T, tiny_video_unet
+    from cremage_tpu.models.vae import AutoencoderKL, VAEConfig
+    from cremage_tpu.pipelines.svd import SVDBundle, SVDOptions, SVDPipeline
+
+    m, params = tiny_video_unet()
+    vae = AutoencoderKL(VAEConfig(ch=32, ch_mult=(1, 1, 1, 1),
+                                  num_res_blocks=1, dtype=jnp.float32))
+    vp = vae.init(jax.random.key(1), jnp.zeros((1, 64, 64, 3)))
+    pipe = SVDPipeline(SVDBundle(unet=m, unet_params=params, vae=vae,
+                                 vae_params=vp))
+    img = np.random.RandomState(0).uniform(
+        0, 1, (64, 64, 3)).astype(np.float32)
+    frames = pipe.sample(img, SVDOptions(num_frames=T, num_steps=4, seed=4,
+                                         ada_cache=1e9))
+    assert frames.shape == (T, 64, 64, 3)
+    assert np.isfinite(frames).all()
+    with pytest.raises(ValueError, match="at most one"):
+        pipe.sample(img, SVDOptions(num_frames=T, num_steps=4, seed=4,
+                                    ada_cache=0.2, deep_cache=2))
+
+
+def test_kandinsky_pipeline_ada_cache():
+    from tests.test_family_pipelines import make_kandinsky, opts
+    from cremage_tpu.pipelines.kandinsky import KandinskyPipeline
+
+    pipe = KandinskyPipeline(make_kandinsky())
+    o = dict(sampler="Euler A", sampling_steps=4)
+    plain = pipe.generate(opts(**o))[0][0]
+    ada = pipe.generate(opts(**o, ada_cache=1e9))[0][0]
+    assert np.isfinite(ada).all()
+    assert np.abs(ada.astype(np.float32) - plain.astype(np.float32)).max() > 0
+    with pytest.raises(ValueError, match="at most one"):
+        pipe.generate(opts(**o, ada_cache=0.2, deep_cache=2))
+
+
+def test_cascade_pipeline_ada_cache():
+    from tests.test_family_pipelines import (TD, fake_text_encode, opts,
+                                             tiny_vae)
+    from cremage_tpu.models.unet import UNetModel
+    from cremage_tpu.pipelines.cascade import (
+        CascadeBundle, CascadePipeline, stage_b_config, stage_c_config)
+
+    ccfg = stage_c_config(text_dim=TD, dtype=jnp.float32, model_channels=32,
+                          num_res_blocks=1, num_heads=4)
+    sc = UNetModel(ccfg)
+    scp = sc.init(jax.random.key(0), jnp.zeros((1, 2, 2, 16)),
+                  jnp.zeros((1,)), jnp.zeros((1, 7, TD)), jnp.zeros((1, TD)))
+    bcfg = stage_b_config(dtype=jnp.float32, model_channels=32,
+                          num_res_blocks=1, num_heads=4,
+                          attention_resolutions=(2,), channel_mult=(1, 2),
+                          transformer_depth=(1, 1), context_dim=TD)
+    sb = UNetModel(bcfg)
+    sbp = sb.init(jax.random.key(1), jnp.zeros((1, 16, 16, 20)),
+                  jnp.zeros((1,)), jnp.zeros((1, 7, TD)))
+    vae, vp = tiny_vae()
+    bundle = CascadeBundle(stage_c=sc, stage_c_params=scp, stage_b=sb,
+                           stage_b_params=sbp, vqgan=vae, vqgan_params=vp,
+                           text_encode=fake_text_encode,
+                           c_compression=32, b_compression=8)
+    pipe = CascadePipeline(bundle)
+    plain = pipe.generate(opts(sampling_steps=4))[0][0]
+    ada = pipe.generate(opts(sampling_steps=4, ada_cache=1e9))[0][0]
+    assert np.isfinite(ada).all()
+    assert np.abs(ada.astype(np.float32) - plain.astype(np.float32)).max() > 0
+    with pytest.raises(ValueError, match="at most one"):
+        pipe.generate(opts(sampling_steps=4, ada_cache=0.2, deep_cache=2))
+
+
 def test_flux_pipeline_ada_cache():
     from tests.test_sd3_flux import make_flux_pipeline
 
