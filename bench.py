@@ -714,20 +714,25 @@ LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
 
 def main() -> int:
     # Default lanes in PRIORITY order: the driver-metric exact lanes
-    # first (sd15/sdxl/svd + the flux headline), then the approximate
-    # headline lanes, then the rest.  BENCH_BUDGET_S (default 2400 s)
-    # stops launching new lanes once the wall-clock budget is spent, so
-    # a full default run always terminates with the important lanes
-    # captured instead of being killed mid-flight by a harness timeout
-    # (each lane is a subprocess; a lane may overshoot the budget by
-    # its own duration but never blocks the lanes already printed).
+    # first (sd15/sdxl/svd + BOTH flux headlines), then the approximate
+    # headline stacks, then the rest.  BENCH_BUDGET_S (default 1200 s —
+    # sized to the driver's observed wall-clock window; the r03 run at
+    # 2400 s was killed rc=124 mid lane 3) stops launching new lanes
+    # once the budget is spent, and BENCH_LANE_TIMEOUT_S (default 900 s)
+    # bounds any single lane so one pathological compile can never eat
+    # the whole window.  Every lane subprocess runs with the persistent
+    # XLA compilation cache (core/cache.py — measured 39.6 s -> 1.6 s
+    # across processes on the axon tunnel), so a warm run completes the
+    # full default set well inside the budget; only a fully cold cache
+    # risks hitting the lane timeout, and then only for the slowest
+    # compile.
     lanes = os.environ.get("BENCH_LANES",
                            os.environ.get(
                                "BENCH_MODEL",
-                               "sd15,sdxl,svd,flux_int8,"
+                               "sd15,sdxl,svd,flux,flux_int8,"
                                "sd15_dc_tome_cfgi,sdxl_dc_tome_cfgi,"
                                "svd_dc_tome,flux_int8_tome,"
-                               "flux,sd15_e2e,sd15_dc_tome,sdxl_dc,"
+                               "sd15_e2e,sd15_dc_tome,sdxl_dc,"
                                "sd15_dc,svd_dc,flux_tome"))
     names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
     if len(names) == 1:
@@ -746,7 +751,8 @@ def main() -> int:
     import subprocess
     import sys
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    lane_timeout = float(os.environ.get("BENCH_LANE_TIMEOUT_S", "900"))
     t0 = time.time()
     rc = 0
     for i, name in enumerate(names):
@@ -755,8 +761,16 @@ def main() -> int:
                   % (budget, ",".join(names[i:])), file=sys.stderr)
             break
         env = dict(os.environ, BENCH_LANES=name)
-        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           env=env)
+        try:
+            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                               env=env, timeout=lane_timeout)
+        except subprocess.TimeoutExpired:
+            # a timed-out lane is reported and skipped, NOT a run
+            # failure: the artifact must keep the lanes already printed
+            # and go on to the remaining ones
+            print("bench: lane %s exceeded %.0fs, killed; continuing"
+                  % (name, lane_timeout), file=sys.stderr)
+            continue
         rc = rc or r.returncode
     return rc
 

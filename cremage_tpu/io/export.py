@@ -72,6 +72,34 @@ _CLIP_RENAMES = [
 ]
 
 
+def _clip_ldm_key(path, prefix: str) -> str:
+    key = ".".join(_component_to_dotted(c) for c in path)
+    if key == "token_embedding":
+        key = "embeddings.token_embedding.weight"
+    elif key == "position_embedding":
+        key = "embeddings.position_embedding.weight"
+    elif key.startswith("layers."):
+        key = "encoder." + key
+    for a, b in _CLIP_RENAMES:
+        key = key.replace(a, b)
+    return prefix + key
+
+
+def export_keys(template, prefix: str = "") -> list:
+    """The ldm key universe export_params would emit, computed from a
+    template tree alone (ShapeDtypeStruct leaves fine — nothing is
+    materialized).  Diffed against the reference's canonical
+    SD15_WEIGHT_LIST in tests/test_reference_keylists.py."""
+    return [prefix + ".".join(_component_to_dotted(c) for c in path)
+            for path, _ in CK._flatten_params(template)]
+
+
+def export_clip_text_keys(template, prefix: str = CK.PREFIX_CLIP_SD15) -> list:
+    """Key universe of export_clip_text from a template tree alone."""
+    return [_clip_ldm_key(path, prefix)
+            for path, _ in CK._flatten_params(template)]
+
+
 def export_clip_text(
     params: Mapping, prefix: str = CK.PREFIX_CLIP_SD15, dtype=np.float32
 ) -> Dict[str, np.ndarray]:
@@ -79,16 +107,7 @@ def export_clip_text(
     checkpoint.clip_text_subdict)."""
     out: Dict[str, np.ndarray] = {}
     for path, leaf in CK._flatten_params(params):
-        key = ".".join(_component_to_dotted(c) for c in path)
-        if key == "token_embedding":
-            key = "embeddings.token_embedding.weight"
-        elif key == "position_embedding":
-            key = "embeddings.position_embedding.weight"
-        elif key.startswith("layers."):
-            key = "encoder." + key
-        for a, b in _CLIP_RENAMES:
-            key = key.replace(a, b)
-        key = prefix + key
+        key = _clip_ldm_key(path, prefix)
         out[key] = np.ascontiguousarray(
             invert_tensor(np.asarray(leaf), key).astype(dtype))
     return out

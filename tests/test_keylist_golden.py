@@ -37,12 +37,11 @@ FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures", "keylists")
 
 
 def check_fixture(name: str, sd: dict):
+    # fixtures are PINNED (no regen path): drift is a failure to
+    # investigate, and the SD1.5 layout is additionally anchored to the
+    # reference's own canonical key list in test_reference_keylists.py
     path = os.path.join(FIXDIR, name + ".txt")
     got = sorted(sd)
-    if os.environ.get("KEYLIST_REGEN"):
-        os.makedirs(FIXDIR, exist_ok=True)
-        with open(path, "w") as f:
-            f.write("\n".join(got) + "\n")
     with open(path) as f:
         want = [ln for ln in f.read().splitlines() if ln]
     assert got == want, (
