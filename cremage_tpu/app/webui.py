@@ -101,7 +101,8 @@ INDEX_HTML = """<!doctype html>
     <div><label>Strength (img2img / face-fix repair)</label>
       <input id="strength" type="number" value="0.75" step="0.05"></div>
   </div>
-  <label>Init image (img2img / inpaint)</label>
+  <label>Init image (img2img / inpaint) — or drag &amp; drop a file or a
+    gallery/library image anywhere on the page</label>
   <input id="init_file" type="file" accept="image/*">
   <label>Mask image (inpaint; white = repaint)</label>
   <input id="mask_file" type="file" accept="image/*">
@@ -136,8 +137,13 @@ INDEX_HTML = """<!doctype html>
     <button id="tab-results" class="active" onclick="showTab('results')">Results</button>
     <button id="tab-library" onclick="showTab('library')">Library</button>
     <button id="tab-tools" onclick="showTab('tools')">Tools</button>
+    <button id="tab-prefs" onclick="showTab('prefs')">Preferences</button>
   </div>
-  <div id="gallery"></div>
+  <div id="libhelp" style="display:none; font-size:11px; color:#9a9aa2;
+       margin-bottom:8px">keyboard: ↑/↓/←/→ or j/k select · Home/End jump
+    · f favorite · m mark · g go to mark · Delete/Backspace trash ·
+    Enter use settings (reference image_listbox_handlers flows)</div>
+  <div id="gallery" tabindex="0" style="outline:none"></div>
   <div id="toolsec" style="display:none; max-width: 640px">
     <h1>LLM chat</h1>
     <div id="chatlog" style="font-size:13px; white-space:pre-wrap"></div>
@@ -171,6 +177,26 @@ INDEX_HTML = """<!doctype html>
     <button class="small" onclick="faceOp('gfpgan')">GFPGAN</button>
     <div id="face_boxes" style="font-size:12px"></div>
     <img id="face_preview" style="max-width:256px; display:block; margin-top:8px">
+
+    <h1 style="margin-top:24px">Model mixer</h1>
+    <label>Checkpoint paths (comma-sep, server-side)</label>
+    <input id="mix_paths" placeholder="a.safetensors,b.safetensors">
+    <label>Weights (comma-sep, same count)</label>
+    <input id="mix_weights" placeholder="0.7,0.3">
+    <label>Output path</label>
+    <input id="mix_output" placeholder="mixed.safetensors">
+    <button class="small" onclick="mixRun()">Mix</button>
+    <div id="mix_state" style="font-size:12px"></div>
+  </div>
+  <div id="prefsec" style="display:none; max-width: 640px">
+    <h1>Preferences</h1>
+    <div style="font-size:11px; color:#9a9aa2">the server's shared
+      Preferences instance (reference preferences dialog); saving
+      persists to the server's config file when one is loaded</div>
+    <div id="pref_rows"></div>
+    <button class="small" onclick="prefsSave()">Save changes</button>
+    <button class="small" onclick="prefsLoad()">Reload</button>
+    <div id="pref_state" style="font-size:12px"></div>
   </div>
 </div>
 <script>
@@ -264,7 +290,9 @@ async function generate() {
   $('status').textContent = 'submitting…';
   $('status').className = '';
   try {
-    const init_img = await uploadFile('init_file');
+    const init_img = droppedInit
+      ? (await api('/v1/upload', {image: droppedInit})).path
+      : await uploadFile('init_file');
     const mask_img = paintedMask
       ? (await api('/v1/upload', {image: paintedMask})).path
       : await uploadFile('mask_file');
@@ -356,9 +384,12 @@ let painting = false, paintedMask = null;
 
 async function paintOpen() {
   const f = $('init_file').files[0];
-  if (!f) { $('status').textContent = 'choose an init image first'; return; }
+  if (!f && !droppedInit) {
+    $('status').textContent = 'choose an init image first'; return;
+  }
   const img = new Image();
-  const url = URL.createObjectURL(f);
+  const url = f ? URL.createObjectURL(f)
+                : 'data:image/png;base64,' + droppedInit;
   await new Promise(res => { img.onload = res; img.src = url; });
   const c = $('paint_canvas');
   c.width = img.naturalWidth; c.height = img.naturalHeight;
@@ -481,14 +512,135 @@ async function faceOp(op) {
   } catch (e) { $('status').textContent = String(e); }
 }
 
+async function useSettingsFrom(p) {
+  const m = await api('/v1/images/meta?path=' + encodeURIComponent(p));
+  const g = m.generation_data;
+  if (!g) { $('status').textContent = 'no metadata'; return; }
+  const map = {prompt: 'prompt', negative_prompt: 'negative',
+               sampler: 'sampler', sampling_steps: 'steps',
+               W: 'W', H: 'H', scale: 'scale', seed: 'seed',
+               n_samples: 'n_samples', n_iter: 'n_iter',
+               generator_model_type: 'model'};
+  for (const [k, id] of Object.entries(map))
+    if (g[k] !== undefined && $(id)) $(id).value = g[k];
+  $('status').textContent = 'settings loaded from ' + p;
+  countTokens();
+}
+
+// Keyboard-driven image browser (reference
+// image_listbox_handlers.py:58-190: up/down navigate, Home/End jump,
+// f favorite, m mark, g go-to-marked, Delete/BackSpace trash,
+// activate = load image settings).
+let libItems = [];   // [{path, card}]
+let libSel = -1, libMark = -1;
+
+function libSelect(i) {
+  if (!libItems.length) return;
+  i = Math.max(0, Math.min(libItems.length - 1, i));
+  if (libSel >= 0 && libItems[libSel])
+    libItems[libSel].card.style.borderColor = '#333';
+  libSel = i;
+  const it = libItems[i];
+  it.card.style.borderColor = '#4953e8';
+  it.card.scrollIntoView({block: 'nearest'});
+}
+
+function libTrash(i) {
+  const it = libItems[i];
+  if (!it) return;
+  api('/v1/images/trash', {path: it.path});
+  it.card.remove();
+  libItems.splice(i, 1);
+  if (libMark === i) libMark = -1; else if (libMark > i) libMark--;
+  libSel = -1;
+  libSelect(Math.min(i, libItems.length - 1));
+}
+
+function libKeydown(e) {
+  if (tab !== 'library' || !libItems.length) return;
+  if (/^(INPUT|TEXTAREA|SELECT)$/.test(document.activeElement.tagName))
+    return;   // typing in a form field must not drive the browser
+  const k = e.key;
+  const nav = {ArrowUp: -1, ArrowLeft: -1, k: -1,
+               ArrowDown: 1, ArrowRight: 1, j: 1};
+  if (k in nav) { libSelect(libSel + nav[k]); e.preventDefault(); }
+  else if (k === 'Home') { libSelect(0); e.preventDefault(); }
+  else if (k === 'End') { libSelect(libItems.length - 1); e.preventDefault(); }
+  else if (k === 'f' || k === 'F') {
+    const it = libItems[libSel];
+    if (it) { api('/v1/images/favorite', {path: it.path});
+              $('status').textContent = 'favorited ' + it.path; }
+  } else if (k === 'm' || k === 'M') {
+    libMark = libSel;
+    $('status').textContent = 'marked image ' + (libSel + 1);
+  } else if (k === 'g' || k === 'G') {
+    if (libMark >= 0) libSelect(libMark);
+  } else if (k === 'Delete' || k === 'Backspace') {
+    libTrash(libSel); e.preventDefault();
+  } else if (k === 'Enter') {
+    const it = libItems[libSel];
+    if (it) useSettingsFrom(it.path);
+  }
+}
+document.addEventListener('keydown', libKeydown);
+
+// Drag & drop an init image (reference main window drag-drop): OS
+// files land in the init file input; gallery/library card images are
+// fetched and re-wrapped so "use this result as the next init" is one
+// gesture.
+let droppedInit = null;   // b64 PNG, wins over the file input
+
+function dropInit(b64, what) {
+  droppedInit = b64;
+  $('status').textContent = 'init image set from ' + what +
+    ' (drag-drop); mode stays ' + $('mode').value;
+  $('status').className = '';
+}
+
+document.addEventListener('dragover', e => e.preventDefault());
+document.addEventListener('drop', async e => {
+  e.preventDefault();
+  const f = e.dataTransfer.files && e.dataTransfer.files[0];
+  if (f && f.type.startsWith('image/')) {
+    const b64 = await new Promise((res, rej) => {
+      const r = new FileReader();
+      r.onload = () => res(r.result.split(',')[1]);
+      r.onerror = rej; r.readAsDataURL(f);
+    });
+    dropInit(b64, f.name);
+    return;
+  }
+  const uri = e.dataTransfer.getData('text/uri-list') ||
+              e.dataTransfer.getData('text/plain');
+  if (uri && /^(data:image|https?:|\\/v1\\/)/.test(uri)) {
+    try {
+      if (uri.startsWith('data:image')) dropInit(uri.split(',')[1], 'card');
+      else {
+        const r = await fetch(uri);
+        const blob = await r.blob();
+        const b64 = await new Promise((res, rej) => {
+          const rd = new FileReader();
+          rd.onload = () => res(rd.result.split(',')[1]);
+          rd.onerror = rej; rd.readAsDataURL(blob);
+        });
+        dropInit(b64, 'library image');
+      }
+    } catch (err) { $('status').textContent = String(err); }
+  }
+});
+
 async function showTab(t) {
   tab = t;
-  $('tab-results').className = t === 'results' ? 'active' : '';
-  $('tab-library').className = t === 'library' ? 'active' : '';
-  $('tab-tools').className = t === 'tools' ? 'active' : '';
+  for (const n of ['results', 'library', 'tools', 'prefs'])
+    $('tab-' + n).className = t === n ? 'active' : '';
   $('toolsec').style.display = t === 'tools' ? 'block' : 'none';
-  $('gallery').style.display = t === 'tools' ? 'none' : 'flex';
+  $('prefsec').style.display = t === 'prefs' ? 'block' : 'none';
+  $('libhelp').style.display = t === 'library' ? 'block' : 'none';
+  $('gallery').style.display =
+    (t === 'tools' || t === 'prefs') ? 'none' : 'flex';
   $('gallery').innerHTML = '';
+  libItems = []; libSel = -1; libMark = -1;
+  if (t === 'prefs') prefsLoad();
   if (t === 'library') {
     try {
       const l = await api('/v1/images');
@@ -500,30 +652,97 @@ async function showTab(t) {
         fav.onclick = () => api('/v1/images/favorite', {path: p});
         const del = document.createElement('button');
         del.className = 'small'; del.textContent = '🗑 trash';
-        del.onclick = e => { api('/v1/images/trash', {path: p});
-                             e.target.closest('.card').remove(); };
+        del.onclick = e => {
+          const i = libItems.findIndex(x => x.path === p);
+          if (i >= 0) libTrash(i); e.stopPropagation();
+        };
         const use = document.createElement('button');
         use.className = 'small'; use.textContent = '↺ use settings';
-        use.onclick = async () => {
-          const m = await api('/v1/images/meta?path=' +
-                              encodeURIComponent(p));
-          const g = m.generation_data;
-          if (!g) { $('status').textContent = 'no metadata'; return; }
-          const map = {prompt: 'prompt', negative_prompt: 'negative',
-                       sampler: 'sampler', sampling_steps: 'steps',
-                       W: 'W', H: 'H', scale: 'scale', seed: 'seed',
-                       n_samples: 'n_samples', n_iter: 'n_iter',
-                       generator_model_type: 'model'};
-          for (const [k, id] of Object.entries(map))
-            if (g[k] !== undefined && $(id)) $(id).value = g[k];
-          $('status').textContent = 'settings loaded from ' + p;
-          countTokens();
-        };
+        use.onclick = () => useSettingsFrom(p);
         row.appendChild(fav); row.appendChild(del); row.appendChild(use);
         addCard('/v1/images/file?path=' + encodeURIComponent(p), p, row);
+        const card = $('gallery').firstChild;
+        card.onclick = () => {
+          const i = libItems.findIndex(x => x.path === p);
+          if (i >= 0) libSelect(i);
+        };
+        // addCard prepends; keep libItems in on-screen order
+        libItems.unshift({path: p, card});
       }
+      if (libItems.length) { $('gallery').focus(); libSelect(0); }
     } catch (e) { $('status').textContent = String(e); }
   }
+}
+
+// Preferences editor over GET/POST /v1/preferences (reference
+// ui/preferences_ui.py dialog).
+let prefsOrig = {};
+
+async function prefsLoad() {
+  try {
+    const out = await api('/v1/preferences');
+    const prefs = out.preferences;
+    $('pref_rows').innerHTML = '';
+    prefsOrig = prefs || {};
+    if (!prefs) {
+      $('pref_state').textContent =
+        'server started without a config (read-only)';
+      return;
+    }
+    for (const [k, v] of Object.entries(prefs)) {
+      const lab = document.createElement('label');
+      lab.textContent = k;
+      $('pref_rows').appendChild(lab);
+      const inp = document.createElement(
+        typeof v === 'boolean' ? 'select' : 'input');
+      inp.id = 'pref_' + k;
+      if (typeof v === 'boolean') {
+        for (const o of ['true', 'false']) {
+          const e = document.createElement('option'); e.textContent = o;
+          inp.appendChild(e);
+        }
+        inp.value = String(v);
+      } else {
+        if (typeof v === 'number') inp.type = 'number';
+        inp.value = v === null ? '' : String(v);
+      }
+      $('pref_rows').appendChild(inp);
+    }
+    $('pref_state').textContent = '';
+  } catch (e) { $('pref_state').textContent = String(e); }
+}
+
+async function prefsSave() {
+  const changed = {};
+  for (const [k, v] of Object.entries(prefsOrig)) {
+    const inp = $('pref_' + k);
+    if (!inp) continue;
+    let nv = inp.value;
+    if (typeof v === 'boolean') nv = nv === 'true';
+    else if (typeof v === 'number')
+      nv = nv.includes('.') ? parseFloat(nv) : parseInt(nv);
+    if (nv !== v && !(v === null && nv === '')) changed[k] = nv;
+  }
+  if (!Object.keys(changed).length) {
+    $('pref_state').textContent = 'nothing changed'; return;
+  }
+  try {
+    await api('/v1/preferences', changed);
+    $('pref_state').textContent =
+      'saved: ' + Object.keys(changed).join(', ');
+    prefsLoad();
+  } catch (e) { $('pref_state').textContent = String(e); }
+}
+
+async function mixRun() {
+  const paths = $('mix_paths').value.split(',').map(s => s.trim())
+    .filter(Boolean);
+  const weights = $('mix_weights').value.split(',').map(parseFloat);
+  try {
+    const out = await api('/v1/tools/mix',
+      {paths, weights, output: $('mix_output').value});
+    $('mix_state').textContent = 'written: ' + out.output;
+  } catch (e) { $('mix_state').textContent = String(e); }
 }
 
 boot();

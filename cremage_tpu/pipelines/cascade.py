@@ -269,7 +269,8 @@ class CascadePipeline:
                     carry, cache0, x, sigmas, key=key, progress_cb=progress)
             if use_ada:
                 carry = AC.make_ada_denoise(
-                    den, ada, len(sigmas) - 1, kind="den")
+                    den, ada, len(sigmas) - 1, kind="den",
+                    sigma_data=denoise.sigma_data)
                 return DC.sample_euler_ancestral_dc(
                     carry, AC.ada_cache0(x), x, sigmas, key=key,
                     progress_cb=progress)

@@ -296,7 +296,8 @@ class KandinskyPipeline:
                                             key=key, progress_cb=progress)
             if use_ada:
                 carry = AC.make_ada_denoise(
-                    den, ada, len(sigmas) - 1, kind="den")
+                    den, ada, len(sigmas) - 1, kind="den",
+                    sigma_data=denoise.sigma_data)
                 return DC.DC_SAMPLERS[name](carry, AC.ada_cache0(x), x,
                                             sigmas, key=key,
                                             progress_cb=progress)

@@ -333,9 +333,13 @@ class SD15Pipeline:
                     "ada_cache and deep_cache are both step caches — "
                     "enable at most one")
             if name not in DC.DC_SAMPLERS:
+                # list only names this pipeline's own registry accepts
+                # (DC_SAMPLERS also carries EDM-menu names SDXL uses)
+                ok = sorted(set(DC.DC_SAMPLERS) & set(SAMPLERS.names())
+                            - set(T_DRIVEN_SAMPLERS))
                 raise ValueError(
                     "ada_cache requires a supported sampler "
-                    f"({', '.join(sorted(set(DC.DC_SAMPLERS) & set(SAMPLERS.names())))}), "
+                    f"({', '.join(n for n in ok if 'Sampler' not in n)}), "
                     f"got {name!r}")
             if self.pp_devices is not None:
                 raise ValueError(
@@ -572,7 +576,8 @@ class SD15Pipeline:
                         progress_cb=progress, **kwargs)
                 if use_ada:
                     carry_den = AC.make_ada_denoise(
-                        den_cfg, ada, len(sigmas) - 1, kind="den")
+                        den_cfg, ada, len(sigmas) - 1, kind="den",
+                        sigma_data=denoise.sigma_data)
                     return DC.DC_SAMPLERS[name](
                         carry_den, AC.ada_cache0(x0), x0, sigmas, key=key,
                         progress_cb=progress, **kwargs)

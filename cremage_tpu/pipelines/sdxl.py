@@ -514,8 +514,11 @@ class SDXLPipeline:
                 x0 = x.astype(jnp.float32)
                 if t_enc is None:
                     x0 = x0 * float(np.sqrt(1.0 + sig[0] ** 2))
+                # DiscreteDenoiserSGM EpsScaling: c_in=1/sqrt(s^2+1),
+                # i.e. sigma_data 1.0 — keep the indicator's c_in matched
                 carry_den = AC.make_ada_denoise(
-                    denoise, ada, len(sig) - 1, kind="den")
+                    denoise, ada, len(sig) - 1, kind="den",
+                    sigma_data=1.0)
                 if sampler_name == "EulerEDMSampler":
                     kw = dict(s_churn=opts.sampler_s_churn,
                               s_tmin=opts.sampler_s_tmin,

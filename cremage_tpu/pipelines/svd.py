@@ -269,8 +269,11 @@ class SVDPipeline:
                 sig = np.asarray(sigmas, np.float64)
                 x0 = x.astype(jnp.float32) * float(
                     np.sqrt(1.0 + sig[0] ** 2))
+                # the inline SVD denoiser's c_in=1/sqrt(s^2+1)
+                # (sigma_data 1.0) — keep the indicator matched
                 carry_den = AC.make_ada_denoise(
-                    denoise, ada, len(sig) - 1, kind="den")
+                    denoise, ada, len(sig) - 1, kind="den",
+                    sigma_data=1.0)
                 return DC.sample_euler_dc(
                     carry_den, AC.ada_cache0(x0), x0, sig,
                     key=key, progress_cb=progress)

@@ -54,11 +54,51 @@ SMOKE_TESTS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# core subset (VERDICT r3 item 5): the mid tier between smoke (<2 min)
+# and the full suite (~40-70 min on the 1-core box).  Target <12 min:
+# the heavy multi-device claims (DP/TP/SP/PP parity), ONE full
+# pipeline drive per model family, and the converter goldens —
+# `pytest -m core` is what an external reviewer runs to check the big
+# claims directly.
+# ---------------------------------------------------------------------------
+CORE_TESTS = {
+    # parallel family parity (8-device CPU mesh)
+    "test_parallel.py::test_data_parallel_matches_single_device",
+    "test_parallel.py::test_tensor_parallel_matches_replicated",
+    "test_parallel.py::test_flux_tensor_parallel_matches_replicated",
+    "test_sequence_parallel.py::test_sp_matches_oracle",
+    "test_sequence_parallel.py::test_flux_pipeline_sp_matches_plain",
+    "test_sequence_parallel.py::test_sd3_pipeline_sp_matches_plain",
+    "test_pipeline_parallel.py::test_flux_pipeline_pp_matches_plain",
+    "test_pipeline_parallel.py::test_sd15_pipeline_pp_matches_plain",
+    "test_pipeline_parallel.py::test_sdxl_pipeline_pp_matches_plain",
+    "test_pipeline_parallel.py::test_cascade_pipeline_pp_matches_plain",
+    "test_multichip_flagship.py::test_flux_pp_through_engine_worker_e2e",
+    # one full generate() drive per family
+    "test_pipeline_sd15.py::test_txt2img_end_to_end",
+    "test_edm_sdxl.py::test_sdxl_txt2img_end_to_end",
+    "test_sd3_flux.py::test_sd3_pipeline_end_to_end",
+    "test_sd3_flux.py::test_flux_pipeline_end_to_end",
+    "test_pixart.py::test_pixart_pipeline_end_to_end",
+    "test_svd.py::test_svd_pipeline_end_to_end",
+    "test_family_pipelines.py::test_kandinsky_txt2img",
+    "test_family_pipelines.py::test_cascade_txt2img",
+    "test_family_pipelines.py::test_hunyuan_txt2img",
+    # converter goldens (incl. the reference's offline canonical lists)
+    "test_reference_keylists.py",
+    "test_keylist_golden.py",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         base = item.nodeid.split("[")[0]
-        if base.removeprefix("tests/") in SMOKE_TESTS:
+        short = base.removeprefix("tests/")
+        if short in SMOKE_TESTS:
             item.add_marker(pytest.mark.smoke)
+        if short in CORE_TESTS or short.split("::")[0] in CORE_TESTS:
+            item.add_marker(pytest.mark.core)
 
 
 @pytest.fixture(scope="session")

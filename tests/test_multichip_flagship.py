@@ -159,3 +159,82 @@ def test_serve_multichip_boots_and_serves(mesh8):
         assert done and len(imgs) == 8
     finally:
         srv.stop()
+
+
+@pytest.mark.slow
+def test_flux_pp_through_engine_worker_e2e(mesh8):
+    """A DiT family's FULL generate() — CLIP text-encode -> scanned flow
+    sampler -> VAE decode -> PNG bytes — under pipeline parallelism on
+    the 8-device CPU mesh, driven through the EngineWorker + HTTP
+    serving path, with parity against the single-device run (VERDICT r3
+    item 4: multi-device E2E beyond the flagship conv family)."""
+    import base64
+
+    from PIL import Image
+
+    from cremage_tpu.app.backends import _opts_from_params
+    from cremage_tpu.app.server import ApiServer
+    from cremage_tpu.app.worker import EngineWorker
+    from cremage_tpu.core.config import GMT_FLUX_1_SCHNELL, GenerationOptions
+    from cremage_tpu.io.metadata import image_from_array
+    from tests.test_sd3_flux import make_flux_pipeline
+
+    opts = GenerationOptions(
+        prompt="a fox", negative_prompt="", H=64, W=64, sampling_steps=2,
+        seed=3, n_samples=2, n_iter=1, safety_check=False, watermark=False)
+
+    # single-device baseline (uint8, exactly the worker's PNG encoding)
+    plain = make_flux_pipeline().generate(opts)
+    base_u8 = [np.asarray(image_from_array(im)) for im, _ in plain]
+
+    pipe = make_flux_pipeline()
+    pipe.use_mesh_pp(jax.devices()[:2])
+
+    worker = EngineWorker()
+
+    def factory():
+        def generate(params, status_cb, result_cb):
+            pipe.generate(_opts_from_params(params), status_cb=status_cb,
+                          result_cb=result_cb)
+        return generate
+
+    worker.register_backend(GMT_FLUX_1_SCHNELL, factory)
+    srv = ApiServer(worker=worker, port=0)
+    srv.start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        body = json.dumps({
+            "generator_model_type": GMT_FLUX_1_SCHNELL,
+            "mode": "text_to_image",
+            "parameters": {"prompt": "a fox", "H": 64, "W": 64,
+                           "sampling_steps": 2, "seed": 3, "n_samples": 2,
+                           "safety_check": False, "watermark": False},
+        }).encode()
+        req = urllib.request.Request(
+            url + "/v1/generate", data=body, method="POST",
+            headers={"Content-Type": "application/json"})
+        urllib.request.urlopen(req, timeout=30).read()
+        imgs, done = [], False
+        end = time.time() + 300
+        while time.time() < end and not done:
+            time.sleep(0.3)
+            msgs = json.loads(urllib.request.urlopen(
+                url + "/v1/status", timeout=30).read())["messages"]
+            for m in msgs:
+                if isinstance(m, dict) and "image_b64" in m:
+                    import io as _io
+
+                    png = base64.b64decode(m["image_b64"])
+                    imgs.append(np.asarray(
+                        Image.open(_io.BytesIO(png)).convert("RGB")))
+                if isinstance(m, dict) and "job_done" in m:
+                    assert m["job_done"]["ok"], m["job_done"]
+                    done = True
+        assert done and len(imgs) == 2
+        # PP float parity is ~2e-5 (test_flux_pipeline_pp_matches_plain);
+        # through uint8 PNG encoding that is at most one quantization step
+        for got, want in zip(imgs, base_u8):
+            assert got.shape == want.shape == (64, 64, 3)
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    finally:
+        srv.stop()

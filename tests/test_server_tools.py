@@ -298,6 +298,17 @@ def test_webui_dom_ids_consistent():
                 "mask_file", "paint_canvas", "paintbox", "brush",
                 "paint_state"):
         assert fid in dom_ids, fid
+    # round-4 client surfaces: preferences editor, model mixer, and the
+    # keyboard image browser (reference image_listbox_handlers flows)
+    for fid in ("tab-prefs", "prefsec", "pref_rows", "pref_state",
+                "mix_paths", "mix_weights", "mix_output", "mix_state",
+                "libhelp"):
+        assert fid in dom_ids, fid
+    for fn in ("prefsLoad", "prefsSave", "mixRun", "libKeydown",
+               "libSelect", "libTrash", "useSettingsFrom"):
+        assert f"function {fn}" in INDEX_HTML, fn
+    for key in ("'Home'", "'End'", "'Delete'", "'Backspace'", "'Enter'"):
+        assert key in INDEX_HTML, key
 
 
 def test_generate_normalization_mirrors_envelope_and_drops_null():
