@@ -86,11 +86,20 @@ def kohya_module_to_flax_path(
     m = _TE_RE.match(module)
     if m:
         te_idx, layer, rest = m.groups()
-        which = "te2" if te_idx == "2" else "te"
+        if te_idx == "2":
+            # SDXL second text encoder: kohya exports the OpenCLIP bigG
+            # tower under HF CLIP naming; map onto our OpenCLIPTextModel
+            # module names (models/open_clip.py ResBlock)
+            oc = {"self_attn_q_proj": "attn_q_proj",
+                  "self_attn_k_proj": "attn_k_proj",
+                  "self_attn_v_proj": "attn_v_proj",
+                  "self_attn_out_proj": "attn_out_proj",
+                  "mlp_fc1": "mlp_c_fc", "mlp_fc2": "mlp_c_proj"}
+            return "te2", (f"transformer_resblocks_{layer}", oc[rest])
         if rest.startswith("self_attn_"):
             proj = rest[len("self_attn_"):]
-            return which, (f"layers_{layer}", "self_attn", proj)
-        return which, (f"layers_{layer}", rest)
+            return "te", (f"layers_{layer}", "self_attn", proj)
+        return "te", (f"layers_{layer}", rest)
 
     def _inner_path(st: str, rest: str):
         if rest in ("proj_in", "proj_out"):
@@ -180,10 +189,13 @@ def merge_lora(
     lora_sd: Mapping[str, np.ndarray],
     weight: float,
     cfg: UNetConfig,
+    te2_params: Optional[dict] = None,
 ) -> Tuple[int, int]:
-    """Merge one LoRA into (mutable) unet/te param trees in place.
+    """Merge one LoRA into (mutable) unet/te/te2 param trees in place.
 
-    Returns (merged_count, skipped_count)."""
+    te2_params is the SDXL second text encoder (OpenCLIP bigG) tree —
+    kohya lora_te2_* modules merge there.  Returns
+    (merged_count, skipped_count)."""
     merged = skipped = 0
     for module, parts in group_lora_modules(lora_sd).items():
         if "down" not in parts or "up" not in parts:
@@ -195,13 +207,8 @@ def merge_lora(
             skipped += 1
             continue
         which, path = dest
-        if which == "te2":
-            # SDXL second text encoder (OpenCLIP): merge lands with the
-            # HF-layout te2 tree; skip-with-warning until then
-            logger.warning("te2 LoRA module not merged yet: %s", module)
-            skipped += 1
-            continue
-        tree = unet_params if which == "unet" else te_params
+        tree = {"unet": unet_params, "te": te_params,
+                "te2": te2_params}[which]
         if tree is None:
             skipped += 1
             continue

@@ -298,7 +298,8 @@ def load_sdxl_bundle(
     for path, weight in loras:
         lora_sd = CK.load_state_dict(path)
         merged, skipped = merge_lora(unet_params, clip_params, lora_sd,
-                                     weight, unet_cfg)
+                                     weight, unet_cfg,
+                                     te2_params=oc_params)
         logger.info("LoRA %s: merged %d, skipped %d", path, merged, skipped)
 
     if quantize_unet and quantize_unet != "none":

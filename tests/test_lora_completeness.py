@@ -70,6 +70,70 @@ def test_te1_te2_routing():
     a = kohya_module_to_flax_path(
         "lora_te1_text_model_encoder_layers_0_mlp_fc1", cfg)
     assert a == ("te", ("layers_0", "mlp_fc1"))
+    # te2 (SDXL OpenCLIP bigG): kohya's HF-style naming lands on our
+    # OpenCLIPTextModel module names
     b = kohya_module_to_flax_path(
         "lora_te2_text_model_encoder_layers_3_self_attn_q_proj", cfg)
-    assert b == ("te2", ("layers_3", "self_attn", "q_proj"))
+    assert b == ("te2", ("transformer_resblocks_3", "attn_q_proj"))
+    c = kohya_module_to_flax_path(
+        "lora_te2_text_model_encoder_layers_10_mlp_fc2", cfg)
+    assert c == ("te2", ("transformer_resblocks_10", "mlp_c_proj"))
+
+
+def test_te2_modules_map_onto_real_openclip_template():
+    """Every te2 module class the kohya grammar emits must exist in the
+    real bigG OpenCLIP tower (SDXL's second text encoder)."""
+    from cremage_tpu.models.open_clip import (
+        OpenCLIPTextModel, openclip_bigg_config,
+    )
+
+    cfg = sd15_unet_config()
+    tmpl = jax.eval_shape(
+        OpenCLIPTextModel(openclip_bigg_config(num_layers=2)).init,
+        jax.random.key(0), jnp.zeros((1, 77), jnp.int32))["params"]
+    paths = _paths_of(tmpl)
+    for i in range(2):
+        for proj in ("self_attn_q_proj", "self_attn_k_proj",
+                     "self_attn_v_proj", "self_attn_out_proj",
+                     "mlp_fc1", "mlp_fc2"):
+            mod = f"lora_te2_text_model_encoder_layers_{i}_{proj}"
+            which, path = kohya_module_to_flax_path(mod, cfg)
+            assert which == "te2"
+            assert tuple(path) in paths, (mod, path)
+
+
+def test_te2_lora_merges_into_openclip_tree():
+    """merge_lora with te2_params: a te2 LoRA delta lands in the
+    OpenCLIP tree with the exact linear-merge math (W' = W +
+    w*(alpha/r)*up@down, torch->flax transpose)."""
+    import numpy as np
+
+    from cremage_tpu.io.lora import merge_lora
+
+    cfg = sd15_unet_config()
+    rng = np.random.RandomState(0)
+    c, r = 16, 4
+    w0 = rng.randn(c, c).astype(np.float32)        # flax (in, out)
+    te2 = {"transformer_resblocks_0": {"attn_q_proj": {
+        "weight": jnp.asarray(w0), "bias": jnp.zeros((c,))}}}
+    down = rng.randn(r, c).astype(np.float32)
+    up = rng.randn(c, r).astype(np.float32)
+    lora_sd = {
+        "lora_te2_text_model_encoder_layers_0_self_attn_q_proj"
+        ".lora_down.weight": down,
+        "lora_te2_text_model_encoder_layers_0_self_attn_q_proj"
+        ".lora_up.weight": up,
+        "lora_te2_text_model_encoder_layers_0_self_attn_q_proj"
+        ".alpha": np.float32(r),
+    }
+    merged, skipped = merge_lora({}, None, lora_sd, 0.5, cfg,
+                                 te2_params=te2)
+    assert (merged, skipped) == (1, 0)
+    want = w0 + 0.5 * (up @ down).T
+    np.testing.assert_allclose(
+        np.asarray(te2["transformer_resblocks_0"]["attn_q_proj"]["weight"]),
+        want, rtol=1e-6, atol=1e-6)
+
+    # without a te2 tree the module is counted skipped, not crashed
+    merged2, skipped2 = merge_lora({}, None, lora_sd, 0.5, cfg)
+    assert (merged2, skipped2) == (0, 1)
