@@ -131,6 +131,8 @@ class CascadePipeline:
                          _max_cache_levels(model)))
         use_dc = dc >= 2
         ada = float(getattr(opts, "ada_cache", 0.0))
+        ada_resc = (AC.load_calibration("cascade")
+                    if ada > 0.0 else None)
         use_ada = ada > 0.0
         if use_ada:
             if use_dc:
@@ -270,7 +272,8 @@ class CascadePipeline:
             if use_ada:
                 carry = AC.make_ada_denoise(
                     den, ada, len(sigmas) - 1, kind="den",
-                    sigma_data=denoise.sigma_data)
+                    sigma_data=denoise.sigma_data,
+                    rescale=ada_resc)
                 return DC.sample_euler_ancestral_dc(
                     carry, AC.ada_cache0(x), x, sigmas, key=key,
                     progress_cb=progress)
@@ -278,7 +281,7 @@ class CascadePipeline:
                                             progress_cb=progress)
 
         bucket = (tag, steps, tuple(shape), extra_sig, scale,
-                  dc if use_dc else 0, dcb, tr, cfgi, ada)
+                  dc if use_dc else 0, dcb, tr, cfgi, ada, ada_resc)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -150,6 +150,8 @@ class FluxPipeline:
         dcb = int(opts.deep_cache_branch)
         use_dc = dc >= 2
         ada = float(getattr(opts, "ada_cache", 0.0))
+        ada_resc = (AC.load_calibration("flux")
+                    if ada > 0.0 else None)
         use_ada = ada > 0.0
         if use_ada:
             if use_dc:
@@ -253,7 +255,8 @@ class FluxPipeline:
                     progress_cb=progress)
             if use_ada:
                 carry = AC.make_ada_denoise(
-                    v_fn, ada, len(sigmas) - 1, kind="flow")
+                    v_fn, ada, len(sigmas) - 1, kind="flow",
+                    rescale=ada_resc)
                 return DC.sample_flow_euler_dc(
                     carry, AC.ada_cache0(x_tokens), x_tokens, sigmas,
                     key=key, progress_cb=progress)
@@ -261,7 +264,7 @@ class FluxPipeline:
                                        progress_cb=progress)
 
         bucket = ("flux", steps, hp, wp, txt_len, b, guidance_scale,
-                  sp_mesh is not None, dc if use_dc else 0, dcb, tr, ada)
+                  sp_mesh is not None, dc if use_dc else 0, dcb, tr, ada, ada_resc)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -164,6 +164,8 @@ class KandinskyPipeline:
                 f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
                 f"got {name!r}")
         ada = float(getattr(opts, "ada_cache", 0.0))
+        ada_resc = (AC.load_calibration("kandinsky")
+                    if ada > 0.0 else None)
         use_ada = ada > 0.0
         if use_ada:
             if use_dc:
@@ -297,14 +299,15 @@ class KandinskyPipeline:
             if use_ada:
                 carry = AC.make_ada_denoise(
                     den, ada, len(sigmas) - 1, kind="den",
-                    sigma_data=denoise.sigma_data)
+                    sigma_data=denoise.sigma_data,
+                    rescale=ada_resc)
                 return DC.DC_SAMPLERS[name](carry, AC.ada_cache0(x), x,
                                             sigmas, key=key,
                                             progress_cb=progress)
             return sampler_fn(den, x, sigmas, key=key, progress_cb=progress)
 
         bucket = ("kandinsky", name, steps, tuple(shape), dim, scale,
-                  dc if use_dc else 0, dcb, tr, cfgi, ada)
+                  dc if use_dc else 0, dcb, tr, cfgi, ada, ada_resc)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

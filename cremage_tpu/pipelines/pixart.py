@@ -137,6 +137,8 @@ class PixArtPipeline:
                 f"({', '.join(sorted(n for n in DC.DC_SAMPLERS if 'Sampler' not in n))}), "
                 f"got {name!r}")
         ada = float(getattr(opts, "ada_cache", 0.0))
+        ada_resc = (AC.load_calibration("pixart")
+                    if ada > 0.0 else None)
         use_ada = ada > 0.0
         if use_ada:
             if use_dc:
@@ -261,7 +263,8 @@ class PixArtPipeline:
                                             key=key, progress_cb=progress)
             if use_ada:
                 carry = AC.make_ada_denoise(
-                    den_cfg, ada, len(sigmas) - 1, kind="den")
+                    den_cfg, ada, len(sigmas) - 1, kind="den",
+                    rescale=ada_resc)
                 return DC.DC_SAMPLERS[name](carry, AC.ada_cache0(x), x,
                                             sigmas, key=key,
                                             progress_cb=progress)
@@ -270,7 +273,7 @@ class PixArtPipeline:
 
         bucket = ("pixart", name, steps, tuple(shape), tuple(cond_shape),
                   scale, sp_mesh is not None, dc if use_dc else 0, dcb, tr,
-                  cfgi, ada)
+                  cfgi, ada, ada_resc)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

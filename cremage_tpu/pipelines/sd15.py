@@ -317,12 +317,14 @@ class SD15Pipeline:
                 "grid leaves only 3N/4 mergeable src tokens)")
         cfgi = cfg_interval_of(opts)
         ada = float(getattr(opts, "ada_cache", 0.0))
+        ada_resc = (AC.load_calibration("sd15")
+                    if ada > 0.0 else None)
         use_ada = ada > 0.0
         bucket = (name, steps, t_enc, tuple(shape), tuple(c.shape), scale,
                   has_extra, float(opts.ddim_eta), churn,
                   hint is not None, float(control_weight),
                   int(opts.deep_cache), int(opts.deep_cache_branch), tr,
-                  cfgi, ada)
+                  cfgi, ada, ada_resc)
 
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
@@ -577,7 +579,8 @@ class SD15Pipeline:
                 if use_ada:
                     carry_den = AC.make_ada_denoise(
                         den_cfg, ada, len(sigmas) - 1, kind="den",
-                        sigma_data=denoise.sigma_data)
+                        sigma_data=denoise.sigma_data,
+                        rescale=ada_resc)
                     return DC.DC_SAMPLERS[name](
                         carry_den, AC.ada_cache0(x0), x0, sigmas, key=key,
                         progress_cb=progress, **kwargs)

@@ -205,6 +205,8 @@ class SD3Pipeline:
         dcb = int(opts.deep_cache_branch)
         use_dc = dc >= 2
         ada = float(getattr(opts, "ada_cache", 0.0))
+        ada_resc = (AC.load_calibration("sd3")
+                    if ada > 0.0 else None)
         use_ada = ada > 0.0
         if use_ada:
             if use_dc:
@@ -326,7 +328,8 @@ class SD3Pipeline:
                     carry, cache0, x, sigmas, key=key, progress_cb=progress)
             if use_ada:
                 carry = AC.make_ada_denoise(
-                    v, ada, len(sigmas) - 1, kind="flow")
+                    v, ada, len(sigmas) - 1, kind="flow",
+                    rescale=ada_resc)
                 return DC.sample_flow_euler_dc(
                     carry, AC.ada_cache0(x), x, sigmas, key=key,
                     progress_cb=progress)
@@ -335,7 +338,7 @@ class SD3Pipeline:
 
         bucket = ("sd3", opts.sampling_steps, tuple(shape), cond_shapes,
                   scale, sp_mesh is not None, dc if use_dc else 0, dcb, tr,
-                  cfgi, ada)
+                  cfgi, ada, ada_resc)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -321,6 +321,8 @@ class SDXLPipeline:
             # flags) rather than the guider's per-call lax.cond
             guider_kwargs.pop("interval", None)
         ada = float(getattr(opts, "ada_cache", 0.0))
+        ada_resc = (AC.load_calibration("sdxl")
+                    if ada > 0.0 else None)
         use_ada = ada > 0.0
         if use_ada:
             if use_dc:
@@ -518,7 +520,7 @@ class SDXLPipeline:
                 # i.e. sigma_data 1.0 — keep the indicator's c_in matched
                 carry_den = AC.make_ada_denoise(
                     denoise, ada, len(sig) - 1, kind="den",
-                    sigma_data=1.0)
+                    sigma_data=1.0, rescale=ada_resc)
                 if sampler_name == "EulerEDMSampler":
                     kw = dict(s_churn=opts.sampler_s_churn,
                               s_tmin=opts.sampler_s_tmin,
@@ -544,7 +546,7 @@ class SDXLPipeline:
                   tuple(cond_shape), float(opts.scale), opts.guider,
                   opts.discretization, float(opts.sampler_eta),
                   float(opts.sampler_s_churn), num_frames,
-                  self.bundle.inpaint, dc, dcb, tr, cfgi, ada)
+                  self.bundle.inpaint, dc, dcb, tr, cfgi, ada, ada_resc)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

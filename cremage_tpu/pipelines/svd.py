@@ -145,6 +145,8 @@ class SVDPipeline:
         dc = int(opts.deep_cache)
         dcb = int(opts.deep_cache_branch)
         ada = float(opts.ada_cache)
+        ada_resc = (AC.load_calibration("svd")
+                    if ada > 0.0 else None)
         if ada > 0.0:
             if dc >= 2:
                 raise ValueError(
@@ -273,7 +275,7 @@ class SVDPipeline:
                 # (sigma_data 1.0) — keep the indicator matched
                 carry_den = AC.make_ada_denoise(
                     denoise, ada, len(sig) - 1, kind="den",
-                    sigma_data=1.0)
+                    sigma_data=1.0, rescale=ada_resc)
                 return DC.sample_euler_dc(
                     carry_den, AC.ada_cache0(x0), x0, sig,
                     key=key, progress_cb=progress)
@@ -283,7 +285,7 @@ class SVDPipeline:
             )
 
         bucket = ("svd", opts.num_steps, t_frames, tuple(shape), ctx_dim,
-                  dc, dcb, tr, ada)
+                  dc, dcb, tr, ada, ada_resc)
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -60,6 +60,30 @@ def ada_cache0(x: Array) -> dict:
     return {"d": z, "u": z, "acc": jnp.float32(0.0)}
 
 
+def load_calibration(family: str, path: str | None = None):
+    """Fitted per-family rescale polynomial coefficients (highest power
+    first, numpy polyfit order) from the calibration registry JSON that
+    tools/fit_adacache.py writes — or None when the family has no
+    calibration yet (the identity indicator is used, exactly the
+    uncalibrated behavior)."""
+    import json
+    import os
+
+    p = path or os.environ.get(
+        "CREMAGE_ADACACHE_CALIB",
+        os.path.join(os.path.expanduser("~"), ".cremage_tpu",
+                     "adacache_calib.json"))
+    try:
+        with open(p) as f:
+            data = json.load(f)
+    except (OSError, ValueError):
+        return None
+    coeffs = data.get(family)
+    if not coeffs:
+        return None
+    return tuple(float(c) for c in coeffs)
+
+
 def make_ada_denoise(
     denoise: Callable,        # CFG'd: (x, sigma) -> den_f32 (or velocity)
     threshold: float,
@@ -67,6 +91,7 @@ def make_ada_denoise(
     *,
     kind: str = "den",        # "den": k-space denoised; "flow": velocity
     sigma_data: float = 1.0,
+    rescale: tuple | None = None,   # polyfit coeffs: rel -> est. output change
 ) -> Callable:
     """Wrap a plain CFG'd denoiser into the carry-denoise protocol
     (x, sigma, cache, i) -> (prediction_f32, cache) with adaptive
@@ -103,6 +128,15 @@ def make_ada_denoise(
             u = x  # flow latents are bounded; no input preconditioner
         rel = jnp.sum(jnp.abs(u - cache["u"])) / (
             jnp.sum(jnp.abs(cache["u"])) + 1e-12)
+        if rescale is not None:
+            # calibrated indicator (TeaCache's polynomial rescale): map
+            # the input change to the FITTED estimate of the true output
+            # change, so the threshold is in output-change units.
+            # Coefficients are host floats (tools/fit_adacache.py);
+            # clamp at 0 — a negative estimate would roll the
+            # accumulator backwards.
+            rel = jnp.maximum(
+                jnp.polyval(jnp.asarray(rescale, jnp.float32), rel), 0.0)
         acc2 = cache["acc"] + rel
         # NaN-safe ordering: a NaN acc2 (step 0's zero-divide guard
         # notwithstanding) compares False, selecting the full branch.

@@ -360,3 +360,52 @@ def test_hunyuan_pipeline_ada_cache():
     assert np.abs(ada.astype(np.float32) - plain.astype(np.float32)).max() > 0
     with pytest.raises(ValueError, match="at most one"):
         pipe.generate(_gen_opts(ada_cache=0.2, deep_cache=2))
+
+
+# ---------------------------------------------------------------------------
+# 5. calibrated rescale polynomial (tools/fit_adacache.py registry)
+# ---------------------------------------------------------------------------
+
+def test_rescale_identity_matches_uncalibrated():
+    """rescale=(1, 0) is the identity polynomial — bit-identical to the
+    uncalibrated indicator."""
+    sigmas = np.array([10.0, 5.0, 2.0, 1.0, 0.0])
+    x = jax.random.normal(jax.random.key(3), (2, 8, 8, 4)) * 10.0
+    key = jax.random.key(9)
+    a = AC.make_ada_denoise(toy_denoise, 0.25, len(sigmas) - 1, kind="den")
+    b = AC.make_ada_denoise(toy_denoise, 0.25, len(sigmas) - 1, kind="den",
+                            rescale=(1.0, 0.0))
+    out_a = DC.DC_SAMPLERS["Euler"](a, AC.ada_cache0(x), x, sigmas, key=key)
+    out_b = DC.DC_SAMPLERS["Euler"](b, AC.ada_cache0(x), x, sigmas, key=key)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_rescale_zero_maps_to_max_skipping():
+    """A polynomial that maps every input change to 0 keeps the
+    accumulator at 0, so only the forced (first/last) steps run the full
+    model — must equal the effectively-infinite-threshold run."""
+    sigmas = np.array([10.0, 5.0, 2.0, 1.0, 0.0])
+    x = jax.random.normal(jax.random.key(5), (1, 8, 8, 4)) * 10.0
+    key = jax.random.key(11)
+    zero = AC.make_ada_denoise(toy_denoise, 0.1, len(sigmas) - 1,
+                               kind="den", rescale=(0.0,))
+    inf = AC.make_ada_denoise(toy_denoise, 1e9, len(sigmas) - 1,
+                              kind="den")
+    out_z = DC.DC_SAMPLERS["Euler"](zero, AC.ada_cache0(x), x, sigmas,
+                                    key=key)
+    out_i = DC.DC_SAMPLERS["Euler"](inf, AC.ada_cache0(x), x, sigmas,
+                                    key=key)
+    np.testing.assert_array_equal(np.asarray(out_z), np.asarray(out_i))
+
+
+def test_load_calibration_registry(tmp_path, monkeypatch):
+    import json
+
+    p = tmp_path / "calib.json"
+    p.write_text(json.dumps({"sd15": [0.1, 0.9, 0.0]}))
+    monkeypatch.setenv("CREMAGE_ADACACHE_CALIB", str(p))
+    assert AC.load_calibration("sd15") == (0.1, 0.9, 0.0)
+    assert AC.load_calibration("sdxl") is None
+    monkeypatch.setenv("CREMAGE_ADACACHE_CALIB",
+                       str(tmp_path / "missing.json"))
+    assert AC.load_calibration("sd15") is None

@@ -186,3 +186,40 @@ def test_quality_delta_harness_plumbing(dummy_ckpt, tmp_path):
         assert os.path.exists(str(tmp_path / "qd" / v / "p00_s7.png"))
     # exact renders saved too
     assert os.path.exists(str(tmp_path / "qd" / "exact" / "p00_s7.png"))
+
+
+@pytest.mark.slow
+def test_fit_adacache_plumbing(dummy_ckpt, tmp_path, monkeypatch):
+    """tools/fit_adacache.py end to end on the dummy checkpoint: exact
+    trajectories -> (input-change, output-change) pairs -> polyfit ->
+    calibration registry JSON -> a subsequent ada_cache generate() picks
+    the coefficients up through samplers/adacache.load_calibration."""
+    from tools.fit_adacache import fit
+
+    from cremage_tpu.core.dtypes import FP32_POLICY
+    from cremage_tpu.pipelines.loader import load_sd15_bundle
+    from cremage_tpu.pipelines.sd15 import GenerationOptions, SD15Pipeline
+    from cremage_tpu.samplers import adacache as AC
+
+    path, _ = dummy_ckpt
+    reg = tmp_path / "calib.json"
+    lk = dict(unet_cfg_override=UNET_CFG, vae_cfg_override=VAE_CFG,
+              clip_cfg_override=CLIP_CFG, use_cache=False,
+              policy=FP32_POLICY)
+    rep = fit("sd15", path, prompts=("a cat",), steps=4, size=64,
+              registry=str(reg), loader_kwargs=lk)
+    assert rep["n_pairs"] == 3            # 4 model evals -> 3 pairs
+    assert len(rep["coeffs"]) == 5        # degree 4
+    assert rep["registry"] == str(reg)
+    assert all(np.isfinite(rep["coeffs"]))
+
+    monkeypatch.setenv("CREMAGE_ADACACHE_CALIB", str(reg))
+    assert AC.load_calibration("sd15") == tuple(rep["coeffs"])
+
+    bundle = load_sd15_bundle(path, **lk)
+    pipe = SD15Pipeline(bundle)
+    (img, _meta), = pipe.generate(GenerationOptions(
+        prompt="a cat", negative_prompt="", H=64, W=64, sampling_steps=4,
+        n_samples=1, n_iter=1, seed=7, sampler="Euler", scale=7.5,
+        safety_check=False, ada_cache=0.2))
+    assert np.isfinite(np.asarray(img)).all()
