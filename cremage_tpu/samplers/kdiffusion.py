@@ -35,6 +35,7 @@ matching the quirk would degrade output quality.
 """
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax
@@ -87,8 +88,35 @@ def _noise(key: jax.Array, x: Array) -> Array:
     return jax.random.normal(key, x.shape, dtype=jnp.float32)
 
 
+_PROGRESS_UNSUPPORTED_BACKENDS = ("axon",)
+
+
+def progress_callbacks_supported() -> bool:
+    """Whether in-scan host progress callbacks can be compiled on the
+    active backend.  MEASURED (round 4): a minimal scan+io_callback
+    program never finishes compiling through the axon TPU tunnel (>560 s
+    on a graph that compiles in seconds elsewhere) and a pipeline
+    generate() dies with 'TPU backend setup/compile error (Unavailable)'
+    — so per-step progress is disabled there and the worker's coarse
+    host-side statuses (encoding/decoding/job_done) remain the progress
+    surface.  Override with CREMAGE_PROGRESS_CALLBACKS=0/1."""
+    env = os.environ.get("CREMAGE_PROGRESS_CALLBACKS")
+    if env is not None:
+        return env.lower() not in ("0", "false", "no")
+    # the axon plugin registers its devices under the plain "tpu"
+    # platform (jax.default_backend() == "tpu"), so the tunnel is
+    # detected from the JAX_PLATFORMS selection it requires
+    if any(b in os.environ.get("JAX_PLATFORMS", "")
+           for b in _PROGRESS_UNSUPPORTED_BACKENDS):
+        return False
+    try:
+        return jax.default_backend() not in _PROGRESS_UNSUPPORTED_BACKENDS
+    except Exception:  # pragma: no cover - backend init failure
+        return True
+
+
 def _report(progress_cb, i):
-    if progress_cb is not None:
+    if progress_cb is not None and progress_callbacks_supported():
         io_callback(progress_cb, None, i, ordered=True)
 
 

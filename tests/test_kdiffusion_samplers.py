@@ -436,3 +436,47 @@ def test_sampler_registry_complete():
                  "DPM++ 3M SDE"]:
         assert name in SAMPLERS
         assert name in K.SAMPLER_SCHEDULE
+
+
+def test_progress_callback_gate(monkeypatch):
+    """CREMAGE_PROGRESS_CALLBACKS=0 compiles the sampler WITHOUT any
+    host-callback op (the axon TPU tunnel cannot compile io_callback
+    programs — measured round 4) and the callback is never invoked;
+    the default on CPU keeps per-step reporting."""
+    import jax
+
+    from cremage_tpu.samplers import kdiffusion as K
+
+    sigmas = np.array([10.0, 5.0, 1.0, 0.0])
+    x = jnp.zeros((1, 8, 8, 4))
+    den = lambda xx, ss: xx * 0.9
+
+    calls = []
+
+    monkeypatch.setenv("CREMAGE_PROGRESS_CALLBACKS", "0")
+    assert not K.progress_callbacks_supported()
+    jaxpr = jax.make_jaxpr(
+        lambda x0: K.sample_euler(den, x0, sigmas, key=jax.random.key(0),
+                                  progress_cb=calls.append))(x)
+    assert "callback" not in str(jaxpr)
+    out = K.sample_euler(den, x, sigmas, key=jax.random.key(0),
+                         progress_cb=calls.append)
+    assert np.isfinite(np.asarray(out)).all()
+    assert calls == []
+
+    monkeypatch.setenv("CREMAGE_PROGRESS_CALLBACKS", "1")
+    assert K.progress_callbacks_supported()
+    jaxpr2 = jax.make_jaxpr(
+        lambda x0: K.sample_euler(den, x0, sigmas, key=jax.random.key(0),
+                                  progress_cb=calls.append))(x)
+    assert "callback" in str(jaxpr2)
+
+    monkeypatch.delenv("CREMAGE_PROGRESS_CALLBACKS")
+    assert K.progress_callbacks_supported()  # cpu backend in tests
+
+    # the axon tunnel registers as plain "tpu"; detection rides the
+    # JAX_PLATFORMS selection the plugin requires
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert not K.progress_callbacks_supported()
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    assert K.progress_callbacks_supported()
