@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cremage_tpu.core.config import GenerationOptions
+from cremage_tpu.utils.image import device_to_img01
 from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.unet import UNetConfig, UNetModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
@@ -337,7 +338,7 @@ class CascadePipeline:
             else:
                 imgs = decode_from_latent(b.vqgan, b.vqgan_params,
                                           b_lat.astype(jnp.bfloat16))
-            imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
+            imgs = device_to_img01(imgs)
             if opts.safety_check:
                 imgs, _ = self.safety.check(imgs)
             for i in range(bsz):

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cremage_tpu.core.config import GenerationOptions
+from cremage_tpu.utils.image import device_to_img01
 from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.clip import CLIPTextModel
 from cremage_tpu.models.flux import (
@@ -296,7 +297,7 @@ class FluxPipeline:
             status_cb("decoding")
             imgs = decode_from_latent(self.bundle.vae, self.bundle.vae_params,
                                       lat.astype(jnp.bfloat16))
-            imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
+            imgs = device_to_img01(imgs)
             if opts.safety_check:
                 imgs, _ = self.safety.check(imgs)
             for i in range(b):

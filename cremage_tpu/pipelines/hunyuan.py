@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cremage_tpu.core.config import GenerationOptions
+from cremage_tpu.utils.image import device_to_img01
 from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.hunyuan import HunyuanDiT
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
@@ -325,7 +326,7 @@ class HunyuanPipeline:
             status_cb("decoding")
             imgs = decode_from_latent(b.vae, b.vae_params,
                                       lat.astype(jnp.bfloat16))
-            imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
+            imgs = device_to_img01(imgs)
             if opts.safety_check:
                 imgs, _ = self.safety.check(imgs)
             for i in range(bsz):

@@ -19,6 +19,7 @@ import numpy as np
 from cremage_tpu.core.config import (
     GenerationOptions, MODE_IMAGE_TO_IMAGE, MODE_INPAINTING, MODE_TEXT_TO_IMAGE,
 )
+from cremage_tpu.utils.image import device_to_img01
 from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.kandinsky import DiffusionPrior
 from cremage_tpu.models.unet import UNetModel
@@ -366,7 +367,7 @@ class KandinskyPipeline:
                 imgs = decode_from_latent(self.bundle.vae,
                                           self.bundle.vae_params,
                                           lat.astype(jnp.bfloat16))
-            imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
+            imgs = device_to_img01(imgs)
             if opts.mode == MODE_INPAINTING and mask_image is not None \
                     and init_image is not None:
                 m = (np.asarray(mask_image) >= 0.5).astype(np.float32)[..., None]

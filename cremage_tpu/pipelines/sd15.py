@@ -29,6 +29,7 @@ import numpy as np
 from cremage_tpu.core.config import (
     GenerationOptions, MODE_IMAGE_TO_IMAGE, MODE_INPAINTING, MODE_TEXT_TO_IMAGE,
 )
+from cremage_tpu.utils.image import device_to_img01
 from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.unet import UNetModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_latent
@@ -749,8 +750,7 @@ class SD15Pipeline:
             imgs = decode_from_latent(
                 self.bundle.vae, self.bundle.vae_params, lat.astype(jnp.bfloat16)
             )
-            imgs = np.asarray(imgs, np.float32)
-            imgs = np.clip((imgs + 1.0) / 2.0, 0.0, 1.0)
+            imgs = device_to_img01(imgs)
             if mask_b is not None and init_image is not None:
                 # composite inpainted region over the original
                 init01 = (np.asarray(init_image, np.float32) + 1.0) / 2.0

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cremage_tpu.core.config import GenerationOptions
+from cremage_tpu.utils.image import device_to_img01
 from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.io.ti import load_embedding
 from cremage_tpu.models.clip import CLIPTextModel
@@ -366,7 +367,7 @@ class SD3Pipeline:
             status_cb("decoding")
             imgs = decode_from_latent(self.bundle.vae, self.bundle.vae_params,
                                       lat.astype(jnp.bfloat16))
-            imgs = np.clip((np.asarray(imgs, np.float32) + 1) / 2, 0, 1)
+            imgs = device_to_img01(imgs)
             if opts.safety_check:
                 imgs, _ = self.safety.check(imgs)
             for i in range(b):

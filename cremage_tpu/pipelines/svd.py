@@ -332,14 +332,17 @@ class SVDPipeline:
         lat = fn(self.bundle.unet_params, x, ctx, vector, concat, key)
 
         status_cb("decoding frames")
+        from cremage_tpu.utils.image import device_to_img01
+
         frames = []
         for i in range(0, t, max(1, opts.decoding_t)):
             chunk = lat[i:i + max(1, opts.decoding_t)]
             dec = decode_from_latent(self.bundle.vae, self.bundle.vae_params,
                                      chunk.astype(jnp.bfloat16))
-            frames.append(np.asarray(dec, np.float32))
+            # uint8 on device before the pull (14 frames of 576x1024
+            # fp32 = 99 MB over the 23 MB/s tunnel; uint8 is 25 MB)
+            frames.append(device_to_img01(dec))
         frames = np.concatenate(frames, axis=0)
-        frames = np.clip((frames + 1) / 2, 0, 1)
 
         if output_dir:
             from cremage_tpu.io.metadata import image_from_array

@@ -82,3 +82,19 @@ def pad_image_to_multiple_of_64(img: np.ndarray) -> Tuple[np.ndarray,
         img = np.pad(img, ((0, ph), (0, pw)) + ((0, 0),) * (img.ndim - 2),
                      mode="edge")
     return img, (h, w)
+
+
+def device_to_img01(imgs) -> np.ndarray:
+    """Device [-1,1] decode output -> host float01, quantized to uint8
+    ON DEVICE before the pull: the serving path ships 8-bit PNG pixels
+    anyway (io/metadata.image_from_array) and pulling fp32 costs 4x the
+    bytes (measured ~0.5 s per 512^2 batch-4 on the 23 MB/s tunnel
+    link).  /255 restores the [0,1] float API for the downstream
+    consumers (safety / face fix / watermark) at PNG-identical
+    precision: image_from_array's (a*255).round() reproduces the same
+    uint8 exactly."""
+    import jax.numpy as jnp
+
+    u8 = jnp.clip((imgs.astype(jnp.float32) + 1.0) * 127.5 + 0.5,
+                  0, 255).astype(jnp.uint8)
+    return np.asarray(u8).astype(np.float32) / 255.0

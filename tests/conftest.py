@@ -127,3 +127,22 @@ def _clear_backend_instance_cache():
     mod = sys.modules.get("cremage_tpu.app.backends")
     if mod is not None:
         mod.clear_instance_cache()
+
+
+def assert_img01_close(got, want, float_tol=3e-5):
+    """Compare two pipeline generate() image outputs.
+
+    Pipelines quantize decoded images to uint8 ON DEVICE before the
+    host pull (utils/image.device_to_img01 — 4x less tunnel traffic at
+    PNG-identical precision), so two float compute paths within
+    float_tol of each other can legitimately land one 1/255 step apart
+    where a value straddles a rounding boundary.  Image-level parity is
+    therefore: at most one quantization step plus the float drift."""
+    import numpy as np
+
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    diff = float(np.abs(got - want).max())
+    assert diff <= 1.0 / 255.0 + float_tol, (
+        f"max image diff {diff:.6f} > quantization step + {float_tol}")

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from tests.conftest import assert_img01_close
+
 from cremage_tpu.models.flux import FluxConfig
 from cremage_tpu.parallel.pipeline import FluxPP, flux_pp_plan
 
@@ -124,7 +126,7 @@ def test_flux_pipeline_pp_matches_plain(mesh8):
     pipe = make_flux_pipeline()
     pipe.use_mesh_pp(jax.devices()[:2])
     pp = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(pp, plain, atol=2e-5, rtol=2e-5)
+    assert_img01_close(pp, plain)
 
 
 def test_flux_pipeline_pp_rejects_compositions(mesh8):
@@ -228,7 +230,7 @@ def test_sd3_pipeline_pp_matches_plain(mesh8):
     pipe = SD3Pipeline(make_sd3_bundle())
     pipe.use_mesh_pp(jax.devices()[:2])
     pp = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(pp, plain, atol=2e-5, rtol=2e-5)
+    assert_img01_close(pp, plain)
 
 
 def test_sd3_pipeline_pp_rejects_compositions(mesh8):
@@ -302,7 +304,7 @@ def test_pixart_pipeline_pp_matches_plain(mesh8):
     pipe = make_pipe()
     pipe.use_mesh_pp(jax.devices()[:2])
     pp = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(pp, plain, atol=2e-5, rtol=2e-5)
+    assert_img01_close(pp, plain)
 
 
 def test_pixart_pipeline_pp_rejects(mesh8):
@@ -399,7 +401,7 @@ def test_hunyuan_pipeline_pp_matches_plain(mesh8):
     pipe = _make_hunyuan_pipe()
     pipe.use_mesh_pp(jax.devices()[:2])
     pp = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(pp, plain, atol=2e-5, rtol=2e-5)
+    assert_img01_close(pp, plain)
 
 
 def test_hunyuan_pipeline_pp_rejects(mesh8):
@@ -588,14 +590,14 @@ def test_sd15_pipeline_pp_matches_plain(mesh8):
     plain = SD15Pipeline(bundle).generate(opts)[0][0]
     pipe = SD15Pipeline(bundle).use_mesh_pp(jax.devices()[:3], n_stages=3)
     got = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(got, plain, atol=2e-3)
+    assert_img01_close(got, plain, float_tol=2e-3)
 
     img = np.random.default_rng(0).random((64, 64, 3)).astype(np.float32)
     o2 = base_opts(sampler="Euler", sampling_steps=4,
                    mode=MODE_IMAGE_TO_IMAGE, strength=0.6)
     plain2 = SD15Pipeline(bundle).generate(o2, init_image=img)[0][0]
     got2 = pipe.generate(o2, init_image=img)[0][0]
-    np.testing.assert_allclose(got2, plain2, atol=2e-3)
+    assert_img01_close(got2, plain2, float_tol=2e-3)
 
 
 def test_sd15_pipeline_pp_rejects(mesh8):
@@ -630,12 +632,12 @@ def test_sdxl_pipeline_pp_matches_plain(mesh8):
     plain = SDXLPipeline(bundle).generate(opts)[0][0]
     pipe = SDXLPipeline(bundle).use_mesh_pp(jax.devices()[:3], n_stages=3)
     got = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(got, plain, atol=2e-3)
+    assert_img01_close(got, plain, float_tol=2e-3)
 
     o2 = xl_opts(refiner_strength=0.3, sampling_steps=4)
     plain2 = SDXLPipeline(bundle).generate(o2)[0][0]
     got2 = pipe.generate(o2)[0][0]
-    np.testing.assert_allclose(got2, plain2, atol=2e-3)
+    assert_img01_close(got2, plain2, float_tol=2e-3)
 
 
 def test_sdxl_pipeline_pp_rejects(mesh8):
@@ -702,7 +704,7 @@ def test_kandinsky_pipeline_pp_matches_plain(mesh8):
     pipe = KandinskyPipeline(make_kandinsky()).use_mesh_pp(
         jax.devices()[:2], n_stages=2)
     got = pipe.generate(o)[0][0]
-    np.testing.assert_allclose(got, plain, atol=2e-3)
+    assert_img01_close(got, plain, float_tol=2e-3)
 
     init = np.random.RandomState(0).uniform(
         -1, 1, (64, 64, 3)).astype(np.float32)
@@ -711,7 +713,7 @@ def test_kandinsky_pipeline_pp_matches_plain(mesh8):
     p2 = KandinskyPipeline(make_kandinsky()).generate(
         o2, init_image=init)[0][0]
     g2 = pipe.generate(o2, init_image=init)[0][0]
-    np.testing.assert_allclose(g2, p2, atol=2e-3)
+    assert_img01_close(g2, p2, float_tol=2e-3)
 
 
 def test_kandinsky_pipeline_pp_rejects(mesh8):
@@ -772,7 +774,7 @@ def test_svd_pipeline_pp_matches_plain(mesh8, tmp_path):
     pipe = SVDPipeline(bundle).use_mesh_pp(jax.devices()[:2], n_stages=2,
                                            microbatch=T)
     got = pipe.sample(img, so)
-    np.testing.assert_allclose(got, plain, atol=2e-3)
+    assert_img01_close(got, plain, float_tol=2e-3)
     for bad in (dict(deep_cache=2), dict(tome_ratio=0.5)):
         with pytest.raises(ValueError):
             pipe.sample(img, SVDOptions(num_frames=T, num_steps=2,
@@ -879,7 +881,7 @@ def test_cascade_pipeline_pp_matches_plain(mesh8):
     pipe = CascadePipeline(bundle).use_mesh_pp(jax.devices()[:2],
                                                n_stages=2)
     got = pipe.generate(o)[0][0]
-    np.testing.assert_allclose(got, plain, atol=2e-3)
+    assert_img01_close(got, plain, float_tol=2e-3)
     for bad in (dict(deep_cache=2), dict(tome_ratio=0.5)):
         with pytest.raises(ValueError):
             pipe.generate(opts(sampling_steps=2, **bad))

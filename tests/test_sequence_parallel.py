@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from tests.conftest import assert_img01_close
+
 from cremage_tpu.core.mesh import make_mesh
 from cremage_tpu.parallel.sequence import (
     _reference_attention, sp_attention, token_sharding,
@@ -165,7 +167,7 @@ def test_flux_pipeline_sp_matches_plain(mesh8):
     pipe.use_mesh_sp(mesh8)
     with mesh8:
         sp = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+    assert_img01_close(sp, plain)
 
 
 def test_flux_sp_deepcache_modes_match_single_device(mesh8):
@@ -220,7 +222,7 @@ def test_flux_pipeline_sp_deepcache_matches_plain(mesh8):
     pipe.use_mesh_sp(mesh8)
     with mesh8:
         sp = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+    assert_img01_close(sp, plain)
 
 
 # ---------------- MMDiT (SD3) under sequence parallelism -------------------
@@ -298,7 +300,7 @@ def test_sd3_pipeline_sp_matches_plain(mesh8):
     pipe.use_mesh_sp(mesh8)
     with mesh8:
         sp = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+    assert_img01_close(sp, plain)
 
 
 # ---------------- PixArt-Σ / Hunyuan-DiT under sequence parallelism --------
@@ -379,7 +381,7 @@ def test_pixart_pipeline_sp_matches_plain(mesh8):
     pipe.use_mesh_sp(mesh8)
     with mesh8:
         sp = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+    assert_img01_close(sp, plain)
 
 
 def test_hunyuan_pipeline_sp_matches_plain(mesh8):
@@ -419,7 +421,7 @@ def test_hunyuan_pipeline_sp_matches_plain(mesh8):
     pipe.use_mesh_sp(mesh8)
     with mesh8:
         sp = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+    assert_img01_close(sp, plain)
 
 
 # ---------------- DeepCache under sequence parallelism ---------------------
@@ -445,7 +447,7 @@ def test_sd3_pipeline_sp_deepcache_matches_plain(mesh8):
     pipe.use_mesh_sp(mesh8)
     with mesh8:
         sp = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+    assert_img01_close(sp, plain)
 
 
 def test_pixart_pipeline_sp_deepcache_matches_plain(mesh8):
@@ -473,7 +475,7 @@ def test_pixart_pipeline_sp_deepcache_matches_plain(mesh8):
     pipe.use_mesh_sp(mesh8)
     with mesh8:
         sp = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+    assert_img01_close(sp, plain)
 
 
 def test_hunyuan_pipeline_sp_deepcache_matches_plain(mesh8):
@@ -512,4 +514,4 @@ def test_hunyuan_pipeline_sp_deepcache_matches_plain(mesh8):
     pipe.use_mesh_sp(mesh8)
     with mesh8:
         sp = pipe.generate(opts)[0][0]
-    np.testing.assert_allclose(sp, plain, atol=2e-5, rtol=2e-5)
+    assert_img01_close(sp, plain)
