@@ -34,9 +34,19 @@ host-side (no init compile) and timing forces device->host transfers
 accepts legacy BENCH_MODEL=sdxl).
 """
 import json
+import logging
 import os
 import time
 import traceback
+
+# The axon TPU plugin registers as experimental, and jax logs one
+# "Platform 'axon' is experimental" WARNING per process — with one
+# subprocess per lane that is ~15 warnings polluting the driver's
+# tail capture of this run's output (the r04 artifact lost the four
+# exact driver-metric lanes to exactly this scroll).  Filter it at the
+# logger before backend init; real warnings still pass through.
+logging.getLogger("jax._src.xla_bridge").addFilter(
+    lambda rec: "is experimental and" not in rec.getMessage())
 
 import numpy as np
 
@@ -761,23 +771,60 @@ def main() -> int:
     lane_timeout = float(os.environ.get("BENCH_LANE_TIMEOUT_S", "900"))
     t0 = time.time()
     rc = 0
+    # Each lane's stdout is CAPTURED and its metric JSON lines are
+    # re-printed in one compact block as the very last output of the
+    # run: the driver records only the tail of this process's output,
+    # and for three consecutive rounds the exact driver-metric lanes
+    # (printed early, as they finished) scrolled out of that tail
+    # behind later lanes and per-subprocess warnings.  The final block
+    # IS the artifact; the live per-lane prints are just progress.
+    metric_lines = []
+    skipped = []
+    lanes_done = 0
     for i, name in enumerate(names):
         if i and time.time() - t0 > budget:
             print("bench: budget %.0fs spent, skipping lanes: %s"
                   % (budget, ",".join(names[i:])), file=sys.stderr)
+            skipped.extend(names[i:])
             break
         env = dict(os.environ, BENCH_LANES=name)
+        out = ""
         try:
             r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               env=env, timeout=lane_timeout)
-        except subprocess.TimeoutExpired:
+                               env=env, timeout=lane_timeout,
+                               capture_output=True, text=True)
+            out = r.stdout or ""
+            rc = rc or r.returncode
+            if r.returncode and r.stderr:
+                # surface the failing lane's traceback tail
+                print("\n".join(r.stderr.splitlines()[-12:]),
+                      file=sys.stderr)
+        except subprocess.TimeoutExpired as e:
             # a timed-out lane is reported and skipped, NOT a run
             # failure: the artifact must keep the lanes already printed
             # and go on to the remaining ones
             print("bench: lane %s exceeded %.0fs, killed; continuing"
                   % (name, lane_timeout), file=sys.stderr)
-            continue
-        rc = rc or r.returncode
+            if e.stdout:
+                out = e.stdout if isinstance(e.stdout, str) \
+                    else e.stdout.decode("utf-8", "replace")
+            skipped.append(name)
+        lane_metrics = [ln for ln in out.splitlines()
+                        if ln.startswith('{"metric"')]
+        metric_lines.extend(lane_metrics)
+        for ln in lane_metrics:          # live progress print
+            print(ln, flush=True)
+        if lane_metrics:
+            lanes_done += 1
+        elif name not in skipped:
+            skipped.append(name)
+    print("bench: ==== summary (all lanes, this run) ====", flush=True)
+    for ln in metric_lines:
+        print(ln, flush=True)
+    print(json.dumps({"lanes_run": lanes_done,
+                      "skipped": skipped,
+                      "elapsed_s": round(time.time() - t0, 1)}),
+          flush=True)
     return rc
 
 

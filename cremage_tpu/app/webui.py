@@ -388,8 +388,8 @@ async function paintOpen() {
     $('status').textContent = 'choose an init image first'; return;
   }
   const img = new Image();
-  const url = f ? URL.createObjectURL(f)
-                : 'data:image/png;base64,' + droppedInit;
+  const url = droppedInit ? 'data:image/png;base64,' + droppedInit
+                          : URL.createObjectURL(f);
   await new Promise(res => { img.onload = res; img.src = url; });
   const c = $('paint_canvas');
   c.width = img.naturalWidth; c.height = img.naturalHeight;
@@ -588,7 +588,11 @@ document.addEventListener('keydown', libKeydown);
 // files land in the init file input; gallery/library card images are
 // fetched and re-wrapped so "use this result as the next init" is one
 // gesture.
-let droppedInit = null;   // b64 PNG, wins over the file input
+// Precedence rule (one rule everywhere): the most recent gesture wins.
+// A drop sets droppedInit; picking a file afterwards clears it, so
+// generate() and paintOpen() can both simply prefer droppedInit when
+// it is non-null.
+let droppedInit = null;   // b64 PNG, non-null => most recent gesture
 
 function dropInit(b64, what) {
   droppedInit = b64;
@@ -596,6 +600,8 @@ function dropInit(b64, what) {
     ' (drag-drop); mode stays ' + $('mode').value;
   $('status').className = '';
 }
+
+$('init_file').addEventListener('change', () => { droppedInit = null; });
 
 document.addEventListener('dragover', e => e.preventDefault());
 document.addEventListener('drop', async e => {
@@ -719,8 +725,14 @@ async function prefsSave() {
     if (!inp) continue;
     let nv = inp.value;
     if (typeof v === 'boolean') nv = nv === 'true';
-    else if (typeof v === 'number')
-      nv = nv.includes('.') ? parseFloat(nv) : parseInt(nv);
+    else if (typeof v === 'number') {
+      nv = Number(nv);          // handles '1e-4', '0.5', '12' alike
+      if (Number.isNaN(nv)) {
+        $('pref_state').textContent =
+          'not a number: ' + k + ' — field skipped';
+        continue;
+      }
+    }
     if (nv !== v && !(v === null && nv === '')) changed[k] = nv;
   }
   if (!Object.keys(changed).length) {

@@ -29,12 +29,17 @@ cache-threading scans drive this feature unchanged).
 
 Differences from the paper, documented: the indicator uses the raw
 model input u = c_in(sigma)·x (the paper's ablation baseline) rather
-than the first-block timestep-MODULATED input, and no per-model
-polynomial rescaling is applied — both require fitted coefficients per
-checkpoint family, which this environment cannot produce (no real
-weights); the raw-input indicator needs no fitting and is exact to
-compute.  Step 0 and the final step are always full (the paper's
-boundary rule).
+than the first-block timestep-MODULATED input — it needs no fitting
+and is exact to compute.  The paper's per-model polynomial rescaling
+of the indicator IS supported as an optional calibrated path:
+`make_ada_denoise(..., rescale=coeffs)` applies a fitted
+input-change -> output-change polynomial (clamped at 0), and
+`tools/fit_adacache.py` fits those coefficients from exact
+trajectories on a real checkpoint into
+`~/.cremage_tpu/adacache_calib.json`, which the pipelines load per
+family automatically (identity / bit-identical to uncalibrated when
+the file or family entry is absent).  Step 0 and the final step are
+always full (the paper's boundary rule).
 
 Exactness contract: threshold=0 never skips and is bit-identical to the
 plain sampler (tests/test_adacache.py proves it); the feature is off by
