@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cremage_tpu.core.registry import SAMPLERS
+from cremage_tpu.samplers.chunked import ScanPlan, run_plan
 from cremage_tpu.samplers.kdiffusion import _report  # shared progress hook
 
 
@@ -91,23 +92,32 @@ def sample(
     progress_cb=None,
 ) -> jnp.ndarray:
     """Full DDIM sampling from pure noise x ~ N(0, I)."""
-    time_range = sched.timesteps[::-1].copy()
-    indices = np.arange(sched.num_steps)[::-1].copy()
-    return _ddim_loop(eps_fn, x, sched, time_range, indices, key, temperature,
-                      progress_cb)
+    return _ddim_loop(eps_fn, x, sched, None, key, temperature, progress_cb)
 
 
-def _ddim_loop(eps_fn, x, sched, time_range, indices, key, temperature, progress_cb):
+def plan_ddim(sched: DDIMSchedule, t_start: Optional[int] = None,
+              temperature: float = 1.0) -> ScanPlan:
+    """ScanPlan over the DDIM step loop (full sampling when t_start is
+    None; the img2img `decode` truncation when t_start is given) — the
+    chunk-executable form consumed by samplers/chunked.py."""
+    if t_start is None:
+        time_range = sched.timesteps[::-1].copy()
+        indices = np.arange(sched.num_steps)[::-1].copy()
+    else:
+        timesteps = sched.timesteps[:t_start]
+        time_range = timesteps[::-1].copy()
+        indices = (len(timesteps) - 1 - np.arange(len(timesteps))).copy()
     n = len(time_range)
-    if key is None:
-        key = jax.random.key(0)
-    keys = jax.random.split(key, n)
-    xs = _step_arrays(sched, time_range, indices) + (keys, jnp.arange(n))
-    x = x.astype(jnp.float32)
     noisy = sched.eta > 0
 
-    def body(xi, per):
-        t, sqrt_at, sqrt_1m_at, sqrt_aprev, dir_coef, sigma_t, k, i = per
+    def make_xs(key):
+        if key is None:
+            key = jax.random.key(0)
+        keys = jax.random.split(key, n)
+        return _step_arrays(sched, time_range, indices) + (keys,)
+
+    def body(eps_fn, xi, per):
+        t, sqrt_at, sqrt_1m_at, sqrt_aprev, dir_coef, sigma_t, k = per
         e_t = eps_fn(xi, t).astype(jnp.float32)
         pred_x0 = (xi - sqrt_1m_at * e_t) / sqrt_at
         dir_xt = dir_coef * e_t
@@ -116,11 +126,16 @@ def _ddim_loop(eps_fn, x, sched, time_range, indices, key, temperature, progress
             xi = xi + sigma_t * temperature * jax.random.normal(
                 k, xi.shape, dtype=jnp.float32
             )
-        _report(progress_cb, i)
-        return xi, None
+        return xi
 
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    return ScanPlan(n_scan=n, init=lambda x: x.astype(jnp.float32),
+                    make_xs=make_xs, body=body)
+
+
+def _ddim_loop(eps_fn, x, sched, t_start, key, temperature, progress_cb):
+    plan = plan_ddim(sched, t_start, temperature)
+    return run_plan(plan, eps_fn, x, key=key, progress_cb=progress_cb,
+                    report=_report)
 
 
 def stochastic_encode(
@@ -151,8 +166,5 @@ def decode(
 ) -> jnp.ndarray:
     """Denoise from DDIM step t_start down to 0 (img2img decode;
     reference ddim.py:657)."""
-    timesteps = sched.timesteps[:t_start]
-    time_range = timesteps[::-1].copy()
-    indices = (len(timesteps) - 1 - np.arange(len(timesteps))).copy()
-    return _ddim_loop(eps_fn, x_latent, sched, time_range, indices, key,
-                      temperature, progress_cb)
+    return _ddim_loop(eps_fn, x_latent, sched, t_start, key, temperature,
+                      progress_cb)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cremage_tpu.core.registry import SAMPLERS
-from cremage_tpu.samplers.kdiffusion import _report
+from cremage_tpu.samplers.kdiffusion import CHUNKABLE_PLANS, _report
 
 
 def shift_sigmas(sigmas: np.ndarray, shift: float) -> np.ndarray:
@@ -59,6 +59,29 @@ def sd3_sigmas(steps: int, shift: float = 3.0) -> np.ndarray:
     return flow_sigmas(steps, shift=shift)
 
 
+def plan_flow_euler(sigmas) -> "ScanPlan":
+    from cremage_tpu.samplers.chunked import ScanPlan
+
+    sig = np.asarray(sigmas, np.float64)
+    n = len(sig) - 1
+
+    def make_xs(key):
+        del key  # deterministic sampler
+        return (jnp.asarray(sig[:-1], jnp.float32),
+                jnp.asarray(np.diff(sig), jnp.float32))
+
+    def body(v_fn, xi, per):
+        s_i, dt = per
+        v = v_fn(xi, s_i).astype(jnp.float32)
+        return xi + dt * v
+
+    return ScanPlan(n_scan=n, init=lambda x: x.astype(jnp.float32),
+                    make_xs=make_xs, body=body)
+
+
+CHUNKABLE_PLANS["FlowEuler"] = plan_flow_euler
+
+
 @SAMPLERS.register("FlowEuler")
 def sample_flow_euler(
     v_fn: Callable,           # v_fn(x, sigma_scalar) -> velocity
@@ -68,23 +91,11 @@ def sample_flow_euler(
     key=None,
     progress_cb=None,
 ) -> jnp.ndarray:
-    sig = np.asarray(sigmas, np.float64)
-    n = len(sig) - 1
-    x = x.astype(jnp.float32)
+    from cremage_tpu.samplers.chunked import run_plan
 
-    def body(xi, per):
-        s_i, dt, i = per
-        v = v_fn(xi, s_i).astype(jnp.float32)
-        _report(progress_cb, i)
-        return xi + dt * v, None
-
-    xs = (
-        jnp.asarray(sig[:-1], jnp.float32),
-        jnp.asarray(np.diff(sig), jnp.float32),
-        jnp.arange(n),
-    )
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    plan = plan_flow_euler(sigmas)
+    return run_plan(plan, v_fn, x, key=key, progress_cb=progress_cb,
+                    report=_report)
 
 
 def cfg_velocity(v_fn: Callable, c, uc, scale: float,

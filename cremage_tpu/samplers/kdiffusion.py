@@ -45,9 +45,16 @@ from jax.experimental import io_callback
 from scipy import integrate
 
 from cremage_tpu.core.registry import SAMPLERS
+from cremage_tpu.samplers.chunked import ScanPlan, run_plan
 
 Array = jnp.ndarray
 DenoiseFn = Callable[[Array, Array], Array]
+
+# sampler name -> plan builder(sigmas, **sampler_kwargs) -> ScanPlan,
+# for samplers that support chunked-segment execution (per-step-ish
+# progress on backends where in-scan io_callback cannot compile —
+# see samplers/chunked.py).  kdiffusion/flow populate this at import.
+CHUNKABLE_PLANS: dict = {}
 
 
 # ---------------------------------------------------------------------------
@@ -128,6 +135,42 @@ def _f32(x: np.ndarray) -> jnp.ndarray:
 # Euler (Karras Algorithm 2, Euler variant) — uniform scan over all steps
 # ---------------------------------------------------------------------------
 
+def plan_euler(
+    sigmas,
+    *,
+    s_churn: float = 0.0,
+    s_tmin: float = 0.0,
+    s_tmax: float = float("inf"),
+    s_noise: float = 1.0,
+) -> ScanPlan:
+    sig = _check_sigmas(sigmas)
+    n = len(sig) - 1
+    gamma = np.where(
+        (s_tmin <= sig[:-1]) & (sig[:-1] <= s_tmax),
+        min(s_churn / n, 2**0.5 - 1) if s_churn else 0.0,
+        0.0,
+    )
+    sigma_hat = sig[:-1] * (gamma + 1)
+    churn_scale = np.sqrt(np.maximum(sigma_hat**2 - sig[:-1] ** 2, 0.0))
+    dt = sig[1:] - sigma_hat
+
+    def make_xs(key):
+        return (_f32(sigma_hat), _f32(dt), _f32(churn_scale), _keys(key, n))
+
+    def body(denoise, xi, per):
+        s_hat, dti, churn, k = per
+        xi = xi + _noise(k[0], xi) * s_noise * churn
+        den = denoise(xi, s_hat).astype(jnp.float32)
+        d = _to_d(xi, s_hat, den)
+        return xi + d * dti
+
+    return ScanPlan(n_scan=n, init=lambda x: x.astype(jnp.float32),
+                    make_xs=make_xs, body=body)
+
+
+CHUNKABLE_PLANS["Euler"] = plan_euler
+
+
 @SAMPLERS.register("Euler")
 def sample_euler(
     denoise: DenoiseFn,
@@ -141,37 +184,43 @@ def sample_euler(
     s_noise: float = 1.0,
     progress_cb=None,
 ) -> Array:
-    sig = _check_sigmas(sigmas)
-    n = len(sig) - 1
-    gamma = np.where(
-        (s_tmin <= sig[:-1]) & (sig[:-1] <= s_tmax),
-        min(s_churn / n, 2**0.5 - 1) if s_churn else 0.0,
-        0.0,
-    )
-    sigma_hat = sig[:-1] * (gamma + 1)
-    churn_scale = np.sqrt(np.maximum(sigma_hat**2 - sig[:-1] ** 2, 0.0))
-    dt = sig[1:] - sigma_hat
-    keys = _keys(key, n)
-
-    x = x.astype(jnp.float32)
-
-    def body(carry, per):
-        xi = carry
-        s_hat, dti, churn, k, i = per
-        xi = xi + _noise(k[0], xi) * s_noise * churn
-        den = denoise(xi, s_hat).astype(jnp.float32)
-        d = _to_d(xi, s_hat, den)
-        _report(progress_cb, i)
-        return xi + d * dti, None
-
-    xs = (_f32(sigma_hat), _f32(dt), _f32(churn_scale), keys, jnp.arange(n))
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    plan = plan_euler(sigmas, s_churn=s_churn, s_tmin=s_tmin,
+                      s_tmax=s_tmax, s_noise=s_noise)
+    return run_plan(plan, denoise, x, key=key, progress_cb=progress_cb,
+                    report=_report)
 
 
 # ---------------------------------------------------------------------------
 # Euler ancestral — uniform scan
 # ---------------------------------------------------------------------------
+
+def plan_euler_ancestral(
+    sigmas,
+    *,
+    eta: float = 1.0,
+    s_noise: float = 1.0,
+) -> ScanPlan:
+    sig = _check_sigmas(sigmas)
+    n = len(sig) - 1
+    downs, ups = zip(*[_ancestral_step_np(sig[i], sig[i + 1], eta) for i in range(n)])
+
+    def make_xs(key):
+        return (_f32(sig[:-1]), _f32(np.array(downs)), _f32(np.array(ups)),
+                _keys(key, n))
+
+    def body(denoise, xi, per):
+        s_i, s_down, s_up, k = per
+        den = denoise(xi, s_i).astype(jnp.float32)
+        d = _to_d(xi, s_i, den)
+        xi = xi + d * (s_down - s_i)
+        return xi + _noise(k[0], xi) * s_noise * s_up
+
+    return ScanPlan(n_scan=n, init=lambda x: x.astype(jnp.float32),
+                    make_xs=make_xs, body=body)
+
+
+CHUNKABLE_PLANS["Euler A"] = plan_euler_ancestral
+
 
 @SAMPLERS.register("Euler A")
 def sample_euler_ancestral(
@@ -184,24 +233,9 @@ def sample_euler_ancestral(
     s_noise: float = 1.0,
     progress_cb=None,
 ) -> Array:
-    sig = _check_sigmas(sigmas)
-    n = len(sig) - 1
-    downs, ups = zip(*[_ancestral_step_np(sig[i], sig[i + 1], eta) for i in range(n)])
-    keys = _keys(key, n)
-    x = x.astype(jnp.float32)
-
-    def body(xi, per):
-        s_i, s_down, s_up, k, i = per
-        den = denoise(xi, s_i).astype(jnp.float32)
-        d = _to_d(xi, s_i, den)
-        xi = xi + d * (s_down - s_i)
-        xi = xi + _noise(k[0], xi) * s_noise * s_up
-        _report(progress_cb, i)
-        return xi, None
-
-    xs = (_f32(sig[:-1]), _f32(np.array(downs)), _f32(np.array(ups)), keys, jnp.arange(n))
-    x, _ = jax.lax.scan(body, x, xs)
-    return x
+    plan = plan_euler_ancestral(sigmas, eta=eta, s_noise=s_noise)
+    return run_plan(plan, denoise, x, key=key, progress_cb=progress_cb,
+                    report=_report)
 
 
 # ---------------------------------------------------------------------------
@@ -570,18 +604,9 @@ def sample_dpmpp_sde(
 # DPM++ 2M — multistep; first step peeled, correction scan, last step peeled
 # ---------------------------------------------------------------------------
 
-@SAMPLERS.register("DPM++ 2M")
-def sample_dpmpp_2m(
-    denoise: DenoiseFn,
-    x: Array,
-    sigmas,
-    *,
-    key: Optional[jax.Array] = None,
-    progress_cb=None,
-) -> Array:
+def plan_dpmpp_2m(sigmas) -> ScanPlan:
     sig = _check_sigmas(sigmas)
     n = len(sig) - 1
-    x = x.astype(jnp.float32)
 
     with np.errstate(divide="ignore"):
         t = -np.log(sig)                      # t[n] = +inf at sigma=0
@@ -591,36 +616,57 @@ def sample_dpmpp_2m(
     with np.errstate(invalid="ignore"):
         r = np.concatenate([[np.nan], h[:-1] / h[1:]])  # r[i] = h_{i-1}/h_i
 
-    # step 0 (no old_denoised)
-    den = denoise(x, jnp.float32(sig[0])).astype(jnp.float32)
-    x = float(a[0]) * x - float(e[0]) * den
-    _report(progress_cb, 0)
-    old_den = den
+    def pre(denoise, x):
+        # step 0 (no old_denoised)
+        den = denoise(x, jnp.float32(sig[0])).astype(jnp.float32)
+        return float(a[0]) * x - float(e[0]) * den, den
 
-    if n > 2:
-        coef = 1.0 / (2.0 * r[1:-1])  # host
+    n_scan = max(0, n - 2)
+    coef = 1.0 / (2.0 * r[1:-1]) if n > 2 else np.zeros(0)
 
-        def body(carry, per):
-            xi, od = carry
-            s_i, ai, ei, ci, i = per
-            den = denoise(xi, s_i).astype(jnp.float32)
-            den_d = (1 + ci) * den - ci * od
-            xi = ai * xi - ei * den_d
-            _report(progress_cb, i)
-            return (xi, den), None
+    def make_xs(key):
+        del key  # deterministic sampler
+        return (_f32(sig[1:-2]), _f32(a[1:-1]), _f32(e[1:-1]), _f32(coef))
 
-        xs = (
-            _f32(sig[1:-2]), _f32(a[1:-1]), _f32(e[1:-1]), _f32(coef),
-            jnp.arange(1, n - 1),
-        )
-        (x, old_den), _ = jax.lax.scan(body, (x, old_den), xs)
+    def body(denoise, carry, per):
+        xi, od = carry
+        s_i, ai, ei, ci = per
+        den = denoise(xi, s_i).astype(jnp.float32)
+        den_d = (1 + ci) * den - ci * od
+        return ai * xi - ei * den_d, den
 
     if n > 1:
-        # final step: sigma_next == 0 -> no correction, x = denoised
-        den = denoise(x, jnp.float32(sig[-2])).astype(jnp.float32)
-        x = float(a[-1]) * x - float(e[-1]) * den
-        _report(progress_cb, n - 1)
-    return x
+        def post(denoise, carry):
+            # final step: sigma_next == 0 -> no correction, x = denoised
+            xi, _ = carry
+            den = denoise(xi, jnp.float32(sig[-2])).astype(jnp.float32)
+            return float(a[-1]) * xi - float(e[-1]) * den
+        post_steps = 1
+    else:
+        post, post_steps = None, 0
+
+    return ScanPlan(n_scan=n_scan, init=lambda x: x.astype(jnp.float32),
+                    make_xs=make_xs, body=body,
+                    pre=pre, pre_steps=1,
+                    post=post, post_steps=post_steps,
+                    out=lambda carry: carry[0])
+
+
+CHUNKABLE_PLANS["DPM++ 2M"] = plan_dpmpp_2m
+
+
+@SAMPLERS.register("DPM++ 2M")
+def sample_dpmpp_2m(
+    denoise: DenoiseFn,
+    x: Array,
+    sigmas,
+    *,
+    key: Optional[jax.Array] = None,
+    progress_cb=None,
+) -> Array:
+    plan = plan_dpmpp_2m(sigmas)
+    return run_plan(plan, denoise, x, key=key, progress_cb=progress_cb,
+                    report=_report)
 
 
 # ---------------------------------------------------------------------------
