@@ -200,12 +200,32 @@ class ApiServer:
             # the k-diffusion/DDIM names (flow families ignore it)
             by_type = {t: (sgm if t in ("SDXL", "SVD") else kdiff)
                        for t in GENERATOR_MODEL_TYPES}
+            # progress granularity capability: "step" when the backend
+            # compiles in-scan io_callback progress; "chunked" when the
+            # segmented-sampler path provides per-step-ish updates
+            # (samplers/chunked.py, e.g. the axon TPU tunnel); clients
+            # can size their progress UI accordingly
+            from cremage_tpu.samplers.chunked import default_segments
+            from cremage_tpu.samplers.kdiffusion import (
+                CHUNKABLE_PLANS, progress_callbacks_supported)
+
+            if progress_callbacks_supported():
+                progress = {"granularity": "step"}
+            else:
+                progress = {
+                    "granularity": "chunked",
+                    "segments": default_segments(),
+                    "chunked_samplers": sorted(CHUNKABLE_PLANS)
+                    + ["DDIM", "EulerEDMSampler", "EulerAncestralSampler",
+                       "DPMPP2MSampler"],
+                }
             return {
                 "model_types": list(GENERATOR_MODEL_TYPES),
                 "samplers": kdiff,
                 "extra_samplers": extra,
                 "sgm_samplers": sgm,
                 "samplers_by_type": by_type,
+                "progress": progress,
             }
         if path == "/v1/health":
             import jax

@@ -29,6 +29,7 @@ from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.unet import UNetConfig, UNetModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
 from cremage_tpu.samplers import adacache as AC
+from cremage_tpu.samplers import chunked as CH
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
@@ -283,6 +284,49 @@ class CascadePipeline:
 
         bucket = (tag, steps, tuple(shape), extra_sig, scale,
                   dc if use_dc else 0, dcb, tr, cfgi, ada, ada_resc)
+
+        # Segmented execution for per-step progress where in-scan
+        # io_callback cannot compile (samplers/chunked.py)
+        if (CH.chunked_progress_active(self._current_status, _noop)
+                and not use_dc and not use_ada):
+            plan = K.plan_euler_ancestral(sigmas)
+
+            def make_den_cfg(params, c_ctx, uc_ctx, c_vec, uc_vec,
+                             concat):
+                def eps_model(xx, tt, cond):
+                    ctx, vec = cond
+                    cc = concat
+                    if cc is not None and cc.shape[0] != xx.shape[0]:
+                        cc = jnp.concatenate(
+                            [cc] * (xx.shape[0] // cc.shape[0]))
+                    if isinstance(model, _StageB):
+                        return model.apply(params, xx, tt, cc, vec)
+                    if cc is not None:
+                        xx = jnp.concatenate([xx, cc.astype(xx.dtype)],
+                                             axis=-1)
+                    return model.apply(params, xx, tt, ctx, vec)
+                return cfg_denoiser(EpsDenoiser(eps_model, sched),
+                                    (c_ctx, c_vec), (uc_ctx, uc_vec),
+                                    scale, interval=cfgi)
+
+            def get_program(role, build):
+                fn = self._cache.get(bucket + (role,))
+                if fn is None:
+                    fn = jax.jit(build())
+                    self._cache[bucket + (role,)] = fn
+                return fn
+
+            def chunked_fn(params, x, c_ctx, uc_ctx, c_vec, uc_vec,
+                           concat, key):
+                return CH.run_chunked(
+                    plan, get_program=get_program,
+                    make_denoise=make_den_cfg,
+                    args=(params, c_ctx, uc_ctx, c_vec, uc_vec, concat),
+                    x=x, key=key, progress=progress,
+                    segments=CH.default_segments())
+
+            return chunked_fn, sigmas
+
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -29,6 +29,7 @@ from cremage_tpu.ops.tome import check_dit_options as _check_dit_tome
 from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
 from cremage_tpu.samplers import adacache as AC
+from cremage_tpu.samplers import chunked as CH
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import flow as F
 from cremage_tpu.samplers.denoiser import cfg_interval_of
@@ -266,6 +267,50 @@ class FluxPipeline:
 
         bucket = ("flux", steps, hp, wp, txt_len, b, guidance_scale,
                   sp_mesh is not None, dc if use_dc else 0, dcb, tr, ada, ada_resc)
+
+        # Segmented flow-Euler for per-step progress where in-scan
+        # io_callback cannot compile (samplers/chunked.py); composes
+        # with SP (v_fn is the same code either way)
+        if (CH.chunked_progress_active(self._current_status, _noop)
+                and not use_dc and not use_ada):
+            plan = F.plan_flow_euler(sigmas)
+
+            def make_v(params, txt, vec):
+                def v_fn(xx, sigma):
+                    bsz = xx.shape[0]
+                    t = jnp.broadcast_to(
+                        jnp.asarray(sigma, jnp.float32), (bsz,))
+                    guidance = (
+                        jnp.full((bsz,), guidance_scale, jnp.float32)
+                        if model.cfg.guidance_embed else None
+                    )
+                    if sp_mesh is not None:
+                        from cremage_tpu.parallel.sequence import \
+                            flux_sp_apply
+
+                        return flux_sp_apply(
+                            model, params, sp_mesh, xx, txt, t, vec,
+                            img_ids, txt_ids, guidance=guidance,
+                            axis=sp_axis)
+                    return model.apply(params, xx, txt, t, vec, img_ids,
+                                       txt_ids, guidance)
+                return v_fn
+
+            def get_program(role, build):
+                fn = self._cache.get(bucket + (role,))
+                if fn is None:
+                    fn = jax.jit(build())
+                    self._cache[bucket + (role,)] = fn
+                return fn
+
+            def chunked_fn(params, x_tokens, txt, vec, key):
+                return CH.run_chunked(
+                    plan, get_program=get_program, make_denoise=make_v,
+                    args=(params, txt, vec), x=x_tokens, key=key,
+                    progress=progress, segments=CH.default_segments())
+
+            return chunked_fn
+
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

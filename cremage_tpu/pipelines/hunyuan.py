@@ -20,6 +20,7 @@ from cremage_tpu.models.hunyuan import HunyuanDiT
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
 from cremage_tpu.ops.tome import check_dit_options as _check_dit_tome
 from cremage_tpu.samplers import adacache as AC
+from cremage_tpu.samplers import chunked as CH
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
@@ -294,6 +295,48 @@ class HunyuanPipeline:
         bucket = ("hunyuan", name, steps, tuple(shape), dims, scale,
                   sp_mesh is not None, dc if use_dc else 0, dcb, tr, cfgi,
                   ada, ada_resc)
+
+        # Segmented execution for per-step progress where in-scan
+        # io_callback cannot compile (samplers/chunked.py)
+        if (CH.chunked_progress_active(self._current_status, _noop)
+                and not use_dc and not use_ada
+                and name in K.CHUNKABLE_PLANS):
+            plan = K.CHUNKABLE_PLANS[name](sigmas)
+
+            def make_den_cfg(params, cc, ucc, ct5, uct5):
+                def v_model(xx, tt, cond):
+                    clip_t, mt5_t = cond
+                    if sp_mesh is not None:
+                        from cremage_tpu.parallel.sequence import \
+                            hunyuan_sp_apply
+
+                        out = hunyuan_sp_apply(dit, params, sp_mesh, xx,
+                                               tt, clip_t, mt5_t,
+                                               axis=sp_axis)
+                    else:
+                        out = dit.apply(params, xx, tt, clip_t, mt5_t)
+                    return out[..., : xx.shape[-1]]
+                return cfg_denoiser(VDenoiser(v_model, sched),
+                                    (cc, ct5), (ucc, uct5), scale,
+                                    interval=cfgi)
+
+            def get_program(role, build):
+                fn = self._cache.get(bucket + (role,))
+                if fn is None:
+                    fn = jax.jit(build())
+                    self._cache[bucket + (role,)] = fn
+                return fn
+
+            def chunked_fn(params, x, c_clip, uc_clip, c_t5, uc_t5, key):
+                return CH.run_chunked(
+                    plan, get_program=get_program,
+                    make_denoise=make_den_cfg,
+                    args=(params, c_clip, uc_clip, c_t5, uc_t5),
+                    x=x, key=key, progress=progress,
+                    segments=CH.default_segments())
+
+            return chunked_fn, sigmas
+
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

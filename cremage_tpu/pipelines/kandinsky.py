@@ -25,6 +25,7 @@ from cremage_tpu.models.kandinsky import DiffusionPrior
 from cremage_tpu.models.unet import UNetModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_latent
 from cremage_tpu.samplers import adacache as AC
+from cremage_tpu.samplers import chunked as CH
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import schedules as S
@@ -309,6 +310,44 @@ class KandinskyPipeline:
 
         bucket = ("kandinsky", name, steps, tuple(shape), dim, scale,
                   dc if use_dc else 0, dcb, tr, cfgi, ada, ada_resc)
+
+        # Segmented execution for per-step progress where in-scan
+        # io_callback cannot compile (samplers/chunked.py)
+        if (CH.chunked_progress_active(self._current_status, _noop)
+                and not use_dc and not use_ada
+                and name in K.CHUNKABLE_PLANS):
+            plan = K.CHUNKABLE_PLANS[name](sigmas)
+
+            def make_den_cfg(params, img_embed, neg_embed):
+                def eps_model(xx, tt, cond):
+                    if b.image_cond is not None:
+                        tvec, ctx = b.image_cond.apply(
+                            b.image_cond_params, cond)
+                        out = decoder.apply(params, xx, tt, ctx, tvec)
+                    else:
+                        ctx = cond[:, None, :]
+                        out = decoder.apply(params, xx, tt, ctx, cond)
+                    return out[..., : xx.shape[-1]]
+                return cfg_denoiser(EpsDenoiser(eps_model, sched),
+                                    img_embed, neg_embed, scale,
+                                    interval=cfgi)
+
+            def get_program(role, build):
+                fn = self._cache.get(bucket + (role,))
+                if fn is None:
+                    fn = jax.jit(build())
+                    self._cache[bucket + (role,)] = fn
+                return fn
+
+            def chunked_fn(params, x, img_embed, neg_embed, key):
+                return CH.run_chunked(
+                    plan, get_program=get_program,
+                    make_denoise=make_den_cfg,
+                    args=(params, img_embed, neg_embed), x=x, key=key,
+                    progress=progress, segments=CH.default_segments())
+
+            return chunked_fn, sigmas
+
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -34,6 +34,7 @@ from cremage_tpu.core.rng import key_for_image, noise_like, resolve_seed
 from cremage_tpu.models.unet import UNetModel
 from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent, encode_to_latent
 from cremage_tpu.pipelines.conditioning import TextEncoder, tile_batch
+from cremage_tpu.samplers import chunked as CH
 from cremage_tpu.samplers import ddim as DDIM
 from cremage_tpu.samplers import adacache as AC
 from cremage_tpu.samplers import deepcache as DC
@@ -367,6 +368,17 @@ class SD15Pipeline:
             raise ValueError("deep_cache cannot be combined with ControlNet "
                              "(control residuals target the cached deep blocks)")
 
+        # Segmented execution restores per-step-ish progress where the
+        # in-scan io_callback cannot compile (the axon TPU tunnel):
+        # supported for the exact sampling paths of the chunk-planned
+        # samplers; DC/ada carry denoisers and the T-driven extras fall
+        # back to the coarse worker statuses there (samplers/chunked.py)
+        use_chunked = (
+            CH.chunked_progress_active(status_cb, _noop_status)
+            and not use_dc and not use_ada
+            and self.pp_devices is None
+            and (name in K.CHUNKABLE_PLANS or name == "DDIM"))
+
         if self.pp_devices is not None:
             if use_dc:
                 raise ValueError(
@@ -495,6 +507,34 @@ class SD15Pipeline:
                     return run
             else:  # DDIM
                 sched = DDIM.make_ddim_schedule(acp, steps, eta=opts.ddim_eta)
+                if use_chunked:
+                    plan = DDIM.plan_ddim(sched, t_enc)
+                    cn_params = (self.bundle.controlnet[1]
+                                 if self.bundle.controlnet else None)
+
+                    def make_eps_cfg(params, cc, ucc, extra, cnp, hint_arr):
+                        eps = self._eps_model(params, extra, cnp, hint_arr,
+                                              control_weight, tome_ratio=tr)
+                        return cfg_denoiser(eps, cc, ucc, scale)
+
+                    prologue = None
+                    if t_enc is not None:
+                        def prologue(xx, kk):
+                            return DDIM.stochastic_encode(
+                                xx, sched, t_enc - 1,
+                                noise_like(kk, xx.shape))
+                    x = init_latent if t_enc is not None else x_init
+                    x, c, uc = self._shard_batch_args(x, c, uc)
+                    return CH.run_chunked(
+                        plan,
+                        get_program=lambda role, build: self._runner(
+                            bucket + (role,), build),
+                        make_denoise=make_eps_cfg,
+                        args=(self.bundle.unet_params, c, uc,
+                              extra_channels, cn_params, hint),
+                        x=x, key=key, prologue=prologue,
+                        progress=progress,
+                        segments=CH.default_segments())
 
                 def build():
                     def run(params, x, c, uc, key, extra, cn_params, hint_arr):
@@ -537,6 +577,37 @@ class SD15Pipeline:
                 s_churn=opts.sampler_s_churn, s_tmin=opts.sampler_s_tmin,
                 s_tmax=opts.sampler_s_tmax, s_noise=opts.sampler_s_noise,
             )
+
+        if use_chunked and name in K.CHUNKABLE_PLANS:
+            plan = K.CHUNKABLE_PLANS[name](sigmas, **kwargs)
+            cn_params = (self.bundle.controlnet[1]
+                         if self.bundle.controlnet else None)
+
+            def make_den_cfg(params, cc, ucc, extra, cnp, hint_arr):
+                eps = self._eps_model(params, extra, cnp, hint_arr,
+                                      control_weight, tome_ratio=tr)
+                den = EpsDenoiser(eps, self.bundle.schedule)
+                return cfg_denoiser(den, cc, ucc, scale, interval=cfgi)
+
+            prologue = None
+            if t_enc is not None:
+                sig0 = float(sigmas[0])
+
+                def prologue(xx, kk):
+                    # k-space stochastic encode, same as the jitted path
+                    return (xx.astype(jnp.float32)
+                            + noise_like(kk, xx.shape) * sig0)
+            x = init_latent if t_enc is not None else x_init
+            x, c, uc = self._shard_batch_args(x, c, uc)
+            return CH.run_chunked(
+                plan,
+                get_program=lambda role, build: self._runner(
+                    bucket + (role,), build),
+                make_denoise=make_den_cfg,
+                args=(self.bundle.unet_params, c, uc, extra_channels,
+                      cn_params, hint),
+                x=x, key=key, prologue=prologue, progress=progress,
+                segments=CH.default_segments())
 
         def build():
             def run(params, x, c, uc, key, extra, cn_params, hint_arr):

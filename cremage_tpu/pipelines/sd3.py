@@ -36,6 +36,7 @@ from cremage_tpu.prompt.parser import compute_prompt_score
 from cremage_tpu.prompt.sentencepiece import as_t5_tokenize
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
 from cremage_tpu.samplers import adacache as AC
+from cremage_tpu.samplers import chunked as CH
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import flow as F
 from cremage_tpu.samplers.denoiser import cfg_interval_of
@@ -340,6 +341,43 @@ class SD3Pipeline:
         bucket = ("sd3", opts.sampling_steps, tuple(shape), cond_shapes,
                   scale, sp_mesh is not None, dc if use_dc else 0, dcb, tr,
                   cfgi, ada, ada_resc)
+
+        # Segmented flow-Euler for per-step progress where in-scan
+        # io_callback cannot compile (samplers/chunked.py)
+        if (CH.chunked_progress_active(self._current_status, _noop)
+                and not use_dc and not use_ada):
+            plan = F.plan_flow_euler(sigmas)
+
+            def make_v(params, cc, ucc):
+                def v_model(xx, tt, cond):
+                    if sp_mesh is not None:
+                        from cremage_tpu.parallel.sequence import \
+                            mmdit_sp_apply
+
+                        return mmdit_sp_apply(
+                            mmdit, params, sp_mesh, xx, tt * 1000.0,
+                            cond["crossattn"], cond["pooled"],
+                            axis=sp_axis)
+                    return mmdit.apply(params, xx, tt * 1000.0,
+                                       cond["crossattn"], cond["pooled"])
+                return F.cfg_velocity(v_model, cc, ucc, scale,
+                                      interval=cfgi)
+
+            def get_program(role, build):
+                fn = self._cache.get(bucket + (role,))
+                if fn is None:
+                    fn = jax.jit(build())
+                    self._cache[bucket + (role,)] = fn
+                return fn
+
+            def chunked_fn(params, x, c, uc, key):
+                return CH.run_chunked(
+                    plan, get_program=get_program, make_denoise=make_v,
+                    args=(params, c, uc), x=x, key=key,
+                    progress=progress, segments=CH.default_segments())
+
+            return chunked_fn
+
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

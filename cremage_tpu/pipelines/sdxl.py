@@ -44,8 +44,10 @@ from cremage_tpu.prompt.chunking import generate_weighted_chunks, make_ti_fetch
 from cremage_tpu.prompt.parser import compute_prompt_score
 from cremage_tpu.prompt.tokenizer import CLIPTokenizer
 from cremage_tpu.samplers import adacache as AC
+from cremage_tpu.samplers import chunked as CH
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import edm as EDM
+from cremage_tpu.samplers import kdiffusion as K
 from cremage_tpu.samplers import lcm as LCM
 from cremage_tpu.samplers import schedules as S
 from cremage_tpu.samplers.denoiser import cfg_interval_of
@@ -548,6 +550,76 @@ class SDXLPipeline:
                   opts.discretization, float(opts.sampler_eta),
                   float(opts.sampler_s_churn), num_frames,
                   self.bundle.inpaint, dc, dcb, tr, cfgi, ada, ada_resc)
+
+        # Segmented execution for per-step-ish progress where in-scan
+        # io_callback cannot compile (samplers/chunked.py); the sgm EDM
+        # menu reuses the kdiffusion scan plans
+        sgm_to_plan = {"EulerEDMSampler": "Euler",
+                       "EulerAncestralSampler": "Euler A",
+                       "DPMPP2MSampler": "DPM++ 2M"}
+        if (CH.chunked_progress_active(self._current_status, _noop_status)
+                and not use_dc and not use_ada and lsched is None
+                and self.pp_devices is None
+                and sampler_name in sgm_to_plan):
+            if sampler_name == "EulerEDMSampler":
+                kw = dict(s_churn=opts.sampler_s_churn,
+                          s_tmin=opts.sampler_s_tmin,
+                          s_tmax=opts.sampler_s_tmax,
+                          s_noise=opts.sampler_s_noise)
+            elif sampler_name == "DPMPP2MSampler":
+                kw = {}
+            else:
+                kw = dict(eta=opts.sampler_eta,
+                          s_noise=opts.sampler_s_noise)
+            plan = K.CHUNKABLE_PLANS[sgm_to_plan[sampler_name]](sigmas,
+                                                                **kw)
+            sig0 = float(np.asarray(sigmas, np.float64)[0])
+
+            def make_denoise(params, cc, ucc, extra):
+                def network(xx, tt, cond, **unet_kwargs):
+                    if extra is not None:
+                        ee = extra
+                        if ee.shape[0] != xx.shape[0]:
+                            ee = jnp.concatenate(
+                                [ee] * (xx.shape[0] // ee.shape[0]))
+                        xx = jnp.concatenate(
+                            [xx, ee.astype(xx.dtype)], axis=-1)
+                    return unet.apply(params, xx, tt,
+                                      cond["crossattn"], cond["vector"],
+                                      **unet_kwargs)
+
+                denoiser = EDM.DiscreteDenoiserSGM(
+                    network,
+                    EDM.LegacyDDPMDiscretization()(1000,
+                                                   do_append_zero=False),
+                )
+                return guider(denoiser, cc, ucc, **guider_kwargs)
+
+            prologue = None
+            if t_enc is None:
+                def prologue(xx, kk):
+                    # run_sgm_sampler's prepare_sampling_loop scaling
+                    return (xx.astype(jnp.float32)
+                            * float(np.sqrt(1.0 + sig0 ** 2)))
+
+            def get_program(role, build):
+                fn = self._cache.get(bucket + (role,))
+                if fn is None:
+                    fn = jax.jit(build())
+                    self._cache[bucket + (role,)] = fn
+                return fn
+
+            def chunked_fn(params, x, c, uc, key, extra=None):
+                return CH.run_chunked(
+                    plan, get_program=get_program,
+                    make_denoise=make_denoise,
+                    args=(params, c, uc, extra),
+                    x=x, key=key, prologue=prologue,
+                    progress=progress,
+                    segments=CH.default_segments())
+
+            return chunked_fn, sigmas
+
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

@@ -34,8 +34,10 @@ from cremage_tpu.models.vae import AutoencoderKL, decode_from_latent
 from cremage_tpu.models.video_unet import VideoUNet
 from cremage_tpu.pipelines.sdxl import fourier_vector_embedding
 from cremage_tpu.samplers import adacache as AC
+from cremage_tpu.samplers import chunked as CH
 from cremage_tpu.samplers import deepcache as DC
 from cremage_tpu.samplers import edm as EDM
+from cremage_tpu.samplers import kdiffusion as K
 
 logger = logging.getLogger(__name__)
 
@@ -286,6 +288,64 @@ class SVDPipeline:
 
         bucket = ("svd", opts.num_steps, t_frames, tuple(shape), ctx_dim,
                   dc, dcb, tr, ada, ada_resc)
+
+        # Segmented EDM-Euler for per-step progress where in-scan
+        # io_callback cannot compile (samplers/chunked.py)
+        if (CH.chunked_progress_active(self._current_status, _noop)
+                and dc < 2 and ada <= 0.0):
+            plan = K.plan_euler(sigmas)
+            sig0 = float(np.asarray(sigmas, np.float64)[0])
+
+            def make_denoise(params, ctx, vector, concat):
+                def network(xx, c_noise, cond):
+                    xin = jnp.concatenate(
+                        [xx, cond["concat"].astype(xx.dtype)], axis=-1)
+                    return unet.apply(params, xin, c_noise,
+                                      cond["crossattn"], cond["vector"])
+
+                def denoiser(xx, sigma, cond):
+                    sigma = jnp.broadcast_to(
+                        jnp.asarray(sigma, jnp.float32), (xx.shape[0],))
+                    s = sigma.reshape(-1, 1, 1, 1)
+                    c_skip = 1.0 / (s**2 + 1.0)
+                    c_out = -s / jnp.sqrt(s**2 + 1.0)
+                    c_in = 1.0 / jnp.sqrt(s**2 + 1.0)
+                    c_noise = 0.25 * jnp.log(sigma)
+                    v = network(xx * c_in, c_noise, cond)
+                    return v.astype(jnp.float32) * c_out + xx * c_skip
+
+                c = {"crossattn": ctx, "vector": vector, "concat": concat}
+                uc = {"crossattn": jnp.zeros_like(ctx), "vector": vector,
+                      "concat": jnp.zeros_like(concat)}
+                return EDM.linear_prediction_guider(
+                    denoiser, c, uc, scale=opts.max_guidance_scale,
+                    num_frames=t_frames,
+                    min_scale=opts.min_guidance_scale,
+                    max_scale=opts.max_guidance_scale,
+                )
+
+            def prologue(xx, kk):
+                # run_sgm_sampler's prepare_sampling_loop scaling
+                return (xx.astype(jnp.float32)
+                        * float(np.sqrt(1.0 + sig0 ** 2)))
+
+            def get_program(role, build):
+                fn = self._cache.get(bucket + (role,))
+                if fn is None:
+                    fn = jax.jit(build())
+                    self._cache[bucket + (role,)] = fn
+                return fn
+
+            def chunked_fn(params, x, ctx, vector, concat, key):
+                return CH.run_chunked(
+                    plan, get_program=get_program,
+                    make_denoise=make_denoise,
+                    args=(params, ctx, vector, concat), x=x, key=key,
+                    prologue=prologue, progress=progress,
+                    segments=CH.default_segments())
+
+            return chunked_fn
+
         fn = self._cache.get(bucket)
         if fn is None:
             fn = jax.jit(run)

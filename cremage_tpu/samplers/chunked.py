@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Callable, Optional
 
 import jax
@@ -106,6 +107,29 @@ def run_plan(plan: ScanPlan, denoise, x, *, key=None, progress_cb=None,
         report(progress_cb, plan.n_report - 1)
         return x_out
     return plan.out(carry)
+
+
+def chunked_progress_active(status_cb, noop) -> bool:
+    """Whether a pipeline generate() should use segmented execution:
+    a real status callback is attached AND in-scan io_callback progress
+    is unavailable on this backend (the axon tunnel).  Where io_callback
+    compiles, the monolithic program keeps true per-step granularity.
+    Override with CREMAGE_CHUNKED_PROGRESS=0 to force the coarse
+    statuses instead."""
+    env = os.environ.get("CREMAGE_CHUNKED_PROGRESS")
+    if env is not None and env.lower() in ("0", "false", "no"):
+        return False
+    if status_cb is None or status_cb is noop:
+        return False
+    from cremage_tpu.samplers.kdiffusion import progress_callbacks_supported
+
+    return not progress_callbacks_supported()
+
+
+def default_segments() -> int:
+    """Segments per sampling run (progress updates per job);
+    CREMAGE_PROGRESS_SEGMENTS overrides the default 5."""
+    return max(1, int(os.environ.get("CREMAGE_PROGRESS_SEGMENTS", "5")))
 
 
 def segment_length(n_scan: int, segments: int) -> int:

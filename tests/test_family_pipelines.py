@@ -158,7 +158,7 @@ def test_kandinsky_real_decoder_architecture_end_to_end():
 # ---------------- Cascade ----------------------------------------------------
 
 @pytest.mark.slow
-def test_cascade_txt2img():
+def make_cascade():
     ccfg = stage_c_config(text_dim=TD, dtype=jnp.float32, model_channels=32,
                           num_res_blocks=1, num_heads=4)
     sc = UNetModel(ccfg)
@@ -174,11 +174,14 @@ def test_cascade_txt2img():
                   jnp.zeros((1,)), jnp.zeros((1, 7, TD)))
     vae, vp = tiny_vae()
     # tiny VAE is 8x; treat b_compression=8 for the test
-    bundle = CascadeBundle(stage_c=sc, stage_c_params=scp, stage_b=sb,
-                           stage_b_params=sbp, vqgan=vae, vqgan_params=vp,
-                           text_encode=fake_text_encode,
-                           c_compression=32, b_compression=8)
-    pipe = CascadePipeline(bundle)
+    return CascadeBundle(stage_c=sc, stage_c_params=scp, stage_b=sb,
+                         stage_b_params=sbp, vqgan=vae, vqgan_params=vp,
+                         text_encode=fake_text_encode,
+                         c_compression=32, b_compression=8)
+
+
+def test_cascade_txt2img():
+    pipe = CascadePipeline(make_cascade())
     img, meta = pipe.generate(opts())[0]
     assert img.shape == (64, 64, 3) and np.isfinite(img).all()
 
@@ -216,7 +219,7 @@ def test_cascade_real_wuerstchen_cores_end_to_end():
 # ---------------- Hunyuan ----------------------------------------------------
 
 @pytest.mark.slow
-def test_hunyuan_txt2img():
+def make_hunyuan():
     hcfg = HunyuanConfig(hidden_size=32, depth=4, num_heads=4, clip_dim=TD,
                          mt5_dim=TD, mlp_ratio=2.0, dtype=jnp.float32)
     dit = HunyuanDiT(hcfg)
@@ -230,9 +233,12 @@ def test_hunyuan_txt2img():
                 rng.randn(7, TD).astype(np.float32))
 
     vae, vp = tiny_vae()
-    bundle = HunyuanBundle(dit=dit, dit_params=dp, vae=vae, vae_params=vp,
-                           text_encode=text_encode)
-    pipe = HunyuanPipeline(bundle)
+    return HunyuanBundle(dit=dit, dit_params=dp, vae=vae, vae_params=vp,
+                         text_encode=text_encode)
+
+
+def test_hunyuan_txt2img():
+    pipe = HunyuanPipeline(make_hunyuan())
     img, meta = pipe.generate(opts(sampler="DPM++ 2M"))[0]
     assert img.shape == (64, 64, 3) and np.isfinite(img).all()
 

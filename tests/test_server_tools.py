@@ -216,6 +216,9 @@ def test_server_webui_and_meta(server):
     meta = _req(server, "/v1/meta")
     assert "SD 1.5" in meta["model_types"]
     assert "Euler A" in meta["samplers"] and "DDIM" in meta["samplers"]
+    # progress capability: "step" where io_callback compiles (CPU),
+    # "chunked" on the axon TPU tunnel (samplers/chunked.py)
+    assert meta["progress"]["granularity"] in ("step", "chunked")
 
 
 def test_server_image_file_guard(server):
