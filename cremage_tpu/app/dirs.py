@@ -46,6 +46,25 @@ def list_images(root: str, which: str = "outputs") -> List[Dict]:
     return out
 
 
+_output_seq = 0
+
+
+def save_output_image(root: str, png_bytes: bytes) -> str:
+    """Persist a generated PNG into the outputs library — the reference
+    saves every result to its output dir before queueing it to the UI
+    (`modules/sd/image_generator.py:1204-1212`).  Timestamp + sequence
+    naming keeps listings chronological and names unique."""
+    global _output_seq
+    d = os.path.join(root, "outputs")
+    os.makedirs(d, exist_ok=True)
+    _output_seq += 1
+    name = "%s_%06d.png" % (time.strftime("%Y%m%d-%H%M%S"), _output_seq)
+    path = os.path.join(d, name)
+    with open(path, "wb") as f:
+        f.write(png_bytes)
+    return path
+
+
 def favorite_image(root: str, path: str) -> str:
     """Copy into favorites (reference `f` key)."""
     dest = os.path.join(root, "favorites", os.path.basename(path))

@@ -157,6 +157,13 @@ class ApiServer:
                  host: str = "127.0.0.1", port: int = 8787,
                  prefs=None, config_path: Optional[str] = None):
         self.worker = worker or EngineWorker()
+        if self.worker.save_root is None:
+            # enable path-delivery results: generated PNGs land in the
+            # outputs library (reference behavior) and the status
+            # channel carries a file reference instead of b64 payload
+            from cremage_tpu.app import dirs as D
+
+            self.worker.save_root = D.first_init()
         self.host = host
         self.port = port
         self.prefs = prefs          # shared instance: backends see edits

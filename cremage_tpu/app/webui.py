@@ -319,6 +319,9 @@ async function generate() {
       ...modeExtra,
       ...advanced,
       mode,
+      // results as file references into the outputs library — the
+      // browser pulls binary PNGs over GET instead of b64-in-JSON
+      result_delivery: 'path',
       init_img, mask_img,
       strength: num('strength', 0.75, parseFloat),
       generator_model_type: $('model').value,
@@ -363,6 +366,9 @@ async function poll() {
       if (typeof m === 'string') { $('status').textContent = m; continue; }
       if (m.image_b64 && tab === 'results')
         addCard('data:image/png;base64,' + m.image_b64,
+                m.generation_parameters);
+      if (m.image_path && tab === 'results')
+        addCard('/v1/images/file?path=' + encodeURIComponent(m.image_path),
                 m.generation_parameters);
       if (m.job_done !== undefined) {
         const jd = m.job_done || {};

@@ -39,13 +39,27 @@ class EngineWorker:
     generate(parameters: dict, status_cb, result_cb). Factories run
     lazily on first use (model load happens in the worker thread)."""
 
-    def __init__(self, text_safety=None, coalesce: int = 1):
+    def __init__(self, text_safety=None, coalesce: int = 1,
+                 save_root: Optional[str] = None):
+        from concurrent.futures import ThreadPoolExecutor
+
         self.job_queue: "queue.Queue[dict]" = queue.Queue()
         self.status_queue: "queue.Queue[Any]" = queue.Queue()
         self._factories: Dict[str, Callable[[], Callable]] = {}
         self._backends: Dict[str, Callable] = {}
         self._thread: Optional[threading.Thread] = None
         self._running = False
+        # PNG encode runs OFF the worker thread so the device starts
+        # the next batch while the previous batch's images compress —
+        # on the serving path the encode was serial with device compute
+        # (the device idled ~0.2-0.4 s per batch).  ONE encode worker
+        # guarantees results post in generation order.
+        self._encode_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="cremage-encode")
+        # app-root for path-delivery results (reference behavior: every
+        # generated PNG is saved to the outputs dir before queueing,
+        # image_generator.py:1204-1212); set by the API server
+        self.save_root = save_root
         # services.safety.TextSafetyChecker; gates inference jobs before
         # they enqueue, like the reference's pre-queue prompt check
         # (generate_handler.py:77-83)
@@ -141,17 +155,43 @@ class EngineWorker:
         self._backlog.extend(scan)
         return group
 
+    def _result_cb(self, job: dict, pending: list) -> Callable:
+        """Result callback that offloads PNG encode (and the optional
+        outputs-dir save for path delivery) to the encode pool; the
+        worker thread returns immediately and dispatches the next batch
+        while this batch compresses."""
+        delivery = job.get("parameters", {}).get("result_delivery",
+                                                 "inline")
+        to_path = delivery == "path" and self.save_root is not None
+
+        def encode_and_post(img, meta):
+            msg = make_result_message(img, meta)
+            if to_path:
+                from cremage_tpu.app import dirs as D
+
+                path = D.save_output_image(self.save_root, msg["image"])
+                msg = {"image_path": path,
+                       "generation_parameters":
+                           msg["generation_parameters"]}
+            self.status_queue.put(msg)
+
+        def cb(img, meta):
+            pending.append(self._encode_pool.submit(encode_and_post,
+                                                    img, meta))
+        return cb
+
     def _run_one(self, job: dict) -> None:
         ok, err = True, None
+        pending: list = []
         try:
             backend = self._backend_for(job["generator_model_type"])
             backend(
                 job.get("parameters", {}),
                 self.status_queue.put,
-                lambda img, meta: self.status_queue.put(
-                    make_result_message(img, meta)
-                ),
+                self._result_cb(job, pending),
             )
+            for f in pending:     # job_done must follow all images
+                f.result()
         except Exception as e:  # structured failure, keep worker alive
             logger.exception("job failed")
             ok, err = False, f"{type(e).__name__}: {e}"
@@ -159,14 +199,15 @@ class EngineWorker:
 
     def _run_group(self, group: list) -> None:
         backend = self._backend_for(group[0]["generator_model_type"])
-        result_cb = lambda img, meta: self.status_queue.put(
-            make_result_message(img, meta))
+        pending: list = []
         try:
             backend.generate_batch(
                 [g.get("parameters", {}) for g in group],
                 self.status_queue.put,
-                [result_cb] * len(group),
+                [self._result_cb(g, pending) for g in group],
             )
+            for f in pending:     # job_done must follow all images
+                f.result()
         except Exception:
             # one poison request must not fail its neighbors: fall back
             # to running the group serially (each gets its own job_done)
