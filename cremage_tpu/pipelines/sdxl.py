@@ -235,10 +235,63 @@ class SDXLPipeline:
         self.face_fixer = face_fixer
         self._cache: Dict[Tuple, Callable] = {}
         self._current_status: Callable = _noop_status
+        self.mesh = None
         self.pp_devices = None
         self.pp_n_stages: Optional[int] = None
         self.pp_microbatch: Optional[int] = None
         self._pp_cache: Dict[Tuple, Any] = {}
+
+    def use_mesh(self, mesh, tensor_parallel: bool = False):
+        """Adopt a ('data','model') mesh: params replicated (or
+        TP-sharded over 'model' with the conv/attention rules of
+        parallel/sharding.py), activations batch-sharded over 'data' at
+        each jitted-program boundary — the deployment behind the
+        north-star ≥2 img/s on v5e-8 (8 × the per-chip exact lane).
+        XLA/GSPMD inserts the ICI collectives; sampler/UNet code is
+        unchanged (same design as SD15Pipeline.use_mesh)."""
+        if self.pp_devices is not None:
+            raise ValueError("choose one of use_mesh / use_mesh_pp")
+        from cremage_tpu.core.mesh import replicate_params
+
+        if tensor_parallel:
+            from cremage_tpu.parallel.sharding import shard_params_tp
+
+            self.bundle.unet_params = shard_params_tp(
+                mesh, self.bundle.unet_params)
+        else:
+            self.bundle.unet_params = replicate_params(
+                mesh, self.bundle.unet_params)
+        self.bundle.vae_params = replicate_params(mesh,
+                                                  self.bundle.vae_params)
+        if self.bundle.refiner_unet is not None:
+            self.bundle.refiner_params = replicate_params(
+                mesh, self.bundle.refiner_params)
+        self.mesh = mesh
+        self._cache.clear()
+        return self
+
+    def _shard_batch_args(self, x, c, uc):
+        """data_sharding for the batch-carrying sampler inputs (latent +
+        both conditioning dicts) when a DP/TP mesh is active; batch
+        sizes that don't divide the data axis fall back to the default
+        placement (replicated compute, still correct)."""
+        if self.mesh is None:
+            return x, c, uc
+        from cremage_tpu.core.mesh import DATA_AXIS, data_sharding
+
+        dsize = self.mesh.shape[DATA_AXIS]
+
+        def sh(a):
+            if (a is not None and hasattr(a, "ndim") and a.ndim >= 1
+                    and a.shape[0] % dsize == 0 and a.shape[0] >= dsize):
+                return jax.device_put(jnp.asarray(a),
+                                      data_sharding(self.mesh, a.ndim))
+            return a
+
+        def shd(d):
+            return None if d is None else {k: sh(v) for k, v in d.items()}
+
+        return sh(x), shd(c), shd(uc)
 
     def use_mesh_pp(self, devices, n_stages: Optional[int] = None,
                     microbatch: Optional[int] = None):
@@ -249,6 +302,8 @@ class SDXLPipeline:
         Sampling is host-stepped, so only the deterministic
         EulerEDMSampler + VanillaCFG combination is supported; excludes
         tome_ratio / deep_cache / LCM."""
+        if self.mesh is not None:
+            raise ValueError("choose one of use_mesh / use_mesh_pp")
         if hasattr(devices, "devices"):  # a Mesh
             devices = list(np.asarray(devices.devices).flat)
         self.pp_devices = list(devices)
@@ -634,6 +689,7 @@ class SDXLPipeline:
         fn, _ = self._sampler_program(
             self.bundle.unet, opts, x.shape, c["crossattn"].shape, None
         )
+        x, c, uc = self._shard_batch_args(x, c, uc)
         return fn(self.bundle.unet_params, x, c, uc, key)
 
     def inpaint_latents(self, opts, init_image, mask, c, uc, key,
@@ -662,6 +718,7 @@ class SDXLPipeline:
         x = noise_like(key, (b, h8, w8, 4))
         fn, _ = self._sampler_program(
             self.bundle.unet, opts, x.shape, c["crossattn"].shape, None)
+        x, c, uc = self._shard_batch_args(x, c, uc)
         return fn(self.bundle.unet_params, x, c, uc, key, extra), mask_b
 
     def refine_latents(self, opts, lat, key, status_cb=_noop_status):
@@ -681,6 +738,7 @@ class SDXLPipeline:
         noisy = lat.astype(jnp.float32) + noise_like(key, lat.shape) * float(
             sigmas[0]
         )
+        noisy, c, uc = self._shard_batch_args(noisy, c, uc)
         return fn(self.bundle.refiner_params, noisy, c, uc, key)
 
     def generate(
@@ -724,6 +782,7 @@ class SDXLPipeline:
                 self._current_status = status_cb
                 noisy = lat0.astype(jnp.float32) + noise_like(
                     key, lat0.shape) * float(sigmas[0])
+                noisy, c, uc = self._shard_batch_args(noisy, c, uc)
                 lat = fn(self.bundle.unet_params, noisy, c, uc, key)
             else:
                 lat = self.txt2img_latents(opts, c, uc, key, status_cb)

@@ -238,3 +238,111 @@ def test_flux_pp_through_engine_worker_e2e(mesh8):
             assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
     finally:
         srv.stop()
+
+
+@pytest.mark.slow
+@pytest.mark.core
+def test_sdxl_dp_equivalence(mesh8):
+    """SDXLPipeline.use_mesh (batch-sharded DP over the 8-device mesh,
+    the deployment behind the north-star ≥2 img/s = 8 x per-chip lane):
+    dual-tower conditioning -> EDM sampler -> VAE decode matches the
+    single-device run (VERDICT r4 item 4's DP leg)."""
+    from tests.conftest import assert_img01_close
+    from tests.test_edm_sdxl import make_sdxl_bundle, xl_opts
+    from cremage_tpu.pipelines.sdxl import SDXLPipeline
+
+    opts = xl_opts(n_samples=8)
+    base = SDXLPipeline(make_sdxl_bundle()).generate(opts)
+    imgs_base = np.stack([im for im, _ in base])
+
+    pipe = SDXLPipeline(make_sdxl_bundle()).use_mesh(mesh8)
+    out = pipe.generate(opts)
+    imgs_dp = np.stack([im for im, _ in out])
+
+    assert imgs_dp.shape == imgs_base.shape == (8, 64, 64, 3)
+    # GSPMD may reorder fp32 reductions; uint8-quantized outputs must
+    # agree within one quantization step + drift
+    assert_img01_close(imgs_dp, imgs_base, float_tol=2e-3)
+
+
+@pytest.mark.slow
+@pytest.mark.core
+def test_sdxl_pp_through_engine_worker_e2e(mesh8):
+    """The NORTH-STAR family's FULL generate() — dual-tower (CLIP-L +
+    OpenCLIP bigG) conditioning -> EulerEDM sampler -> VAE decode ->
+    PNG bytes — under pipeline parallelism on the 8-device CPU mesh,
+    driven through EngineWorker + HTTP, uint8 parity vs the
+    single-device run (VERDICT r4 item 4, mirroring the FLUX leg)."""
+    import base64
+    import io as _io
+
+    from PIL import Image
+
+    from cremage_tpu.app.backends import _opts_from_params
+    from cremage_tpu.app.server import ApiServer
+    from cremage_tpu.app.worker import EngineWorker
+    from cremage_tpu.core.config import GMT_SDXL
+    from cremage_tpu.io.metadata import image_from_array
+    from tests.test_edm_sdxl import make_sdxl_bundle, xl_opts
+
+    from cremage_tpu.pipelines.sdxl import SDXLPipeline
+
+    opts = xl_opts(n_samples=2)
+    plain = SDXLPipeline(make_sdxl_bundle()).generate(opts)
+    base_u8 = [np.asarray(image_from_array(im)) for im, _ in plain]
+
+    pipe = SDXLPipeline(make_sdxl_bundle())
+    pipe.use_mesh_pp(jax.devices()[:2])
+
+    worker = EngineWorker()
+
+    def factory():
+        def generate(params, status_cb, result_cb):
+            pipe.generate(_opts_from_params(params), status_cb=status_cb,
+                          result_cb=result_cb)
+        return generate
+
+    worker.register_backend(GMT_SDXL, factory)
+    srv = ApiServer(worker=worker, port=0)
+    srv.start()
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        body = json.dumps({
+            "generator_model_type": GMT_SDXL,
+            "mode": "text_to_image",
+            "parameters": {
+                "prompt": "a dog", "negative_prompt": "ugly",
+                "H": 64, "W": 64, "sampling_steps": 3, "seed": 11,
+                "scale": 5.0, "sampler": "EulerEDMSampler",
+                "guider": "VanillaCFG",
+                "discretization": "LegacyDDPMDiscretization",
+                "n_samples": 2, "safety_check": False,
+                "watermark": False},
+        }).encode()
+        req = urllib.request.Request(
+            url + "/v1/generate", data=body, method="POST",
+            headers={"Content-Type": "application/json"})
+        urllib.request.urlopen(req, timeout=30).read()
+        imgs, done = [], False
+        end = time.time() + 600
+        while time.time() < end and not done:
+            time.sleep(0.3)
+            msgs = json.loads(urllib.request.urlopen(
+                url + "/v1/status", timeout=30).read())["messages"]
+            for m in msgs:
+                if isinstance(m, dict) and "image_b64" in m:
+                    png = base64.b64decode(m["image_b64"])
+                    imgs.append(np.asarray(
+                        Image.open(_io.BytesIO(png)).convert("RGB")))
+                if isinstance(m, dict) and "job_done" in m:
+                    assert m["job_done"]["ok"], m["job_done"]
+                    done = True
+        assert done and len(imgs) == 2
+        # PP float parity ~2e-3 at tiny widths (see
+        # test_sdxl_pipeline_pp_matches_plain); through uint8 PNG
+        # encoding allow the same tolerance in 0-255 space
+        for got, want in zip(imgs, base_u8):
+            assert got.shape == want.shape == (64, 64, 3)
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 2
+    finally:
+        srv.stop()
