@@ -9,6 +9,7 @@ streams progress + results back on the status channel.
 """
 from __future__ import annotations
 
+import json
 import logging
 import os
 from typing import Callable, Optional
@@ -403,17 +404,36 @@ def svd_factory(prefs: Preferences) -> Callable:
         frames = pipe.sample((init + 1) / 2, opts, status_cb=status_cb,
                              output_dir=params.get("outdir"))
         passes = int(params.get("interpolation_frames", 0))
+        meta = {k: v for k, v in params.items()
+                if isinstance(v, (int, float, str))}
         if passes:
             from cremage_tpu.services.film import (
                 interpolate_recursively, write_mp4,
             )
 
-            frames = interpolate_recursively(list(frames), passes)
-            if params.get("output_mp4"):
-                write_mp4(frames, params["output_mp4"], fps=25)
+            frames = interpolate_recursively(
+                list(frames), passes,
+                progress_cb=lambda k, n: status_cb(
+                    f"interpolating (pass {k} / {n})"))
+            mp4_path = params.get("output_mp4")
+            if not mp4_path and params.get("make_mp4"):
+                # one-click chain (reference video_generator.py:427-478):
+                # the mp4 lands in the outputs library so the browser
+                # client can stream it over GET /v1/images/file
+                import time as _time
+
+                from cremage_tpu.app import dirs as D
+
+                mp4_path = os.path.join(
+                    D.first_init(), "outputs",
+                    "video_%s.mp4" % _time.strftime("%Y%m%d-%H%M%S"))
+            if mp4_path:
+                status_cb("writing mp4")
+                write_mp4(frames, mp4_path, fps=25)
+                status_cb({"video_path": mp4_path,
+                           "generation_parameters": json.dumps(meta)})
         for i, f in enumerate(frames):
-            result_cb(f, {"frame": i, **{k: v for k, v in params.items()
-                                         if isinstance(v, (int, float, str))}})
+            result_cb(f, {"frame": i, **meta})
 
     return generate
 

@@ -624,8 +624,10 @@ class ApiServer:
                         return self._reply(
                             200, {"generation_data":
                                   read_generation_data(rp)})
+                    ctype = ("video/mp4" if rp.lower().endswith(".mp4")
+                             else "image/png")
                     with open(rp, "rb") as f:
-                        return self._reply_raw(200, f.read(), "image/png")
+                        return self._reply_raw(200, f.read(), ctype)
                 length = int(self.headers.get("Content-Length") or 0)
                 body = {}
                 if length:

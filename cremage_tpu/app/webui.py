@@ -101,6 +101,16 @@ INDEX_HTML = """<!doctype html>
     <div><label>Strength (img2img / face-fix repair)</label>
       <input id="strength" type="number" value="0.75" step="0.05"></div>
   </div>
+  <div id="videobox" class="row" style="display:none">
+    <div><label>Video frames (SVD)</label>
+      <input id="video_frames" type="number" value="14" min="2"></div>
+    <div><label>FILM interpolation passes (0 = off; each pass doubles
+      the in-between density)</label>
+      <input id="video_interp" type="number" value="3" min="0" max="5"></div>
+    <div><label><input id="video_mp4" type="checkbox" checked>
+      write mp4 (one-click chain: generate &rarr; interpolate &rarr;
+      mp4)</label></div>
+  </div>
   <label>Init image (img2img / inpaint) — or drag &amp; drop a file or a
     gallery/library image anywhere on the page</label>
   <input id="init_file" type="file" accept="image/*">
@@ -315,8 +325,16 @@ async function generate() {
     // face fixer's denoising strength), not img2img strength
     const modeExtra = mode === 'face_fix'
       ? {auto_face_fix_strength: num('strength', 0.3, parseFloat)} : {};
+    // one-click video chain (reference video_generator.py:427-478):
+    // img2vid -> FILM interpolation -> mp4, all in this single job
+    const videoExtra = mode === 'image_to_video' ? {
+      num_frames: num('video_frames', 14),
+      interpolation_frames: num('video_interp', 3),
+      make_mp4: $('video_mp4').checked,
+    } : {};
     await api('/v1/generate', {
       ...modeExtra,
+      ...videoExtra,
       ...advanced,
       mode,
       // results as file references into the outputs library — the
@@ -370,6 +388,19 @@ async function poll() {
       if (m.image_path && tab === 'results')
         addCard('/v1/images/file?path=' + encodeURIComponent(m.image_path),
                 m.generation_parameters);
+      if (m.video_path && tab === 'results') {
+        const src = '/v1/images/file?path='
+          + encodeURIComponent(m.video_path);
+        const card = document.createElement('div'); card.className = 'card';
+        const v = document.createElement('video');
+        v.src = src; v.controls = true; v.loop = true;
+        v.style.maxWidth = '100%';
+        const a = document.createElement('a');
+        a.href = src; a.download = 'video.mp4';
+        a.textContent = 'download mp4';
+        card.appendChild(v); card.appendChild(a);
+        $('gallery').prepend(card);
+      }
       if (m.job_done !== undefined) {
         const jd = m.job_done || {};
         $('status').textContent = jd.ok ? 'done' : ('failed: ' + jd.error);
@@ -608,6 +639,11 @@ function dropInit(b64, what) {
 }
 
 $('init_file').addEventListener('change', () => { droppedInit = null; });
+
+$('mode').addEventListener('change', () => {
+  $('videobox').style.display =
+    $('mode').value === 'image_to_video' ? '' : 'none';
+});
 
 document.addEventListener('dragover', e => e.preventDefault());
 document.addEventListener('drop', async e => {

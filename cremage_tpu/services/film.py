@@ -61,19 +61,24 @@ def interpolate_pair(f0: np.ndarray, f1: np.ndarray, t: float = 0.5) -> np.ndarr
 def interpolate_recursively(
     frames: List[np.ndarray], passes: int,
     pair_fn: Optional[Callable] = None,
+    progress_cb: Optional[Callable] = None,
 ) -> List[np.ndarray]:
     """Each pass doubles the in-between density (FILM's recursion:
     interpolation_frames=3 => 3 passes => 2^3-1 = 7 mid frames/pair in
-    the reference tool; it uses recursive midpoints identically)."""
+    the reference tool; it uses recursive midpoints identically).
+    progress_cb(pass_done, passes) fires after each pass — the video
+    chain's per-stage progress surface."""
     pair_fn = pair_fn or default_pair_fn()
     out = list(frames)
-    for _ in range(passes):
+    for i in range(passes):
         nxt = []
         for a, b in zip(out[:-1], out[1:]):
             nxt.append(a)
             nxt.append(pair_fn(a, b, 0.5))
         nxt.append(out[-1])
         out = nxt
+        if progress_cb is not None:
+            progress_cb(i + 1, passes)
     return out
 
 
