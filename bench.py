@@ -594,11 +594,18 @@ def bench_sd15_e2e():
     srv = ApiServer(worker=worker, port=0)
     srv.start()
     try:
+        import urllib.parse
         import urllib.request
 
         url = f"http://127.0.0.1:{srv.port}"
 
-        def run_job(seed):
+        # "inline" posts b64 PNGs through /v1/status (lane definition of
+        # rounds 2-4); "path" is the browser client's default since r5 —
+        # the status channel carries file references and the client
+        # pulls binary PNGs over GET (still billed here)
+        delivery = os.environ.get("BENCH_E2E_DELIVERY", "inline")
+
+        def submit(seed):
             body = _json.dumps({
                 "generator_model_type": "SD 1.5",
                 "mode": "text_to_image",
@@ -609,43 +616,68 @@ def bench_sd15_e2e():
                     "sampler": "Euler A", "seed": seed,
                     "n_samples": batch, "n_iter": 1,
                     "safety_check": False, "watermark": False,
+                    "result_delivery": delivery,
                 },
             }).encode()
             req = urllib.request.Request(
                 url + "/v1/generate", data=body, method="POST",
                 headers={"Content-Type": "application/json"})
             urllib.request.urlopen(req, timeout=30).read()
-            n_imgs, done = 0, False
+
+        def drain(n_jobs):
+            """Poll until n_jobs job_done messages; count images and
+            fetch path-delivered PNG bytes so transport is billed."""
+            n_imgs, done = 0, 0
             end = time.time() + 1800
-            while not done and time.time() < end:
+            while done < n_jobs and time.time() < end:
                 msgs = _json.loads(urllib.request.urlopen(
                     url + "/v1/status", timeout=60).read())["messages"]
                 for m in msgs:
-                    if isinstance(m, dict) and "image_b64" in m:
+                    if not isinstance(m, dict):
+                        continue
+                    if "image_b64" in m:
                         n_imgs += 1
-                    if isinstance(m, dict) and "job_done" in m:
+                    elif "image_path" in m:
+                        urllib.request.urlopen(
+                            url + "/v1/images/file?path="
+                            + urllib.parse.quote(m["image_path"]),
+                            timeout=60).read()
+                        n_imgs += 1
+                    if "job_done" in m:
                         assert m["job_done"]["ok"], m["job_done"]
-                        done = True
+                        done += 1
                 if not msgs:
                     time.sleep(0.05)
             return n_imgs
 
-        got = run_job(0)          # warmup: compiles the sampler program
-        assert got == batch, got
+        submit(0)                 # warmup: compiles the sampler program
+        assert drain(1) == batch
         n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+        # all jobs queued up-front, as a loaded serving deployment sees
+        # them: the worker samples job N+1 while job N's images encode
+        # on the off-thread pool and transport to the client
         t0 = time.perf_counter()
-        total = 0
         for i in range(n_rounds):
-            total += run_job(i + 1)
+            submit(i + 1)
+        total = drain(n_rounds)
         dt = time.perf_counter() - t0
-        _emit("sd15_e2e_images_per_sec", total / dt, "images/s",
-              FLUX_4090_ANCHOR)
+        name = ("sd15_e2e_images_per_sec" if delivery == "inline"
+                else "sd15_e2e_path_images_per_sec")
+        _emit(name, total / dt, "images/s", FLUX_4090_ANCHOR)
     finally:
         srv.stop()
 
 
+def bench_sd15_e2e_path():
+    """The e2e lane under the browser client's default path delivery
+    (binary GET transport instead of b64-in-JSON)."""
+    os.environ["BENCH_E2E_DELIVERY"] = "path"
+    bench_sd15_e2e()
+
+
 LANES = {"sd15": bench_sd15, "sdxl": bench_sdxl, "svd": bench_svd,
          "flux": bench_flux, "sd15_e2e": bench_sd15_e2e,
+         "sd15_e2e_path": bench_sd15_e2e_path,
          # w8a8 lanes (quality grade is weight+activation 8-bit).
          # flux_int8 is in the default set (+25% measured, see
          # bench_flux); the UNet-family int8 lanes measured at-or-below
