@@ -257,19 +257,39 @@ class AutoencoderKL(nn.Module):
 
 
 def encode_to_latent(vae: AutoencoderKL, params, x, key=None, sample=False):
-    """Image [-1,1] NHWC -> scaled latent z = (mean - shift) * scale."""
-    mean, logvar = vae.apply(params, x, method=AutoencoderKL.encode)
-    if sample and key is not None:
-        z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
-            key, mean.shape, dtype=jnp.float32
-        ).astype(mean.dtype)
-    else:
-        z = mean
-    return (z - vae.cfg.shift_factor) * vae.cfg.scale_factor
+    """Image [-1,1] NHWC -> scaled latent z = (mean - shift) * scale.
+    One cached jitted program per (vae, sampling?) — an eager VAE
+    forward costs seconds of dispatch time on the tunneled TPU backend
+    (core/jitcache.py)."""
+    from cremage_tpu.core.jitcache import jit_fn
+
+    do_sample = bool(sample and key is not None)
+
+    def build():
+        def run(p, xx, kk):
+            mean, logvar = vae.apply(p, xx, method=AutoencoderKL.encode)
+            z = mean
+            if do_sample:
+                z = mean + jnp.exp(0.5 * logvar) * jax.random.normal(
+                    kk, mean.shape, dtype=jnp.float32
+                ).astype(mean.dtype)
+            return (z - vae.cfg.shift_factor) * vae.cfg.scale_factor
+        return run
+
+    fn = jit_fn(vae, build, f"encode_to_latent:{do_sample}")
+    return fn(params, x, key if key is not None else jax.random.key(0))
 
 
 def decode_from_latent(vae: AutoencoderKL, params, z):
     """Scaled latent -> image [-1,1] NHWC (reference decode_first_stage
-    divides by scale_factor; SD3/FLUX add the shift back)."""
-    z = z / vae.cfg.scale_factor + vae.cfg.shift_factor
-    return vae.apply(params, z, method=AutoencoderKL.decode)
+    divides by scale_factor; SD3/FLUX add the shift back).  One cached
+    jitted program per vae (core/jitcache.py)."""
+    from cremage_tpu.core.jitcache import jit_fn
+
+    def build():
+        def run(p, zz):
+            zz = zz / vae.cfg.scale_factor + vae.cfg.shift_factor
+            return vae.apply(p, zz, method=AutoencoderKL.decode)
+        return run
+
+    return jit_fn(vae, build, "decode_from_latent")(params, z)

@@ -37,30 +37,54 @@ class TextEncoder:
         self.tokenizer = tokenizer
         self.embedding_dir = embedding_dir
         self._filler_cache: Optional[np.ndarray] = None
+        # memoized conditioning per (prompt, clip_skip): serving
+        # workloads repeat prompts across seeds/batches, and a text
+        # encode costs real host time on the tunneled TPU backend.
+        # Keyed on the RESOLVED prompt string (wildcards are expanded
+        # before encode), bounded FIFO; dies with the bundle, so a
+        # checkpoint/LoRA reload can never serve stale states.
+        self._encode_cache: dict = {}
 
     def _embed_tokens(self, ids) -> np.ndarray:
-        emb = self.model.apply(
-            self.params,
-            jnp.asarray(np.asarray(ids, np.int32)),
-            method=CLIPTextModel.embed_tokens,
-        )
+        # cached jitted program — an eager tower forward is seconds of
+        # per-op dispatch on the tunneled TPU backend (core/jitcache.py)
+        from cremage_tpu.core.jitcache import jit_apply
+
+        emb = jit_apply(self.model, CLIPTextModel.embed_tokens)(
+            self.params, jnp.asarray(np.asarray(ids, np.int32)))
         return np.asarray(emb, np.float32)
 
     def encode(self, prompt: str, clip_skip: int = 1) -> np.ndarray:
         """Weighted prompt -> (n*77, hidden) conditioning."""
+        from cremage_tpu.core.jitcache import jit_apply
+
+        # TI-tagged prompts resolve embedding files at encode time —
+        # never cache those (the file can change on disk)
+        cacheable = "<" not in prompt
+        ck = (prompt, clip_skip)
+        hit = self._encode_cache.get(ck) if cacheable else None
+        if hit is not None:
+            return hit
+
         pairs = compute_prompt_score(prompt)
         ti = make_ti_fetch(self.embedding_dir, load_embedding)
         chunks, _ = generate_weighted_chunks(
             self.tokenizer, self._embed_tokens, pairs, ti_fetch=ti
         )
+        fwd = jit_apply(self.model)
         outs = []
         for chunk in chunks:
-            _, hidden, _ = self.model.apply(
-                self.params, inputs_embeds=jnp.asarray(chunk[None])
-            )
+            _, hidden, _ = fwd(self.params,
+                               inputs_embeds=jnp.asarray(chunk[None]))
             z = hidden_state_for_clip_skip(hidden, clip_skip)
             outs.append(np.asarray(z[0], np.float32))
-        return np.concatenate(outs, axis=0)
+        out = np.concatenate(outs, axis=0)
+        if not cacheable:
+            return out
+        if len(self._encode_cache) >= 32:
+            self._encode_cache.pop(next(iter(self._encode_cache)))
+        self._encode_cache[ck] = out
+        return out
 
     def filler(self, clip_skip: int = 1) -> np.ndarray:
         """Empty-prompt 77-token chunk used for c/uc length matching."""

@@ -57,15 +57,20 @@ class FluxConditioner:
         self.t5_len = t5_len
 
     def encode(self, prompt: str) -> Dict[str, np.ndarray]:
+        # cached jitted tower calls: eager forwards are seconds of
+        # per-op dispatch on the tunneled TPU backend (core/jitcache.py)
+        from cremage_tpu.core.jitcache import jit_apply
+
         model, params = self.clip_l
         ids = self.tokenizer.encode_with_specials(prompt)
-        last, _, pooled = model.apply(params, jnp.asarray([ids], jnp.int32))
+        last, _, pooled = jit_apply(model)(params,
+                                           jnp.asarray([ids], jnp.int32))
         pooled = np.asarray(pooled[0], np.float32)
         t5_dim = self.t5[0].cfg.d_model if self.t5 else 4096
         if self.t5 is not None and self.t5_tokenize is not None:
             tids = np.asarray(self.t5_tokenize(prompt), np.int64)[: self.t5_len]
             tids = np.pad(tids, (0, self.t5_len - len(tids)))
-            txt = np.asarray(self.t5[0].apply(
+            txt = np.asarray(jit_apply(self.t5[0])(
                 self.t5[1], jnp.asarray(tids[None])), np.float32)[0]
         else:
             txt = np.zeros((self.t5_len, t5_dim), np.float32)

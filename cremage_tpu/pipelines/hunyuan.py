@@ -69,17 +69,19 @@ def make_hunyuan_text_encode(
     t5_tokenize = as_t5_tokenize(mt5_spiece, mt5_len)
 
     def text_encode(prompt: str) -> Tuple[np.ndarray, np.ndarray]:
+        from cremage_tpu.core.jitcache import jit_apply
+
         model, params = clip_pair
         ids, mask = wp.encode(prompt, max_length=clip_len)
-        last, _ = model.apply(params, jnp.asarray(ids[None]),
-                              jnp.asarray(mask[None]))
+        last, _ = jit_apply(model)(params, jnp.asarray(ids[None]),
+                                   jnp.asarray(mask[None]))
         clip_tokens = np.asarray(last, np.float32)[0]
         if mt5_pair is not None and t5_tokenize is not None:
             t5, t5_params = mt5_pair
             tids = np.asarray(t5_tokenize(prompt), np.int64)[:mt5_len]
             tids = np.pad(tids, (0, mt5_len - len(tids)))
-            mt5 = np.asarray(
-                t5.apply(t5_params, jnp.asarray(tids[None])), np.float32)[0]
+            mt5 = np.asarray(jit_apply(t5)(
+                t5_params, jnp.asarray(tids[None])), np.float32)[0]
         else:
             mt5 = np.zeros((mt5_len, mt5_dim), np.float32)
         return clip_tokens, mt5

@@ -746,8 +746,12 @@ def load_cascade_bundle(
 
         def decode_latent(lat):
             # StableCascadeDecoderPipeline: latents *= scale_factor
+            # (cached jitted call — eager forwards cost seconds of
+            # dispatch on the tunneled TPU backend, core/jitcache.py)
+            from cremage_tpu.core.jitcache import jit_apply
+
             z = jnp.asarray(lat, policy.compute_dtype) * cfgv.scale_factor
-            img = dec.apply({"params": v_params}, z)
+            img = jit_apply(dec)({"params": v_params}, z)
             return np.asarray(img, np.float32)     # [-1,1]
 
     return CascadeBundle(
@@ -1065,11 +1069,12 @@ def load_hf_clip_text_tower(
     def text_encode(prompt: str):
         ids = tok.encode_with_specials(prompt, max_len=max_pos)
         eos_pos = min(len(tok.encode(prompt)), max_pos - 2) + 1
-        hidden, final = tower.apply({"params": params},
-                                    jnp.asarray([ids], jnp.int32))
-        pooled = tower.apply({"params": params}, final,
-                             jnp.asarray([eos_pos]),
-                             method=OpenCLIPTextModel.project_pooled)
+        from cremage_tpu.core.jitcache import jit_apply
+
+        hidden, final = jit_apply(tower)({"params": params},
+                                         jnp.asarray([ids], jnp.int32))
+        pooled = jit_apply(tower, OpenCLIPTextModel.project_pooled)(
+            {"params": params}, final, jnp.asarray([eos_pos]))
         toks = hidden[-1] if pre_final_ln else final
         return (np.asarray(toks[0], np.float32),
                 np.asarray(pooled[0], np.float32))
@@ -1117,7 +1122,9 @@ def load_kandinsky_bundle(
                     "bhwi,oi->bhwo", z,
                     jnp.asarray(w[:, :, 0, 0], policy.compute_dtype),
                 ) + jnp.asarray(b, policy.compute_dtype)
-            img = movq.apply(movq_params, z, x)
+            from cremage_tpu.core.jitcache import jit_apply
+
+            img = jit_apply(movq)(movq_params, z, x)
             return np.asarray(img, np.float32)   # [-1,1]
 
     return KandinskyBundle(

@@ -115,8 +115,10 @@ class PixArtPipeline:
         if b.t5 is not None and b.t5_tokenize is not None:
             ids = np.asarray(b.t5_tokenize(prompt), np.int64)[: b.t5_len]
             ids = np.pad(ids, (0, b.t5_len - len(ids)))
-            return np.asarray(b.t5[0].apply(b.t5[1], jnp.asarray(ids[None])),
-                              np.float32)[0]
+            from cremage_tpu.core.jitcache import jit_apply
+
+            return np.asarray(jit_apply(b.t5[0])(
+                b.t5[1], jnp.asarray(ids[None])), np.float32)[0]
         return np.zeros((b.t5_len, b.t5_dim), np.float32)
 
     def _program(self, opts, shape, cond_shape):

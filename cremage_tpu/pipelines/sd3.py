@@ -76,30 +76,31 @@ class SD3Conditioner:
         ti_l = make_ti_fetch(self.embedding_dir, load_embedding, "clip_l")
         ti_g = make_ti_fetch(self.embedding_dir, load_embedding, "clip_g")
 
+        from cremage_tpu.core.jitcache import jit_apply
+
         def embed_l(ids):
-            return np.asarray(model_l.apply(
-                params_l, jnp.asarray(np.asarray(ids, np.int32)),
-                method=CLIPTextModel.embed_tokens), np.float32)
+            return np.asarray(jit_apply(model_l, CLIPTextModel.embed_tokens)(
+                params_l, jnp.asarray(np.asarray(ids, np.int32))), np.float32)
 
         def embed_g(ids):
-            return np.asarray(model_g.apply(
-                params_g, jnp.asarray(np.asarray(ids, np.int32)),
-                method=OpenCLIPTextModel.embed_tokens), np.float32)
+            return np.asarray(jit_apply(model_g, OpenCLIPTextModel.embed_tokens)(
+                params_g, jnp.asarray(np.asarray(ids, np.int32))), np.float32)
 
         cl, el = generate_weighted_chunks(self.tokenizer, embed_l, pairs, ti_l)
         cg, eg = generate_weighted_chunks(self.tokenizer, embed_g, pairs, ti_g)
         # first chunk only (SD3 uses 77 tokens per tower)
-        last_l, hid_l, _ = model_l.apply(
+        last_l, hid_l, _ = jit_apply(model_l)(
             params_l, inputs_embeds=jnp.asarray(cl[0][None]))
         zl = np.asarray(hid_l[model_l.cfg.num_layers - 1][0], np.float32)
         # CLIP-L pooled: final-LN state at the EOS position
         pooled_l = np.asarray(last_l[0], np.float32)[el[0]]
 
-        hid_g, final_g = model_g.apply(params_g, inputs_embeds=jnp.asarray(cg[0][None]))
+        hid_g, final_g = jit_apply(model_g)(
+            params_g, inputs_embeds=jnp.asarray(cg[0][None]))
         zg = np.asarray(hid_g[model_g.cfg.num_layers - 1][0], np.float32)
-        pooled_g = np.asarray(model_g.apply(
-            params_g, final_g, jnp.asarray([eg[0]]),
-            method=OpenCLIPTextModel.project_pooled)[0], np.float32)
+        pooled_g = np.asarray(jit_apply(
+            model_g, OpenCLIPTextModel.project_pooled)(
+            params_g, final_g, jnp.asarray([eg[0]]))[0], np.float32)
         return zl, pooled_l, zg, pooled_g
 
     def encode(self, prompt: str) -> Dict[str, np.ndarray]:
@@ -112,7 +113,8 @@ class SD3Conditioner:
         if self.t5 is not None and self.t5_tokenize is not None:
             ids = np.asarray(self.t5_tokenize(prompt), np.int64)[: self.t5_len]
             ids = np.pad(ids, (0, self.t5_len - len(ids)))
-            t5_out = np.asarray(self.t5[0].apply(
+            from cremage_tpu.core.jitcache import jit_apply as _ja
+            t5_out = np.asarray(_ja(self.t5[0])(
                 self.t5[1], jnp.asarray(ids[None])), np.float32)[0]
         else:
             t5_out = np.zeros((self.t5_len, t5_dim), np.float32)

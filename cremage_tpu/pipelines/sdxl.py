@@ -86,20 +86,31 @@ class SDXLConditioner:
         self.tokenizer = tokenizer
         self.embedding_dir = embedding_dir
         self.refiner_mode = refiner_mode
+        # memoized tower encodes per prompt (bounded FIFO): serving
+        # repeats prompts across seeds, and each tower pass costs real
+        # host time on the tunneled backend; dies with the conditioner
+        # so checkpoint/LoRA reloads can never serve stale states
+        self._l_cache: Dict[str, np.ndarray] = {}
+        self._g_cache: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
 
     # --- per-tower embedding helpers ---
 
     def _embed_l(self, ids):
+        # cached jitted tower calls throughout this conditioner — an
+        # eager forward is seconds of per-op dispatch on the tunneled
+        # TPU backend (core/jitcache.py)
+        from cremage_tpu.core.jitcache import jit_apply
+
         model, params = self.clip_l
-        return np.asarray(model.apply(
-            params, jnp.asarray(np.asarray(ids, np.int32)),
-            method=CLIPTextModel.embed_tokens), np.float32)
+        return np.asarray(jit_apply(model, CLIPTextModel.embed_tokens)(
+            params, jnp.asarray(np.asarray(ids, np.int32))), np.float32)
 
     def _embed_g(self, ids):
+        from cremage_tpu.core.jitcache import jit_apply
+
         model, params = self.open_clip
-        return np.asarray(model.apply(
-            params, jnp.asarray(np.asarray(ids, np.int32)),
-            method=OpenCLIPTextModel.embed_tokens), np.float32)
+        return np.asarray(jit_apply(model, OpenCLIPTextModel.embed_tokens)(
+            params, jnp.asarray(np.asarray(ids, np.int32))), np.float32)
 
     def _chunks(self, prompt: str, tower: str):
         pairs = compute_prompt_score(prompt)
@@ -111,27 +122,53 @@ class SDXLConditioner:
     def _encode_l(self, prompt: str) -> np.ndarray:
         """CLIP-L penultimate hidden state per chunk (reference config
         layer='hidden', layer_idx=11 == num_layers-1 for ViT-L)."""
+        from cremage_tpu.core.jitcache import jit_apply
+
+        cacheable = "<" not in prompt   # TI tags resolve at encode time
+        hit = self._l_cache.get(prompt) if cacheable else None
+        if hit is not None:
+            return hit
         model, params = self.clip_l
         chunks, _ = self._chunks(prompt, "l")
         outs = []
         idx = model.cfg.num_layers - 1
+        fwd = jit_apply(model)
         for ch in chunks:
-            _, hidden, _ = model.apply(params, inputs_embeds=jnp.asarray(ch[None]))
+            _, hidden, _ = fwd(params, inputs_embeds=jnp.asarray(ch[None]))
             outs.append(np.asarray(hidden[idx][0], np.float32))
-        return np.concatenate(outs, axis=0)
+        out = np.concatenate(outs, axis=0)
+        if not cacheable:
+            return out
+        if len(self._l_cache) >= 32:
+            self._l_cache.pop(next(iter(self._l_cache)))
+        self._l_cache[prompt] = out
+        return out
 
     def _encode_g(self, prompt: str) -> Tuple[np.ndarray, np.ndarray]:
         """bigG penultimate chunks + mean pooled (ln_final[eos] @ proj)."""
+        from cremage_tpu.core.jitcache import jit_apply
+
+        cacheable = "<" not in prompt   # TI tags resolve at encode time
+        hit = self._g_cache.get(prompt) if cacheable else None
+        if hit is not None:
+            return hit
         model, params = self.open_clip
         chunks, eos_list = self._chunks(prompt, "g")
         outs, pooled = [], []
+        fwd = jit_apply(model)
+        proj = jit_apply(model, OpenCLIPTextModel.project_pooled)
         for ch, eos in zip(chunks, eos_list):
-            hidden, final = model.apply(params, inputs_embeds=jnp.asarray(ch[None]))
+            hidden, final = fwd(params, inputs_embeds=jnp.asarray(ch[None]))
             outs.append(np.asarray(hidden[model.cfg.num_layers - 1][0], np.float32))
-            p = model.apply(params, final, jnp.asarray([eos]),
-                            method=OpenCLIPTextModel.project_pooled)
+            p = proj(params, final, jnp.asarray([eos]))
             pooled.append(np.asarray(p[0], np.float32))
-        return np.concatenate(outs, axis=0), np.stack(pooled).mean(axis=0)
+        out = (np.concatenate(outs, axis=0), np.stack(pooled).mean(axis=0))
+        if not cacheable:
+            return out
+        if len(self._g_cache) >= 32:
+            self._g_cache.pop(next(iter(self._g_cache)))
+        self._g_cache[prompt] = out
+        return out
 
     def encode_cond(
         self,

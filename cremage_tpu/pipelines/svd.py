@@ -117,13 +117,15 @@ class SVDPipeline:
         if self.bundle.clip_vision is None:
             dim = self.bundle.unet.cfg.context_dim
             return np.zeros((1, dim), np.float32)
+        from cremage_tpu.core.jitcache import jit_apply
+
         model, params = self.bundle.clip_vision
         import cv2
 
         img = cv2.resize(np.asarray(image01, np.float32),
                          (model.cfg.image_size, model.cfg.image_size),
                          interpolation=cv2.INTER_AREA)
-        emb = model.apply(params, jnp.asarray(img[None]))
+        emb = jit_apply(model)(params, jnp.asarray(img[None]))
         return np.asarray(emb, np.float32)
 
     def _program(self, opts: SVDOptions, shape, ctx_dim):
@@ -380,9 +382,10 @@ class SVDPipeline:
 
         img = jnp.asarray(image01, jnp.float32)[None] * 2.0 - 1.0
         aug = noise_like(jax.random.fold_in(key, 3), img.shape) * opts.cond_aug
-        mean, _ = self.bundle.vae.apply(
-            self.bundle.vae_params, (img + aug).astype(jnp.bfloat16),
-            method=AutoencoderKL.encode)
+        from cremage_tpu.core.jitcache import jit_apply
+
+        mean, _ = jit_apply(self.bundle.vae, AutoencoderKL.encode)(
+            self.bundle.vae_params, (img + aug).astype(jnp.bfloat16))
         concat = jnp.broadcast_to(mean.astype(jnp.float32),
                                   (t,) + mean.shape[1:])
 

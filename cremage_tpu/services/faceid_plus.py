@@ -116,6 +116,9 @@ def clip_face_embeds(
     # uncond: zeros in normalized space == the channel-mean image
     mean_img = np.broadcast_to(CLIP_MEAN, (224, 224, 3))
     batch = jnp.asarray(np.stack([bgr, mean_img]), jnp.float32)
-    embeds = np.asarray(
-        cv.apply(cv_vars, batch, penultimate=True), np.float32)
+    from cremage_tpu.core.jitcache import jit_fn
+
+    fwd = jit_fn(cv, lambda: (lambda v, b: cv.apply(
+        v, b, penultimate=True)), "faceid_plus_vision")
+    embeds = np.asarray(fwd(cv_vars, batch), np.float32)
     return embeds[0], embeds[1]

@@ -129,8 +129,10 @@ def esrgan_upscale(image01: np.ndarray, weights_path: str,
         params, _, _ = build_flax_params(tmpl, sd, prefix="", strict=False)
         _esrgan_cache[weights_path] = (model, {"params": params})
     model, params = _esrgan_cache[weights_path]
+    from cremage_tpu.core.jitcache import jit_apply
+
     x = jnp.asarray(image01, jnp.float32)[None]
-    out = np.asarray(model.apply(params, x), np.float32)[0]
+    out = np.asarray(jit_apply(model)(params, x), np.float32)[0]
     out = np.clip(out, 0, 1)
     if scale != 4.0:
         out = lanczos_upscale(out, scale / 4.0)

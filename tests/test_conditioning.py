@@ -59,3 +59,32 @@ def test_tile_batch():
     out = tile_batch(x, 5)
     assert out.shape == (5, 3, 4)
     np.testing.assert_allclose(np.asarray(out[4]), x)
+
+
+def test_text_encoder_memoizes_resolved_prompts():
+    """Serving repeats prompts across seeds: the second encode of the
+    same (prompt, clip_skip) is a cache hit (identical array returned
+    without tower work); TI-tagged prompts are never cached (the
+    embedding file can change on disk)."""
+    from tests.test_pipeline_sd15 import make_bundle
+
+    text = make_bundle().text
+    a = text.encode("a cat", 1)
+    calls = {"n": 0}
+    orig = text._embed_tokens
+
+    def counting(ids):
+        calls["n"] += 1
+        return orig(ids)
+
+    text._embed_tokens = counting
+    b = text.encode("a cat", 1)
+    assert b is a and calls["n"] == 0          # pure cache hit
+    c = text.encode("a cat", 2)
+    assert c is not a                          # clip_skip keys the cache
+    np.testing.assert_array_equal(text.encode("a cat", 1), a)
+    # TI-tagged prompt bypasses the cache entirely
+    n0 = calls["n"]
+    text.encode("<embedding:missing.pt> cat", 1)
+    text.encode("<embedding:missing.pt> cat", 1)
+    assert calls["n"] > n0

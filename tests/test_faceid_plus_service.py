@@ -57,13 +57,14 @@ def test_clip_face_embeds_bgr_and_mean_uncond(monkeypatch):
     channel-mean image (zeros in normalized space)."""
     from cremage_tpu.services import faceid_plus as FP
 
-    seen = {}
-
     class FakeTower:
+        """The service call is jitted (core/jitcache.py), so the fake
+        must be trace-compatible: it RETURNS its input, and the test
+        verifies the batch content from the (shape-preserved) output."""
+
         def apply(self, _vars, batch, penultimate=False):
             assert penultimate
-            seen["batch"] = np.asarray(batch)
-            return jnp.zeros((batch.shape[0], 5, 8))
+            return batch
 
     monkeypatch.setattr(FP, "load_clip_tower",
                         lambda path: (FakeTower(), {}))
@@ -72,8 +73,6 @@ def test_clip_face_embeds_bgr_and_mean_uncond(monkeypatch):
     rng = np.random.RandomState(0)
     crop = rng.rand(224, 224, 3).astype(np.float32)
     ce, uce = FP.clip_face_embeds(crop)
-    assert ce.shape == (5, 8) and uce.shape == (5, 8)
-    batch = seen["batch"]
-    np.testing.assert_allclose(batch[0], crop[..., ::-1], atol=1e-6)
+    np.testing.assert_allclose(ce, crop[..., ::-1], atol=1e-6)
     np.testing.assert_allclose(
-        batch[1], np.broadcast_to(CLIP_MEAN, (224, 224, 3)), atol=1e-6)
+        uce, np.broadcast_to(CLIP_MEAN, (224, 224, 3)), atol=1e-6)
