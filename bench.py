@@ -780,8 +780,8 @@ def main() -> int:
                                "sd15,sdxl,svd,flux,flux_int8,"
                                "sd15_dc_tome_cfgi,sdxl_dc_tome_cfgi,"
                                "svd_dc_tome,flux_int8_tome,"
-                               "sd15_e2e,sd15_dc_tome,sdxl_dc,"
-                               "sd15_dc,svd_dc,flux_tome"))
+                               "sd15_e2e,sd15_e2e_path,sd15_dc_tome,"
+                               "sdxl_dc,sd15_dc,svd_dc,flux_tome"))
     names = [s.strip().lower() for s in lanes.split(",") if s.strip()]
     if len(names) == 1:
         from cremage_tpu.core.cache import enable_compilation_cache
