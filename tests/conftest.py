@@ -12,6 +12,19 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 # never attempt HF downloads from tests (zero-egress environment)
 os.environ["ENABLE_HF_INTERNET_CONNECTION"] = "0"
+# Server/CLI tests call core.cache.enable_compilation_cache(), which
+# would point the PERSISTENT XLA cache at the real ~/.cremage_tpu dir
+# for the rest of the pytest process — polluting it with CPU test
+# executables and, when a TPU bench process writes the same directory
+# concurrently, segfaulting inside jax's cache serialization (observed
+# twice in round-5 full-suite runs, both dumps in
+# compilation_cache.put_executable_and_time).  Isolate tests to a
+# throwaway cache dir.
+import tempfile  # noqa: E402
+
+os.environ.setdefault(
+    "CREMAGE_TPU_COMPILE_CACHE",
+    tempfile.mkdtemp(prefix="cremage_test_jaxcache_"))
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
