@@ -34,6 +34,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# ... and even with the temp dir, serializing certain CPU test
+# executables SEGFAULTS inside jax's put_executable_and_time (second
+# full-suite abort reproduced SOLO with the temp-dir cache, same
+# stack).  The persistent cache is a TPU-serving feature, validated on
+# the real chip; in the CPU test process it is disabled outright.
+jax.config.update("jax_enable_compilation_cache", False)
 
 import pytest  # noqa: E402
 
